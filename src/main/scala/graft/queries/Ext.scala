@@ -1,0 +1,364 @@
+package graft.queries
+
+import graft.ops.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import java.nio.file.Paths
+
+/** EXT query set (SURVEY §2.12): LLM-data-pipeline operators over the
+  * `documents` / `embeddings` / `events` tables, with DuckDB oracles
+  * wherever the computation is engine-portable (everything except the
+  * xxhash64-based signatures and the binary stub).
+  *
+  * The synthetic corpus has no natural near-duplicates (max pairwise
+  * 3-gram jaccard ~0.03), so the near-dup queries build a corpus of
+  * documents UNION deterministic mutated copies (last 2 tokens dropped,
+  * doc_id + 1,000,000) — same construction on both engines.
+  */
+object ExtQueries {
+  import CoreQueries.T
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as long (legacy conf,
+    * runtime-settable) and rebuild a micros timestamp — the data is
+    * micros-precision (nanos % 1000 == 0), so `div 1000` is lossless.
+    * Integer division, NOT `/` (double division loses precision above
+    * 2^53 — epoch-nanos is ~1.7e18).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** documents + mutated near-copies of every 10th doc. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val mutated = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+          .as("text"))
+    docs.unionByName(mutated)
+  }
+  private val nearDupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |  array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+      |      FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** DuckDB 3-gram shingle expression over a `text` column. */
+  private val shinglesSql: String =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  for i in range(1, greatest(len(toks)-2, 1)+1)])""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** X1: exact dedup by content hash, deterministic winner (min doc_id). */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(T(s, dir, "documents"), "text", "doc_id")
+  val q10Sql: String =
+    """SELECT * FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** X5: top-20 corpus tokens by frequency (tie-break lexicographic). */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(T(s, dir, "documents"), "text", 20)
+      .withColumnRenamed("count", "n")
+  val q11Sql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                            t -> len(t)>0)) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** A4-window: per-user hourly tumbling counts over events (batch). */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("total_value"))
+  val q12Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, user_id,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** X2: MinHash-LSH near-duplicate pairs (jaccard >= 0.8) on the
+    * constructed corpus. Oracle = exhaustive pairwise jaccard in DuckDB;
+    * LSH at (k=64, bands=16) has miss probability < 1e-5 at j >= 0.85,
+    * and the injected pairs sit at j ~ 0.95+.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  val q13Sql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM corpus))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** X2: 64-bit SimHash fingerprints (xxhash-based — no SQL oracle;
+    * rows-only check).
+    */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(T(s, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+
+  // ---------------------------------------------------------------- q15
+  /** X2: exhaustive n-gram jaccard top-20 most-similar pairs among docs
+    * with doc_id < 100 (id tie-breaks pin the limit boundary).
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val sub = T(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = sub.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sub.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+  val q15Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM documents WHERE doc_id < 100))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** X3: brute-force cosine top-5 neighbors for every 50th vector.
+    * Both engines fold the dot product sequentially over the same array
+    * order, so doubles are bit-identical.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+  val q16Sql: String =
+    """WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS vec FROM embeddings),
+      |n AS (SELECT vec_id, vec,
+      |        sqrt(list_reduce(list_transform(vec, x -> x*x), (a, b) -> a + b)) AS nrm
+      |      FROM v),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS corpus_id,
+      |    list_reduce(list_transform(range(1, len(c.vec)+1), i -> c.vec[i] * q.qvec[i]),
+      |                (a, b) -> a + b) / (c.nrm * q.qnrm) AS cos
+      |  FROM n c, q WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine FROM (
+      |  SELECT query_id, corpus_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** X3 scale path: sign-bucket LSH cosine top-5 (approximate; xxhash
+    * hyperplanes — rows-only check).
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5, bits = 4)
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** X5: stopword-heuristic language ID. Argmax = max hits, ties to the
+    * lexicographically largest language code (both engines).
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+  val q18Sql: String = {
+    def hits(lang: String): String = {
+      val words = TextAnalysis.StopwordSets(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, t -> list_contains([$words], t)))"
+    }
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) = 0 THEN 'und'
+       |    WHEN ${hits("fr")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'fr'
+       |    WHEN ${hits("es")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'es'
+       |    WHEN ${hits("en")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'en'
+       |    ELSE 'de' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |      FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** X5: quality features + transparent linear quality score. */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality_score")
+  val q19Sql: String = {
+    val stop = TextAnalysis.StopwordSets("en").map(w => s"'$w'").mkString(",")
+    s"""SELECT doc_id,
+       |  len(toks)::DOUBLE AS n_tokens,
+       |  CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |    ELSE 0.0 END AS stopword_ratio,
+       |  CASE WHEN len(toks) > 0 THEN (nc - (len(toks)::DOUBLE - 1)) / len(toks)
+       |    ELSE 0.0 END AS mean_token_len,
+       |  round(least(1.0, len(toks)::DOUBLE / 20.0) * 0.4
+       |    + least(1.0, (CASE WHEN len(toks) > 0 THEN
+       |        len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |        ELSE 0.0 END) * 5.0) * 0.3
+       |    + (1.0 - least(1.0, (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 4.0)) * 0.3,
+       |    6) AS quality_score
+       |FROM (SELECT doc_id,
+       |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks,
+       |        length(text)::DOUBLE AS nc,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS np
+       |      FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** X5: polynomial rolling-hash document fingerprint (engine-portable:
+    * (h*31 + codepoint) mod 1e9+7 over the character sequence).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text"))
+        .as("fingerprint"))
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** X5: token counting — whitespace tokens and a BPE-ish regex
+    * (word-pieces + single non-space symbols).
+    */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+        .cast("long").as("n_bpeish_tokens"))
+  val q21Sql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> len(t)>0))::BIGINT AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_bpeish_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Sessionization: session_window(ts, 30 min) per user. Oracle builds
+    * identical sessions via lag + cumulative new-session flags (a new
+    * session starts when the gap is >= 30 min — session windows are
+    * half-open).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionCounts(events(s, dir), "ts", "user_id", "30 minutes")
+  val q22Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Streaming twin of q12: Structured Streaming tumbling window driven
+    * to completion over the bounded events table; same oracle as batch.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StreamOps.streamTumblingCounts(s, s"$dir/events.parquet", "ts",
+      "user_id", "1 hour", "1 hour", "q23_stream",
+      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+  val q23Sql: String = q12Sql
+
+  // ---------------------------------------------------------------- q24
+  /** X4: multimodal plumbing — deterministic fake media files, binary
+    * source, magic-byte format sniff (real), stubbed decode features.
+    * No oracle (binary stub) — rows-only check.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val base = Paths.get("/tmp/graft_fixtures/media")
+    val magic = Map(
+      "a.png" -> Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
+      "b.jpg" -> Array[Int](0xFF, 0xD8, 0xFF, 0xE0),
+      "c.wav" -> Array[Int](0x52, 0x49, 0x46, 0x46, 0x24, 0x08, 0x00, 0x00,
+        0x57, 0x41, 0x56, 0x45),
+      "d.bin" -> Array[Int](0x00, 0x01, 0x02, 0x03))
+    magic.foreach { case (name, m) =>
+      val payload = m.map(_.toByte) ++ Array.tabulate(512)(i => (i % 251).toByte)
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.write(base.resolve(name), payload)
+    }
+    val bin = Multimodal.readBinary(s, base.toString)
+    Multimodal.stubDecodeFeatures(bin)
+      .select(substring_index(col("path"), "/", -1).as("file"),
+        col("format"), col("n_bytes"), col("feature"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_dedup_exact" -> (q10 _),
+    "q11_top_tokens" -> (q11 _),
+    "q12_window_hourly" -> (q12 _),
+    "q13_minhash_neardup" -> (q13 _),
+    "q14_simhash" -> (q14 _),
+    "q15_ngram_jaccard" -> (q15 _),
+    "q16_cosine_topk" -> (q16 _),
+    "q17_cosine_lsh" -> (q17 _),
+    "q18_langid" -> (q18 _),
+    "q19_quality" -> (q19 _),
+    "q20_fingerprint" -> (q20 _),
+    "q21_token_count" -> (q21 _),
+    "q22_session_window" -> (q22 _),
+    "q23_stream_hourly" -> (q23 _),
+    "q24_multimodal" -> (q24 _))
+
+  val oracles: Map[String, String] = Map(
+    "q10_dedup_exact" -> q10Sql,
+    "q11_top_tokens" -> q11Sql,
+    "q12_window_hourly" -> q12Sql,
+    "q13_minhash_neardup" -> q13Sql,
+    "q15_ngram_jaccard" -> q15Sql,
+    "q16_cosine_topk" -> q16Sql,
+    "q18_langid" -> q18Sql,
+    "q19_quality" -> q19Sql,
+    "q20_fingerprint" -> q20Sql,
+    "q21_token_count" -> q21Sql,
+    "q22_session_window" -> q22Sql,
+    "q23_stream_hourly" -> q23Sql)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY §2.11 — extension; the reference is batch
+  * only). The engine's `stream` command maps to Structured Streaming:
+  * readStream -> watermark -> windowed agg -> sink. Batch and streaming
+  * share the same windowing expressions, so the batch forms below are the
+  * oracle-checkable twins of the streaming ones.
+  */
+object StreamOps {
+
+  /** Batch tumbling-window aggregation (oracle twin of the stream):
+    * per-key counts/sums in fixed windows via date_trunc.
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, keyCol: String,
+                     unit: String = "hour"): DataFrame =
+    df.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming tumbling window over a bounded parquet dir, driven to
+    * completion synchronously (memory sink + processAllAvailable) — the
+    * local-mode smoke shape; swap source/sink for Kafka/files in prod.
+    * Watermark bounds state so a 100 TB/day stream does not accumulate
+    * unbounded window state.
+    */
+  def streamTumblingCounts(spark: SparkSession, parquetPath: String,
+                           tsCol: String, keyCol: String,
+                           window: String = "1 hour",
+                           watermark: String = "1 hour",
+                           queryName: String = "stream_counts",
+                           prepare: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    // the file-stream source requires a directory; a single-file path is
+    // rewritten to parent dir + pathGlobFilter
+    val f = new java.io.File(parquetPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
+      else reader0
+    val srcPath = if (f.isFile) f.getParent else parquetPath
+    val src = prepare(reader.parquet(srcPath))
+    val agg = src
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Sessionization: session_window with gap — batch twin. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+}
