@@ -24,6 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DsvReader {
 
+  /** pandas' default NA token set (subset): values parsed to null. `NA`
+    * goes through the CSV option (so numeric inference still sees the
+    * column as numeric); the rest are nulled in a post-projection over
+    * string columns.
+    */
+  val NaTokens: Seq[String] =
+    Seq("", "NA", "N/A", "n/a", "NaN", "nan", "NULL", "null", "None", "#N/A")
+
   /** Normalize names: trim+lower (`run_annotate.py:48`); duplicates get a
     * positional suffix (the reference silently merges dups only in its
     * global list — SURVEY §1.5 decision: keep both, disambiguated).
@@ -49,12 +57,22 @@ object DsvReader {
       .option("sep", sep)
       .option("header", opts.header)
       .option("inferSchema", "true")
-      // pandas NA semantics: empty, NA, NaN -> null (SURVEY §7.4.2)
-      .option("nullValue", "")
+      // pandas NA semantics: NA/empty/NaN -> null (SURVEY §7.4.2)
+      .option("nullValue", "NA")
       .option("nanValue", "NaN")
-      .option("emptyValue", "")
       .option("mode", "PERMISSIVE")
       .csv(source)
-    df.toDF(normalizeNames(df.columns.toSeq): _*)
+    val named = df.toDF(normalizeNames(df.columns.toSeq): _*)
+    // remaining pandas NA tokens on string columns -> null (numeric
+    // columns already coerce failures to null via PERMISSIVE + nanValue)
+    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.types.StringType
+    val cleaned = named.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        when(col(f.name).isin(NaTokens: _*), null)
+          .otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    named.select(cleaned.toSeq: _*)
   }
 }

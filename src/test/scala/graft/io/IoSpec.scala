@@ -1,0 +1,86 @@
+package graft.io
+
+import graft.TestSpark
+import graft.model.ReadOpts
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class SnifferSpec extends AnyFunSuite {
+
+  test("tab beats comma when tabs are consistent") {
+    val sep = Sniffer.sniffFromLines(Seq(
+      "a\tb\tc", "1\t2,5\t3", "4\t5\t6"))
+    assert(sep == '\t')
+  }
+
+  test("comma chosen for plain csv") {
+    assert(Sniffer.sniffFromLines(Seq("a,b,c", "1,2,3")) == ',')
+  }
+
+  test("quoted separators are not counted") {
+    // commas inside quotes must not inflate the comma score
+    val sep = Sniffer.sniffFromLines(Seq(
+      "a;\"x,y,z\";c", "1;\"p,q\";3"))
+    assert(sep == ';')
+  }
+
+  test("single-column file falls back to comma") {
+    assert(Sniffer.sniffFromLines(Seq("justone", "values")) == ',')
+  }
+
+  test("pipe-separated detected") {
+    assert(Sniffer.sniffFromLines(Seq("a|b", "1|2")) == '|')
+  }
+
+  test("countOutsideQuotes is quote-aware") {
+    assert(Sniffer.countOutsideQuotes("a,\"b,c\",d", ',') == 2)
+  }
+}
+
+class DsvReaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft-dsv")
+    val p = d.resolve(name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("normalizeNames: trim+lower+dedup-with-suffix") {
+    assert(DsvReader.normalizeNames(Seq(" Gene ", "gene", "Score")) ==
+      Seq("gene", "gene_2", "score"))
+  }
+
+  test("sniffed tab read infers numeric types") {
+    val p = tmpFile("t.tsv", "A\tB\n1\t2.5\n3\tx\n")
+    val df = DsvReader.read(spark, p)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.schema("a").dataType.typeName == "integer")
+    // mixed numeric/string column stays string (pandas object semantics)
+    assert(df.schema("b").dataType.typeName == "string")
+  }
+
+  test("NA and empty cells become null") {
+    val p = tmpFile("n.csv", "a,b\nNA,1\n,2\n")
+    val df = DsvReader.read(spark, p)
+    val rows = df.collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("gzip read is transparent") {
+    val d = Files.createTempDirectory("graft-gz")
+    val p = d.resolve("x.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(p))
+    out.write("a,b\n1,2\n".getBytes("UTF-8")); out.close()
+    val df = DsvReader.read(spark, p.toString)
+    assert(df.count() == 1)
+  }
+
+  test("pinned sep overrides sniffing") {
+    val p = tmpFile("p.txt", "a;b\n1;2\n")
+    val df = DsvReader.read(spark, p, ReadOpts(sep = Some(";")))
+    assert(df.columns.toSeq == Seq("a", "b"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactByHash keeps the min-id row per identical text") {
+    val kept = Dedup.exactByHash(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("shingles are sliding distinct word 3-grams") {
+    val sh = docs.filter($"doc_id" === 4)
+      .select(Dedup.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh.contains("completely different words"))
+    assert(sh.contains("words entirely here"))
+    assert(sh.size == 4) // 6 tokens -> 4 shingles
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"),
+      Seq("x y z", "y z w"))).toDF("a", "b", "c")
+    val r = df.select(Dedup.jaccard($"a", $"b"), Dedup.jaccard($"a", $"c"))
+      .head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical text always collides
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical docs share a simhash; distinct docs differ") {
+    val fp = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val hd = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hd > 10) // unrelated docs far apart in hamming space
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot/cosine match hand-computed values") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val r = df.select(Similarity.dot($"a", $"b"),
+      Similarity.cosine($"a", $"a")).head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the most similar vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1)
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", k = 2).collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(2L, 3L)) // by cosine desc
+    assert(top.head.getInt(1) == 1)
+  }
+
+  test("lshBucket is deterministic across evaluations") {
+    val df = Seq(Tuple1(Seq(0.5, -0.25, 1.0))).toDF("v")
+    val b1 = df.select(Similarity.lshBucket($"v", 8)).head.getLong(0)
+    val b2 = df.select(Similarity.lshBucket($"v", 8)).head.getLong(0)
+    assert(b1 == b2)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1, "the cat and the dog of the house"),
+      (2, "der hund und die katze ist nicht hier"),
+      (3, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en" && out(2) == "de" && out(3) == "und")
+  }
+
+  test("fingerprint matches a hand-rolled polynomial hash") {
+    val expected = "ab".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val got = Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("token counts ignore empty splits") {
+    val df = Seq(Tuple1("  two   words  ")).toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).head.getInt(0) == 2)
+  }
+
+  test("topTokens orders by count desc then token") {
+    val df = Seq(Tuple1("b b a a c")).toDF("text")
+    val top = TextAnalysis.topTokens(df, "text", 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(top == Seq("a", "b")) // both count 2, lexicographic
+  }
+
+  test("quality score is bounded [0,1]") {
+    val df = Seq(Tuple1("the and of to in is that it was for more text")).toDF("text")
+    val s = TextAnalysis.qualityFeatures(df, "text")
+      .select("quality_score").head.getDouble(0)
+    assert(s >= 0.0 && s <= 1.0)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("format sniffing from magic bytes + stub features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm")
+    java.nio.file.Files.write(dir.resolve("x.png"),
+      Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3)
+        .map(_.toByte))
+    java.nio.file.Files.write(dir.resolve("y.jpg"),
+      Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 9, 9).map(_.toByte))
+    val feats = Multimodal.stubDecodeFeatures(
+      Multimodal.readBinary(spark, dir.toString)).collect()
+    val byName = feats.map(r => r.getString(0).split('/').last ->
+      r.getString(1)).toMap
+    assert(byName("x.png") == "png" && byName("y.jpg") == "jpeg")
+    assert(feats.forall(_.getSeq[Float](6).nonEmpty))
+  }
+}
