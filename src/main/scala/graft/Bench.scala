@@ -1,10 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
 
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
-  * sink (a bare count() would let Catalyst prune/skip most of the work),
-  * and prints one JSON line for the driver's BENCH_r{N}.json.
+/** Benchmark main -> one JSON line for the driver's BENCH_r{N}.json.
+  *
+  * Headline metric = the BASELINE.md-comparable workload: lineitem TSV
+  * ingest (sniffed sep, inferred schema) -> melt to long form (ids =
+  * l_orderkey, l_linenumber; 8 value columns, x8 row blowup) -> parquet
+  * write, i.e. the reference's measured end-to-end pipeline
+  * (`run_annotate.py:20-28` + `:202-211` + `:188` semantics). The TSV
+  * fixture dump is test INPUT (the reference starts from existing TSV)
+  * and is cached, not timed.
+  *
+  * Every SparkEntry query is also timed individually (noop sink — full
+  * materialization, no output IO), reported under "queries".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,18 +28,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val sfName = Paths.get(sfDir).getFileName.toString
+    // warm the session (JVM/codegen/FS init charged to nobody)
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // -- headline: ingest -> melt -> parquet (reference semantics) -----
+    val tsv = s"/tmp/graft_fix/$sfName/bench_lineitem_tsv"
+    if (!Files.exists(Paths.get(s"$tsv/_SUCCESS")))
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.mode("overwrite").option("sep", "\t").option("header", "true")
+        .csv(tsv)
+    val meltValues = Seq("l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus")
+    val t0 = System.nanoTime()
+    val ingested = graft.io.DsvReader.read(spark, s"$tsv/*.csv")
+      .select(("l_orderkey" +: "l_linenumber" +: meltValues).map(col): _*)
+    val casted = meltValues.foldLeft(ingested)(
+      (d, c) => d.withColumn(c, col(c).cast("string")))
+    val long = graft.ops.Melt.melt(casted,
+      Seq("l_orderkey", "l_linenumber"), meltValues)
+    long.write.mode("overwrite").parquet(s"/tmp/graft_bench_out_$sfName")
+    val e2e = (System.nanoTime() - t0) / 1e9
+
+    // -- per-query timings ---------------------------------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val q0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -40,27 +40,6 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** k salted 64-bit min-hashes over a shingle array column. Salting by
-    * literal concat keeps every hash inside codegen'd xxhash64 — no UDF,
-    * no RNG (deterministic across runs/executors).
-    */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(concat(s, lit(s"#$i")))))
-    }: _*)
-
-  /** LSH band keys: split the k-wide signature into `bands` bands of
-    * k/bands rows each; band key = hash of the band slice + band index.
-    */
-  def bandKeys(sigCol: Column, k: Int, bands: Int): Column = {
-    val rows = k / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(sigCol, b * rows + 1, rows).cast("array<string>"))).as("key"))
-    }: _*)
-  }
-
   /** Exact pairwise Jaccard over two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -68,25 +47,51 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
-  /** MinHash-LSH near-duplicate pairs: returns (id_a, id_b, jaccard) for
-    * pairs sharing >= 1 LSH bucket AND exact shingle-jaccard >= threshold,
-    * id_a < id_b. The bucket join shuffles on (band, key) only; the
-    * verify step computes exact jaccard just for candidates.
+  /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard) for pairs
+    * sharing >= 1 LSH band bucket AND exact shingle-jaccard >= threshold,
+    * id_a < id_b.
+    *
+    * Signature plan (the 100 TB-shaped one, all whole-stage codegen):
+    * explode shingles -> ONE xxhash64 per shingle string -> k derived
+    * hashes via xxhash64(h, seed) (two-word hashing, no per-seed string
+    * rehash, ANSI-safe) -> single groupBy(id) with k
+    * min() partial aggregations (map-side combine shrinks the shuffle to
+    * k longs per doc). Band keys hash signature slices; the bucket
+    * self-join shuffles on (band, key) only, so candidate generation
+    * never touches the n^2 pair space; exact jaccard runs on candidates
+    * alone.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bucket", explode(bandKeys(col("sig"), k, bands)))
-      .select(col("id"), col("sh"), col("bucket"))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    // k derived hash functions: xxhash64 of (base hash, seed index) —
+    // two-word hashing, codegen'd, no overflow (ANSI-safe)
+    val aggs = (0 until k).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bucketArr = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rows until (bnd + 1) * rows)
+          .map(i => col(s"m$i")): _*).as("key"))
+    }: _*)
+    val buckets = sigs.select(col("id"), explode(bucketArr).as("bucket"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .distinct()
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -94,12 +94,12 @@ object ExtQueries {
   // ---------------------------------------------------------------- q13
   /** X2: MinHash-LSH near-duplicate pairs (jaccard >= 0.8) on the
     * constructed corpus. Oracle = exhaustive pairwise jaccard in DuckDB;
-    * LSH at (k=64, bands=16) has miss probability < 1e-5 at j >= 0.85,
-    * and the injected pairs sit at j ~ 0.95+.
+    * LSH at (k=32, bands=16, rows=2) has miss probability ~1e-7 at
+    * j >= 0.8, and the injected pairs sit at j ~ 0.95+.
     */
   def q13(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
-      shingleSize = 3, k = 64, bands = 16, threshold = 0.8)
+      shingleSize = 3, k = 32, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   val q13Sql: String =
     s"""WITH corpus AS ($nearDupCorpusSql),
