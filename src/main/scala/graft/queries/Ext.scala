@@ -331,7 +331,37 @@ object ExtQueries {
         col("format"), col("n_bytes"), col("feature"))
   }
 
+  // ---------------------------------------------------------------- q26
+  /** S11: HDF5 -> DataFrame -> (driver writes parquet). Fixture = the
+    * part table exported to a real HDF5 file (our spec-conformant
+    * writer), read back through the pure-JVM HDF5 source; oracle is the
+    * original parquet table, so the whole decode path is hash-checked.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Hdf5Source, Hdf5Writer}
+    import graft.io.Hdf5Writer.{Ds, F64, I32, I64}
+    import java.nio.file.{Files, Paths}
+    val fix = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q26_part.h5"
+    if (!Files.exists(Paths.get(fix))) {
+      val rows = T(s, dir, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey").collect()
+      Files.createDirectories(Paths.get(fix).getParent)
+      Hdf5Writer.write(fix, Seq(
+        Ds("p_partkey", I64, Seq(rows.length), rows.map(_.getLong(0))),
+        Ds("p_size", I32, Seq(rows.length), rows.map(_.getInt(1).toLong)),
+        Ds("p_retailprice", F64, Seq(rows.length),
+          rows.map(_.getDouble(2)))))
+    }
+    Hdf5Source.readToDataFrame(s, Seq(fix))
+      .select(col("p_partkey"), col("p_size").cast("int").as("p_size"),
+        col("p_retailprice"))
+  }
+  val q26Sql: String =
+    "SELECT p_partkey, p_size, p_retailprice FROM part"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_hdf5_roundtrip" -> (q26 _),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
@@ -349,6 +379,7 @@ object ExtQueries {
     "q24_multimodal" -> (q24 _))
 
   val oracles: Map[String, String] = Map(
+    "q26_hdf5_roundtrip" -> q26Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,

@@ -1,0 +1,75 @@
+package graft.io
+
+import graft.TestSpark
+import graft.io.Hdf5Writer.{Ds, F32, F64, I32, I64}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class Hdf5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft-h5").resolve(name).toString
+
+  test("contiguous roundtrip: i64 + f64 + i32 columns") {
+    val p = tmp("a.h5")
+    Hdf5Writer.write(p, Seq(
+      Ds("id", I64, Seq(4), Array(1L, 2L, 3L, 4L)),
+      Ds("score", F64, Seq(4), Array(0.5, 1.5, -2.25, 1e9)),
+      Ds("size", I32, Seq(4), Array(10L, -20L, 30L, 40L))))
+    val dss = Hdf5Format.parse(Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(dss.map(_.name).sorted == Seq("id", "score", "size"))
+    val byName = dss.map(d => d.name -> d).toMap
+    assert(byName("id").data.asInstanceOf[Array[Long]].toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(byName("score").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(0.5, 1.5, -2.25, 1e9))
+    assert(byName("size").data.asInstanceOf[Array[Long]].toSeq ==
+      Seq(10L, -20L, 30L, 40L))
+  }
+
+  test("chunked + deflate roundtrip, including partial edge chunk") {
+    val p = tmp("c.h5")
+    val vals = (0 until 103).map(_.toLong).toArray
+    Hdf5Writer.write(p, Seq(
+      Ds("v", I64, Seq(103), vals, chunkDims = Some(Seq(32)),
+        deflate = true)))
+    val dss = Hdf5Format.parse(Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(dss.head.data.asInstanceOf[Array[Long]].toSeq == vals.toSeq)
+  }
+
+  test("rank-2 f32 dataset becomes an array column") {
+    val p = tmp("m.h5")
+    Hdf5Writer.write(p, Seq(
+      Ds("emb", F32, Seq(3, 4),
+        (0 until 12).map(_.toDouble / 4).toArray)))
+    val dss = Hdf5Format.parse(Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(dss.head.dims == Seq(3L, 4L))
+    val df = Hdf5Source.readToDataFrame(spark, Seq(p))
+    assert(df.schema("emb").dataType.typeName == "array")
+    val row0 = df.orderBy().collect().map(_.getSeq[Double](0))
+    assert(row0.exists(_ == Seq(0.0, 0.25, 0.5, 0.75)))
+  }
+
+  test("hdf5ToParquet end to end over multiple files") {
+    val dir = Files.createTempDirectory("graft-h5s")
+    for (f <- 0 until 3) {
+      Hdf5Writer.write(dir.resolve(s"part$f.h5").toString, Seq(
+        Ds("k", I64, Seq(2), Array(f * 2L, f * 2L + 1)),
+        Ds("x", F64, Seq(2), Array(f * 1.5, f * 2.5))))
+    }
+    val out = dir.resolve("out").toString
+    val df = Hdf5Source.hdf5ToParquet(spark, s"$dir/*.h5", out)
+    assert(df.columns.toSeq == Seq("k", "x"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 6L).toSeq)
+  }
+
+  test("reader rejects what it cannot decode, clearly") {
+    val junk = Array.fill[Byte](200)(7)
+    val e = intercept[IllegalArgumentException](Hdf5Format.parse(junk))
+    assert(e.getMessage.contains("signature"))
+  }
+}
