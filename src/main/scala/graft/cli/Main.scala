@@ -1,0 +1,109 @@
+package graft.cli
+
+import graft.exec.{Annotator, Runner}
+import graft.io.Hdf5Source
+import graft.model.{FieldsCatalog, ManifestParser, ManifestWriter}
+import org.apache.spark.sql.SparkSession
+
+/** Non-interactive CLI (SURVEY §7.1 cli/Main): the reference's
+  * `annotate` command with prompts replaced by config, plus the manifest
+  * executor and the HDF5 conversion.
+  *
+  *   annotate --input DIR [--config c.json] [--fields f.json]
+  *            [--out manifest.json] [--write-back]
+  *   run      --manifest m.json --data-dir DIR --out DIR [--single-file]
+  *   hdf2parquet --in GLOB --out DIR
+  */
+object Main {
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Seq(k) if k.startsWith("--") => k.stripPrefix("--") -> "true"
+    }.toMap
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val opts = parseArgs(args.tail.toSeq)
+    args.head match {
+      case "annotate" => annotate(opts)
+      case "run" => run(opts)
+      case "hdf2parquet" => hdf2parquet(opts)
+      case other => System.err.println(s"unknown command: $other"); usage()
+        sys.exit(2)
+    }
+  }
+
+  private def req(opts: Map[String, String], k: String): String =
+    opts.getOrElse(k, {
+      System.err.println(s"missing required --$k"); usage(); sys.exit(2)
+    })
+
+  private def annotate(opts: Map[String, String]): Unit = {
+    val input = req(opts, "input")
+    val config = opts.get("config").map(Annotator.Config.parseFile)
+      .getOrElse(Annotator.Config())
+    val fieldsPath = opts.get("fields")
+    val catalog = fieldsPath.map(FieldsCatalog.parseFile)
+      .getOrElse(FieldsCatalog(Nil))
+    val result = Annotator.annotate(input, config, catalog)
+    val out = opts.getOrElse("out",
+      s"${input.stripSuffix("/")}/manifest.json")
+    ManifestWriter.writeFile(out, result.manifest)
+    println(s"wrote ${result.manifest.commands.size} commands to $out")
+    if (result.newColumns.nonEmpty) {
+      println(s"new columns without metadata: ${result.newColumns.mkString(", ")}")
+      // catalog write-back is append-only + atomic (S10; SURVEY §1.5/§7.4)
+      if (opts.contains("write-back") && fieldsPath.isDefined) {
+        val tmp = fieldsPath.get + ".tmp"
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp),
+          FieldsCatalog.toFlatJson(result.catalog).getBytes("UTF-8"))
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(fieldsPath.get),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"appended ${result.newColumns.size} entries to ${fieldsPath.get}")
+      }
+    }
+  }
+
+  private def run(opts: Map[String, String]): Unit = {
+    val manifest = ManifestParser.parseFile(req(opts, "manifest"))
+    val dataDir = req(opts, "data-dir")
+    val out = req(opts, "out")
+    val spark = session()
+    try {
+      val written = Runner.run(spark, manifest, dataDir, out,
+        singleFile = opts.contains("single-file"))
+      written.foreach { case (src, tgt) => println(s"$src -> $tgt") }
+    } finally spark.stop()
+  }
+
+  private def hdf2parquet(opts: Map[String, String]): Unit = {
+    val in = req(opts, "in")
+    val out = req(opts, "out")
+    val spark = session()
+    try {
+      val df = Hdf5Source.hdf5ToParquet(spark, in, out)
+      println(s"$in -> $out (${df.columns.mkString(", ")})")
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage:
+      |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
+      |  graft.cli.Main run --manifest m.json --data-dir DIR --out DIR [--single-file true]
+      |  graft.cli.Main hdf2parquet --in GLOB --out DIR""".stripMargin)
+}

@@ -24,8 +24,19 @@ object Runner {
     val resolved = Tokens.resolveDataDirectory(cmd.source, dataDir)
     val glob = Tokens.toGlob(resolved)
     var df = DsvReader.read(spark, glob, cmd.read)
-    if (cmd.cols.nonEmpty) df = Annotate.project(df, cmd.cols)
-    else catalog.foreach(c => df = Annotate.annotateAll(df, c))
+    if (cmd.cols.nonEmpty) {
+      // a melt needs its value columns to survive the projection: they
+      // ride along un-annotated (the reference's cols lists only the
+      // standard/id columns, `run_annotate.py:183-184`)
+      val colNorms = cmd.cols.map(m => FieldsCatalog.norm(m.col)).toSet
+      val extras = cmd.melt.map { spec =>
+        val vs = if (spec.valueColumns.nonEmpty) spec.valueColumns
+          else df.columns.toSeq
+        vs.filterNot(colNorms.contains)
+      }.getOrElse(Nil)
+      df = Annotate.project(df,
+        cmd.cols ++ extras.map(e => graft.model.ColMeta(e)))
+    } else catalog.foreach(c => df = Annotate.annotateAll(df, c))
     df = Tokens.withTokenColumns(df, resolved, cmd.tokens)
     cmd.where.foreach(w => df = df.filter(w))
     cmd.melt.foreach { spec =>
