@@ -327,7 +327,99 @@ object CoreQueries {
        |UNION ALL SELECT sgrna, gene, 'treat_mean' AS metric, treat_mean AS value FROM src
        |UNION ALL SELECT sgrna, gene, 'lfc' AS metric, lfc AS value FROM src""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** A5: numeric column profiling — min/max/mean/stddev per numeric
+    * lineitem column, long form. Stddev is computed from decimal-exact
+    * sum/sumsq (sqrt((sumsq - sum^2/n)/(n-1)) in double), because the
+    * built-in stddev's partial-merge order is not reproducible across
+    * engines.
+    */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val frames = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      li.agg(
+        min(col(c)).as("mn"), max(col(c)).as("mx"),
+        sum(dec2(col(c))).cast("double").as("sm"),
+        sum(dec2(col(c)) * dec2(col(c))).cast("double").as("sq"),
+        count(lit(1)).cast("double").as("n"))
+        .select(lit(c).as("col_name"), col("mn").as("min_v"),
+          col("mx").as("max_v"), (col("sm") / col("n")).as("mean_v"),
+          sqrt((col("sq") - col("sm") * col("sm") / col("n")) /
+            (col("n") - 1)).as("stddev_v"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+  val q27Sql: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      s"""SELECT '$c' AS col_name, min($c) AS min_v, max($c) AS max_v,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v,
+         |  sqrt((CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+         |        - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+         |       / (count(*) - 1)) AS stddev_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------- q28
+  /** U4/U2: intersect + except over derived key sets — nations that have
+    * customers vs nations that have suppliers.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val nation = T(s, dir, "nation")
+    val custN = T(s, dir, "customer")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    val suppN = T(s, dir, "supplier")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    custN.intersect(suppN).select(col("n_name"), lit("both").as("which"))
+      .unionByName(custN.except(suppN)
+        .select(col("n_name"), lit("customers_only").as("which")))
+  }
+  val q28Sql: String =
+    """WITH c AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |s AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, 'both' AS which FROM (SELECT n_name FROM c INTERSECT SELECT n_name FROM s)
+      |UNION ALL
+      |SELECT n_name, 'customers_only' AS which FROM (SELECT n_name FROM c EXCEPT SELECT n_name FROM s)""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** R4: pivot (long -> wide), the inverse of q03's melt — melt part
+    * then pivot back; must reproduce the original columns.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Melt.melt(T(s, dir, "part"), Seq("p_partkey"),
+      Seq("p_size", "p_retailprice"))
+      .groupBy("p_partkey")
+      .pivot("variable", Seq("p_size", "p_retailprice"))
+      .agg(first("value"))
+  val q29Sql: String =
+    "SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part"
+
+  // ---------------------------------------------------------------- q31
+  /** O3/window: top-3 orders by total price per order priority (rank
+    * tie-broken by key so the boundary is pinned).
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+  val q31Sql: String =
+    """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_numeric_summary" -> (q27 _),
+    "q28_setops" -> (q28 _),
+    "q29_pivot" -> (q29 _),
+    "q31_topk_per_group" -> (q31 _),
     "q01_dsv_ingest" -> (q01 _),
     "q02_project" -> (q02 _),
     "q03_melt" -> (q03 _),
@@ -340,6 +432,10 @@ object CoreQueries {
     "q25_manifest_e2e" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
+    "q27_numeric_summary" -> q27Sql,
+    "q28_setops" -> q28Sql,
+    "q29_pivot" -> q29Sql,
+    "q31_topk_per_group" -> q31Sql,
     "q01_dsv_ingest" -> q01Sql,
     "q02_project" -> q02Sql,
     "q03_melt" -> q03Sql,

@@ -360,8 +360,23 @@ object ExtQueries {
   val q26Sql: String =
     "SELECT p_partkey, p_size, p_retailprice FROM part"
 
+  // ---------------------------------------------------------------- q30
+  /** F7: JSON row function — extract a typed field from the events
+    * `props` JSON column.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("event_type"))
+  val q30Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  event_type
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_hdf5_roundtrip" -> (q26 _),
+    "q30_json_extract" -> (q30 _),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
@@ -380,6 +395,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_hdf5_roundtrip" -> q26Sql,
+    "q30_json_extract" -> q30Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,
