@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers (SURVEY scale notes; the builder's "salting
+  * for skew" requirement).
+  *
+  * AQE's skew-join handling (enabled in every session this engine
+  * creates) covers sort-merge joins at runtime. These helpers cover the
+  * aggregation case AQE does not rewrite: a groupBy whose key
+  * distribution has heavy hitters melts one reducer while the rest
+  * idle. Two-phase salted aggregation splits each key into `salts`
+  * sub-keys (phase 1, spreads the hot key over `salts` reducers), then
+  * combines the partials (phase 2, tiny — one row per (key, salt)).
+  *
+  * The salt is DETERMINISTIC — a hash of the full row, not rand() — so
+  * results are reproducible and retried tasks don't double-count.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, salts). */
+  def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong))
+
+  /** Salted count + sum aggregation: semantically identical to
+    * `df.groupBy(keys).agg(count(*), sum(valueCol))` but resilient to
+    * heavy-hitter keys. Two exchanges, both balanced.
+    */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val partial = df
+      .withColumn("__salt", rowSalt(df, salts))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as(s"sum_$valueCol"))
+  }
+
+  /** Salted distinct count: exact, two balanced phases (dedup on
+    * (key, salt, value) partitions first, then count per key).
+    */
+  def saltedCountDistinct(df: DataFrame, keys: Seq[String],
+                          valueCol: String, salts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ col(valueCol): _*)
+      .distinct() // shuffles on (keys, value) — no hot single key
+      .groupBy(keyCols: _*)
+      .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
+  }
+}

@@ -374,9 +374,50 @@ object ExtQueries {
       |  event_type
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Skew-resilient twin of q12: two-phase salted aggregation
+    * (deterministic row-hash salt). Same oracle as q12 — salting must
+    * not change results.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val ev = events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("user_id"), col("value").cast(DecimalType(18, 6)).as("v"))
+    Skew.saltedCountSum(ev, Seq("window_start", "user_id"), "v", salts = 8)
+      .select(col("window_start"), col("user_id"), col("n"),
+        col("sum_v").cast("double").as("total_value"))
+  }
+  val q32Sql: String = q12Sql
+
+  // ---------------------------------------------------------------- q33
+  /** Custom stateful streaming: flatMapGroupsWithState running per-user
+    * stats over the bounded events stream (update mode; rows-only — the
+    * per-group fold order makes float totals engine-specific).
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Stateful
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(s"$dir/events.parquet")
+    val schema = s.read.parquet(f.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .select(col("user_id"), col("value"))
+      .filter(col("value").isNotNull)
+      .as[Stateful.Event]
+    val q = Stateful.runningUserStats(s, src)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("q33_state").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("q33_state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_hdf5_roundtrip" -> (q26 _),
     "q30_json_extract" -> (q30 _),
+    "q32_salted_agg" -> (q32 _),
+    "q33_stateful_stream" -> (q33 _),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
@@ -396,6 +437,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q26_hdf5_roundtrip" -> q26Sql,
     "q30_json_extract" -> q30Sql,
+    "q32_salted_agg" -> q32Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,

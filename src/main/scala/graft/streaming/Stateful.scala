@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming (SURVEY §2.11's extension surface):
+  * per-key running state via `flatMapGroupsWithState` — the pattern for
+  * semantics windowed aggregation can't express (running totals with
+  * emission on every update, cross-batch counters, custom eviction).
+  *
+  * State is bounded per key (a single Stat record), so a 100 TB/day
+  * stream carries state proportional to |keys|, not |events|.
+  */
+object Stateful {
+
+  case class Event(user_id: Long, value: Double)
+  case class Stat(user_id: Long, n_events: Long, total: Double,
+                  max_value: Double)
+
+  def updateStat(userId: Long, events: Iterator[Event],
+                 state: GroupState[Stat]): Iterator[Stat] = {
+    val prev = state.getOption.getOrElse(Stat(userId, 0L, 0.0, Double.MinValue))
+    val next = events.foldLeft(prev) { (s, e) =>
+      Stat(userId, s.n_events + 1, s.total + e.value,
+        math.max(s.max_value, e.value))
+    }
+    state.update(next)
+    Iterator(next)
+  }
+
+  /** Running per-user stats over a bounded parquet-backed stream,
+    * driven synchronously (memory sink) — the local-mode smoke shape.
+    * Update mode: each micro-batch emits the keys it touched.
+    */
+  def runningUserStats(spark: SparkSession, events: Dataset[Event],
+                       queryName: String = "running_stats")
+      : Dataset[Stat] = {
+    import spark.implicits._
+    val out = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateStat)
+    out
+  }
+
+  /** Batch twin for oracle checks: same Stat per user as a single-batch
+    * stream run would produce.
+    */
+  def runningUserStatsBatch(spark: SparkSession, events: Dataset[Event])
+      : Dataset[Stat] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        it.foldLeft(Stat(uid, 0L, 0.0, Double.MinValue)) { (s, e) =>
+          Stat(uid, s.n_events + 1, s.total + e.value,
+            math.max(s.max_value, e.value))
+        }
+      }
+  }
+}
