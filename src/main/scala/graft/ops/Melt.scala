@@ -25,11 +25,16 @@ object Melt {
       : DataFrame = {
     val values = if (valueCols.nonEmpty) valueCols
       else df.columns.filterNot(idCols.contains).toSeq
-    val allNumeric = values.forall(c =>
-      df.schema(c).dataType.isInstanceOf[NumericType])
+    val types = values.map(c => df.schema(c).dataType).distinct
+    val allNumeric = types.forall(_.isInstanceOf[NumericType])
+    // unpivot needs one common value type: numeric mix -> double;
+    // heterogeneous (e.g. string + numeric) -> string, matching pandas
+    // melt's upcast-to-object behavior (`run_annotate.py:202-211`)
     val prepared =
       if (allNumeric)
         values.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(DoubleType)))
+      else if (types.size > 1)
+        values.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
       else df
     prepared.unpivot(
       ids = idCols.map(col).toArray,

@@ -67,6 +67,31 @@ class Hdf5Spec extends AnyFunSuite {
       (0L until 6L).toSeq)
   }
 
+  test("property: writer -> reader roundtrip on random arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      longs <- Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      dbls <- Gen.listOfN(n, Gen.choose(-1e12, 1e12))
+      chunked <- Gen.oneOf(true, false)
+    } yield (longs.toArray, dbls.toArray, chunked)
+    val prop = Prop.forAll(gen) { case (ls, ds, chunked) =>
+      val p = tmp("prop.h5")
+      val chunk = if (chunked) Some(Seq(17)) else None
+      Hdf5Writer.write(p, Seq(
+        Ds("l", I64, Seq(ls.length), ls, chunk, deflate = chunked),
+        Ds("d", F64, Seq(ds.length), ds, chunk, deflate = chunked)))
+      val back = Hdf5Format.parse(
+        Files.readAllBytes(java.nio.file.Paths.get(p)))
+        .map(x => x.name -> x).toMap
+      back("l").data.asInstanceOf[Array[Long]].toSeq == ls.toSeq &&
+        back("d").data.asInstanceOf[Array[Double]].toSeq == ds.toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reader rejects what it cannot decode, clearly") {
     val junk = Array.fill[Byte](200)(7)
     val e = intercept[IllegalArgumentException](Hdf5Format.parse(junk))

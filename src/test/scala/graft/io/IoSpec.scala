@@ -83,4 +83,23 @@ class DsvReaderSpec extends AnyFunSuite {
     val df = DsvReader.read(spark, p, ReadOpts(sep = Some(";")))
     assert(df.columns.toSeq == Seq("a", "b"))
   }
+
+  test("quoted fields containing the delimiter survive sniff + read") {
+    val p = tmpFile("q.csv", "name,desc\nx,\"a, b, c\"\ny,plain\n")
+    val df = DsvReader.read(spark, p)
+    assert(df.columns.toSeq == Seq("name", "desc"))
+    val vals = df.collect().map(_.getString(1)).toSet
+    assert(vals == Set("a, b, c", "plain"))
+  }
+
+  test("duplicate headers get suffixes (Spark indexes case dups; the normalizer suffixes whitespace-variant dups)") {
+    // exact case-insensitive duplicates: Spark's CSV reader indexes them
+    val p1 = tmpFile("d1.tsv", "Gene\tgene\tScore\ng1\tg2\t5\n")
+    assert(DsvReader.read(spark, p1).columns.toSeq ==
+      Seq("gene0", "gene1", "score"))
+    // whitespace variants collide only after trim-normalization: ours
+    val p2 = tmpFile("d2.tsv", "Gene\t gene \tScore\ng1\tg2\t5\n")
+    assert(DsvReader.read(spark, p2).columns.toSeq ==
+      Seq("gene", "gene_2", "score"))
+  }
 }

@@ -69,6 +69,13 @@ class MeltSpec_ extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("mixed string+numeric value columns melt to string (pandas object)") {
+    val df = Seq((1, "p", 2.5, 7L)).toDF("id", "a", "b", "c")
+    val out = Melt.melt(df, Seq("id"), Seq("a", "b", "c"))
+    assert(out.schema("value").dataType.typeName == "string")
+    assert(out.collect().map(_.getString(2)).toSet == Set("p", "2.5", "7"))
+  }
+
   test("row count = ids x value columns") {
     val df = Seq((1, 1.0, 2.0, 3.0), (2, 4.0, 5.0, 6.0))
       .toDF("id", "a", "b", "c")
