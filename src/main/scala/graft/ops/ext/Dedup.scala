@@ -62,7 +62,7 @@ object Dedup {
     * alone.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                      shingleSize: Int = 3, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
@@ -81,12 +81,27 @@ object Dedup {
         xxhash64((bnd * rows until (bnd + 1) * rows)
           .map(i => col(s"m$i")): _*).as("key"))
     }: _*)
-    val buckets = sigs.select(col("id"), explode(bucketArr).as("bucket"))
+    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
+    val buckets = sigs.select(col("id"), sigArr.as("sig"),
+      explode(bucketArr).as("bucket"))
+    // Candidate pairs carry both signatures; the ESTIMATE PREFILTER
+    // (matching signature positions / k >= threshold/2) kills the junk
+    // candidates r=2 banding admits — a 5+ sigma margin below any true
+    // pair at `threshold`, so recall stays with the banding (which at
+    // r=2 misses j>=0.8 pairs with probability ~1e-7) while exact
+    // jaccard runs only on plausible pairs.
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
     val cand = buckets.as("x")
       .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(est >= threshold / 2)
+      .select(col("id_a"), col("id_b"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))

@@ -94,15 +94,14 @@ object ExtQueries {
   // ---------------------------------------------------------------- q13
   /** X2: MinHash-LSH near-duplicate pairs (jaccard >= 0.8) on the
     * constructed corpus. Oracle = exhaustive pairwise jaccard in DuckDB.
-    * (k=32, bands=8, rows=4): this corpus draws from a tiny vocabulary,
-    * so baseline pair similarity is ~0.05 and r=2 bands admit ~600k
-    * false candidates at sf0.1; r=4 cuts candidates ~800x while pairs
-    * actually above the 0.8 threshold all sit at j >= 0.93 where the
-    * miss probability is ~1e-5.
+    * (k=32, bands=16, rows=2): r=2 banding keeps recall (miss ~1e-7 at
+    * j >= 0.8 — r=4 measurably dropped one true pair at sf0.1), and the
+    * junk candidates r=2 admits die in the signature-estimate prefilter
+    * before any exact jaccard runs.
     */
   def q13(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
-      shingleSize = 3, k = 32, bands = 8, threshold = 0.8)
+      shingleSize = 3, k = 32, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   val q13Sql: String =
     s"""WITH corpus AS ($nearDupCorpusSql),
