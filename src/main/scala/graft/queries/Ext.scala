@@ -415,11 +415,37 @@ object ExtQueries {
     s.table("q33_state")
   }
 
+  // ---------------------------------------------------------------- q34
+  /** As-of join: each purchase event enriched with the user's most
+    * recent click at or before it. Right side deduped per (user, ts)
+    * so tie-breaking is engine-independent; oracle = DuckDB ASOF JOIN.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AsOfJoin
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+      Seq("click_id", "ts"))
+  }
+  val q34Sql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+      |           FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       c.click_id AS click_id_right, c.ts AS ts_right
+      |FROM p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_hdf5_roundtrip" -> (q26 _),
     "q30_json_extract" -> (q30 _),
     "q32_salted_agg" -> (q32 _),
     "q33_stateful_stream" -> (q33 _),
+    "q34_asof_join" -> (q34 _),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
@@ -440,6 +466,7 @@ object ExtQueries {
     "q26_hdf5_roundtrip" -> q26Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
+    "q34_asof_join" -> q34Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,
