@@ -110,6 +110,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs (brute-force verify): pairs
+    * of rows whose embedding cosine >= threshold, id_a < id_b. The
+    * all-pairs form is the small-corpus/verification path; at scale,
+    * generate candidates with [[Similarity.lshTopK]]'s sign buckets
+    * first and verify only bucket-mates with this exact cosine.
+    */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double): DataFrame = {
+    import Similarity.{cosine => cos}
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cos(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** 64-bit SimHash fingerprint over word tokens: for each bit position,
     * sum +1/-1 votes of each token's xxhash64 bit; fingerprint bit = sign.
     * Pure expressions (explode + groupBy) — two shuffles on the id.

@@ -440,12 +440,48 @@ object ExtQueries {
       |FROM p ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** X2: embedding-cosine near-dup pairs. No natural near-dups exist in
+    * the synthetic embeddings (max pairwise cosine ~0.46), so the
+    * corpus injects minutely-perturbed copies (element 1 + 0.01) of
+    * every 25th vector — deterministic double arithmetic both engines.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val pert = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("vec"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+    Dedup.embeddingNearDups(base.unionByName(pert), "vec", "vec_id", 0.999)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+  val q35Sql: String =
+    """WITH base AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS vec
+      |              FROM embeddings WHERE vec_id % 5 = 0),
+      |pert AS (SELECT vec_id + 1000000 AS vec_id,
+      |           list_transform(range(1, len(vec)+1),
+      |             i -> CASE WHEN i = 1 THEN vec[i] + 0.01 ELSE vec[i] END) AS vec
+      |         FROM base WHERE vec_id % 25 = 0),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, vec,
+      |        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm
+      |      FROM c),
+      |scored AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_reduce(list_transform(range(1, len(a.vec)+1), i -> a.vec[i]*b.vec[i]),
+      |                (x,y) -> x+y) / (a.nrm*b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cosine, 6) AS cosine
+      |FROM scored WHERE cosine >= 0.999""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_hdf5_roundtrip" -> (q26 _),
     "q30_json_extract" -> (q30 _),
     "q32_salted_agg" -> (q32 _),
     "q33_stateful_stream" -> (q33 _),
     "q34_asof_join" -> (q34 _),
+    "q35_embedding_neardup" -> (q35 _),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
@@ -467,6 +503,7 @@ object ExtQueries {
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
     "q34_asof_join" -> q34Sql,
+    "q35_embedding_neardup" -> q35Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,
