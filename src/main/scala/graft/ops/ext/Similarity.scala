@@ -54,6 +54,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = every
+    * `centroidEvery`-th corpus vector by id — no RNG, no iterative
+    * k-means whose float reductions would be run-dependent), corpus
+    * inverted by nearest centroid, queries probing their `nprobe`
+    * nearest centroid lists only.
+    *
+    * Scale shape: the centroid set is tiny and broadcast twice; the
+    * corpus is scanned once for assignment and shuffled once on the
+    * centroid id; each probe touches ~nprobe/|centroids| of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, centroidEvery: Int = 50,
+              nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", l2norm(col("cvec")))
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+      .withColumn("centnorm", l2norm(col("centv")))
+
+    def nearestCents(side: DataFrame, vec: String, norm: String,
+                     n: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("__cc", dot(col(vec), col("centv"))
+          / (col(norm) * col("centnorm")))
+      val w = Window.partitionBy(side.columns.head)
+        .orderBy(col("__cc").desc, col("cent_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("centv", "centnorm", "__cc", "__cr")
+    }
+
+    val invested = nearestCents(c, "cvec", "cnorm", 1)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val probes = nearestCents(q, "qvec", "qnorm", nprobe)
+
+    val scored = invested.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Deterministic hyperplane component for (plane p, dim d): a salted
     * 64-bit hash scaled to [-1, 1]. Stable across runs — no RNG.
     */

@@ -415,7 +415,31 @@ object CoreQueries {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
       |  FROM orders) WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** U1 drift path: two DSV files whose schemas disagree (a column
+    * appears in only one) concatenated via unionByName with null fill
+    * (SURVEY §7.4.3).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val base = Paths.get(s"/tmp/graft_fix/${sfName(dir)}/q36")
+    writeFile(base.resolve("a").resolve("part.tsv"),
+      "id\tscore\n1\t0.5\n2\t0.75\n")
+    writeFile(base.resolve("b").resolve("part.tsv"),
+      "id\tscore\tlfc\n3\t0.25\t-1.5\n4\t1.0\t2.25\n")
+    val a = DsvReader.read(s, s"$base/a/part.tsv")
+    val b = DsvReader.read(s, s"$base/b/part.tsv")
+    graft.ops.Concat.unionByName(Seq(a, b))
+      .select(col("id").cast("int"), col("score").cast("double"),
+        col("lfc").cast("double"))
+  }
+  val q36Sql: String =
+    """SELECT 1 AS id, 0.5::DOUBLE AS score, NULL::DOUBLE AS lfc
+      |UNION ALL SELECT 2, 0.75, NULL
+      |UNION ALL SELECT 3, 0.25, -1.5
+      |UNION ALL SELECT 4, 1.0, 2.25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_concat_drift" -> (q36 _),
     "q27_numeric_summary" -> (q27 _),
     "q28_setops" -> (q28 _),
     "q29_pivot" -> (q29 _),
@@ -432,6 +456,7 @@ object CoreQueries {
     "q25_manifest_e2e" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
+    "q36_concat_drift" -> q36Sql,
     "q27_numeric_summary" -> q27Sql,
     "q28_setops" -> q28Sql,
     "q29_pivot" -> q29Sql,

@@ -482,6 +482,11 @@ object ExtQueries {
     "q33_stateful_stream" -> (q33 _),
     "q34_asof_join" -> (q34 _),
     "q35_embedding_neardup" -> (q35 _),
+    "q37_cosine_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "embedding", "vec_id", k = 5, centroidEvery = 25, nprobe = 2)
+    }),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
     "q12_window_hourly" -> (q12 _),
