@@ -486,6 +486,8 @@ object ExtQueries {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
         "embedding", "vec_id", k = 5, centroidEvery = 25, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("corpus_id"), round(col("cosine"), 6).as("cosine"))
     }),
     "q10_dedup_exact" -> (q10 _),
     "q11_top_tokens" -> (q11 _),
@@ -503,12 +505,52 @@ object ExtQueries {
     "q23_stream_hourly" -> (q23 _),
     "q24_multimodal" -> (q24 _))
 
+  /** Oracle for the IVF path: the quantizer is deterministic (centroids
+    * = every 25th vector, no RNG), so the whole approximate pipeline is
+    * reproducible in SQL: assign -> probe 2 cells -> exact top-5.
+    */
+  val q37Sql: String =
+    """WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS vec FROM embeddings),
+      |n AS (SELECT vec_id, vec,
+      |        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm
+      |      FROM v),
+      |cents AS (SELECT vec_id AS cent_id, vec AS centv, nrm AS centnorm
+      |          FROM n WHERE vec_id % 25 = 0),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(n.vec)+1), i -> n.vec[i]*c.centv[i]),
+      |                    (x,y) -> x+y) / (n.nrm*c.centnorm) DESC, c.cent_id) AS r
+      |    FROM n, cents c) WHERE r = 1),
+      |probes AS (
+      |  SELECT query_id, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(q.vec)+1), i -> q.vec[i]*c.centv[i]),
+      |                    (x,y) -> x+y) / (q.nrm*c.centnorm) DESC, c.cent_id) AS r
+      |    FROM n q, cents c WHERE q.vec_id % 50 = 0) WHERE r <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |    list_reduce(list_transform(range(1, len(cn.vec)+1), i -> cn.vec[i]*qn.vec[i]),
+      |                (x,y) -> x+y) / (cn.nrm*qn.nrm) AS cosine
+      |  FROM probes p
+      |  JOIN assign a ON a.cent_id = p.cent_id
+      |  JOIN n cn ON cn.vec_id = a.vec_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, rank, corpus_id, round(cosine, 6) AS cosine FROM (
+      |  SELECT query_id, corpus_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q26_hdf5_roundtrip" -> q26Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
     "q34_asof_join" -> q34Sql,
     "q35_embedding_neardup" -> q35Sql,
+    "q37_cosine_ivf" -> q37Sql,
     "q10_dedup_exact" -> q10Sql,
     "q11_top_tokens" -> q11Sql,
     "q12_window_hourly" -> q12Sql,
