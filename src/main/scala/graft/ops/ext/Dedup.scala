@@ -151,4 +151,36 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: (id_a, id_b, hamming) for pairs with
+    * fingerprint hamming distance <= maxHamming.
+    *
+    * Candidate generation by the pigeonhole band trick: split the
+    * 64-bit fingerprint into `bands` equal bit-slices; two fingerprints
+    * within hamming h < bands must agree on >= 1 slice, so the
+    * self-join runs on (band index, slice value) buckets — never the
+    * n^2 pair space. Requires maxHamming < bands for exactness
+    * (8 bands of 8 bits covers h <= 7).
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = 64 / bands
+    val fp = simhash(df, textCol, idCol) // (id, simhash)
+    val mask = (1L << width) - 1
+    val bucketArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
+    }: _*)
+    val buckets = fp.select(col("id"), col("simhash"),
+      explode(bucketArr).as("bucket"))
+    buckets.as("x")
+      .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
 }

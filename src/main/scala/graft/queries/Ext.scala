@@ -482,6 +482,11 @@ object ExtQueries {
     "q33_stateful_stream" -> (q33 _),
     "q34_asof_join" -> (q34 _),
     "q35_embedding_neardup" -> (q35 _),
+    // SimHash near-dup pairs over the injected-near-dup corpus
+    // (xxhash-based fingerprints -> rows-only check)
+    "q38_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
+        maxHamming = 7, bands = 8)),
     "q37_cosine_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),

@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.{CoreQueries, ExtQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties claimed in
+  * ARCHITECTURE.md pinned in CI — column pruning reaches the scan,
+  * dimension joins broadcast, melt stays shuffle-free.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 projection prunes the parquet scan to 3 columns") {
+    val plan = planOf("q02_project")
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_extendedprice:double>"),
+      s"scan not pruned:\n$plan")
+  }
+
+  test("q07 aggregation scans only the 5 referenced columns") {
+    val plan = planOf("q07_groupagg")
+    assert(!plan.contains("l_orderkey"), "unreferenced column read")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q08 three-table join broadcasts both dimension sides") {
+    val plan = planOf("q08_join_topk")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"expected 2 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension join fell back to a shuffle join")
+  }
+
+  test("q03 melt plans as Expand with no shuffle") {
+    val plan = planOf("q03_melt")
+    assert(plan.contains("Expand"), s"melt should be Expand:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"melt must not shuffle:\n$plan")
+  }
+
+  test("q31 per-group top-k stays a single window pass") {
+    val plan = planOf("q31_topk_per_group")
+    assert(plan.contains("Window"), "expected window exec")
+    // one shuffle for the window partitioning, nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"too many shuffles:\n$plan")
+  }
+}
