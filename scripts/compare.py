@@ -15,6 +15,7 @@ import sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
@@ -38,6 +39,9 @@ def canon(rows, cols):
 
 fails = []
 for name in sorted(oracle):
+    if name in skip:
+        print(f"SKIP {name}")
+        continue
     try:
         spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         scols = spark_rel.columns
