@@ -438,8 +438,25 @@ object CoreQueries {
       |UNION ALL SELECT 3, 0.25, -1.5
       |UNION ALL SELECT 4, 1.0, 2.25""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** A4: hierarchical aggregates — ROLLUP over (returnflag, linestatus)
+    * with decimal-exact revenue; subtotal rows carry nulls in both
+    * engines.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  val q39Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_concat_drift" -> (q36 _),
+    "q39_rollup" -> (q39 _),
     "q27_numeric_summary" -> (q27 _),
     "q28_setops" -> (q28 _),
     "q29_pivot" -> (q29 _),
@@ -457,6 +474,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_concat_drift" -> q36Sql,
+    "q39_rollup" -> q39Sql,
     "q27_numeric_summary" -> q27Sql,
     "q28_setops" -> q28Sql,
     "q29_pivot" -> q29Sql,
