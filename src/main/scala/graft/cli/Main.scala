@@ -41,6 +41,7 @@ object Main {
       case "annotate" => annotate(opts)
       case "run" => run(opts)
       case "hdf2parquet" => hdf2parquet(opts)
+      case "profile" => profile(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -101,9 +102,23 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Column profile of any Spark-readable table: distinct counts +
+    * low-cardinality flags (exact or HLL via --approx true).
+    */
+  private def profile(opts: Map[String, String]): Unit = {
+    val in = req(opts, "input")
+    val spark = session()
+    try {
+      val df = spark.read.parquet(in)
+      graft.ops.Profile.profile(df, exact = !opts.contains("approx"))
+        .show(200, truncate = false)
+    } finally spark.stop()
+  }
+
   private def usage(): Unit = System.err.println(
     """usage:
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
       |  graft.cli.Main run --manifest m.json --data-dir DIR --out DIR [--single-file true]
-      |  graft.cli.Main hdf2parquet --in GLOB --out DIR""".stripMargin)
+      |  graft.cli.Main hdf2parquet --in GLOB --out DIR
+      |  graft.cli.Main profile --input PARQUET [--approx true]""".stripMargin)
 }

@@ -335,19 +335,26 @@ object CoreQueries {
     * engines.
     */
   def q27(s: SparkSession, dir: String): DataFrame = {
-    val li = T(s, dir, "lineitem")
-    val frames = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-      li.agg(
-        min(col(c)).as("mn"), max(col(c)).as("mx"),
-        sum(dec2(col(c))).cast("double").as("sm"),
-        sum(dec2(col(c)) * dec2(col(c))).cast("double").as("sq"),
-        count(lit(1)).cast("double").as("n"))
-        .select(lit(c).as("col_name"), col("mn").as("min_v"),
-          col("mx").as("max_v"), (col("sm") / col("n")).as("mean_v"),
-          sqrt((col("sq") - col("sm") * col("sm") / col("n")) /
-            (col("n") - 1)).as("stddev_v"))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    // ONE aggregation pass over the scan computes all 15 partials (the
+    // 100 TB shape — never one scan per column); the 1-row result is
+    // reshaped driver-side with the same double arithmetic the oracle
+    // uses (operand order preserved -> bit-identical)
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"),
+      sum(dec2(col(c))).cast("double").as(s"${c}_sm"),
+      sum(dec2(col(c)) * dec2(col(c))).cast("double").as(s"${c}_sq"))
+    } :+ count(lit(1)).cast("double").as("n")
+    val r = T(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Double]("n")
+    val rows = cols.map { c =>
+      val sm = r.getAs[Double](s"${c}_sm")
+      val sq = r.getAs[Double](s"${c}_sq")
+      (c, r.getAs[Double](s"${c}_mn"), r.getAs[Double](s"${c}_mx"),
+        sm / n, math.sqrt((sq - sm * sm / n) / (n - 1)))
     }
-    frames.reduce(_.unionByName(_))
+    import s.implicits._
+    rows.toDF("col_name", "min_v", "max_v", "mean_v", "stddev_v")
   }
   val q27Sql: String =
     Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
