@@ -118,13 +118,17 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double): DataFrame = {
-    import Similarity.{cosine => cos}
+    // norms precomputed once per row — NOT per pair (an n x redundancy)
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+      .withColumn("nrm", Similarity.l2norm(col("vec")))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cos(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b"))
+        / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
