@@ -80,6 +80,21 @@ class AnnotatorSpec extends AnyFunSuite {
     assert(summary.select("gene").distinct().count() == 2)
   }
 
+  test("header columns read transparently from gzip files") {
+    val root = Files.createTempDirectory("graft-gz")
+    val d = root.resolve("data")
+    Files.createDirectories(d)
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d.resolve("t.csv.gz")))
+    out.write("colA,colB\n1,2\n".getBytes("UTF-8")); out.close()
+    val cols = Annotator.headerColumns(root.toString, "data/t.csv.gz")
+    assert(cols == Seq("colA", "colB"))
+    val r = Annotator.annotate(root.toString, Annotator.Config(),
+      graft.model.FieldsCatalog(Nil))
+    assert(r.manifest.commands.head.cols.map(_.col) == Seq("cola", "colb"))
+    assert(r.manifest.commands.head.target == "t.parquet")
+  }
+
   test("zero-match variable pattern is an error (SURVEY §1.5.7)") {
     val root = fixture()
     val bad = Annotator.Config.parse(

@@ -35,6 +35,19 @@ class TokensSpec extends AnyFunSuite {
     assert(out.select("region").head.getString(0) == "MIDDLE EAST")
   }
 
+  test("multi-token pattern extracts both segments end to end") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-tok2")
+    val dir = base.resolve("data/expA/rep2")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("f.tsv"), "x\n1\n".getBytes)
+    val pattern = s"$base/data/[EXP]/[REP]/f.tsv"
+    val df = spark.read.option("header", "true").csv(Tokens.toGlob(pattern))
+    val out = Tokens.withTokenColumns(df, pattern,
+      Seq(TokenSpec("EXP"), TokenSpec("REP"))).head
+    assert(out.getString(1) == "expA" && out.getString(2) == "rep2")
+  }
+
   test("resolveDataDirectory anchors to leading segment") {
     assert(Tokens.resolveDataDirectory("data/x.csv", "/root/d") == "/root/d/x.csv")
     assert(Tokens.resolveDataDirectory("$data_directory/x.csv", "/root/d") == "/root/d/x.csv")
