@@ -49,19 +49,23 @@ object DsvReader {
   def read(spark: SparkSession, source: String,
            opts: ReadOpts = ReadOpts()): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val sep = opts.sep.getOrElse {
-      val sample = Sniffer.firstMatchingFile(source, conf).getOrElse(source)
-      Sniffer.sniffSep(sample, conf)
-    }
-    val df = spark.read
+    val sampleFile = Sniffer.firstMatchingFile(source, conf).getOrElse(source)
+    val sep = opts.sep.getOrElse(Sniffer.sniffSep(sampleFile, conf))
+    val reader = spark.read
       .option("sep", sep)
       .option("header", opts.header)
-      .option("inferSchema", "true")
       // pandas NA semantics: NA/empty/NaN -> null (SURVEY §7.4.2)
       .option("nullValue", "NA")
       .option("nanValue", "NaN")
       .option("mode", "PERMISSIVE")
-      .csv(source)
+    // full inference = a second complete pass over the source; the
+    // sample path types from the sniffer's head sample instead (one
+    // data pass total — the 100 TB default trade, opt-in here)
+    val df =
+      if (opts.sampleInference)
+        reader.schema(Sniffer.inferSchemaFromSample(sampleFile, sep.head,
+          conf)).csv(source)
+      else reader.option("inferSchema", "true").csv(source)
     val named = df.toDF(normalizeNames(df.columns.toSeq): _*)
     // remaining pandas NA tokens on string columns -> null (numeric
     // columns already coerce failures to null via PERMISSIVE + nanValue)

@@ -63,7 +63,8 @@ object Sniffer {
     n
   }
 
-  private def sampleLines(path: String, conf: Configuration): Seq[String] = {
+  private def sampleLines(path: String, conf: Configuration,
+                          maxLines: Int = SampleLines): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
@@ -73,8 +74,62 @@ object Sniffer {
     val reader = new BufferedReader(new InputStreamReader(in, "UTF-8"))
     try {
       Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .take(SampleLines).toList
+        .take(maxLines).toList
     } finally reader.close()
+  }
+
+  /** Quote-aware split of one DSV line. */
+  def splitLine(line: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false; var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuotes = !inQuotes
+      else if (c == sep && !inQuotes) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private val NaSet = Set("", "NA", "N/A", "n/a", "NaN", "nan", "NULL",
+    "null", "None", "#N/A")
+
+  /** Sample-based schema inference (the 100 TB path): Spark's
+    * `inferSchema` is a SECOND full pass over every byte of the source;
+    * at scale the honest alternative is typing from the head sample the
+    * sniffer already read. Type lattice per column over sampled non-NA
+    * cells: all-long -> LongType, else all-numeric -> DoubleType, else
+    * StringType (pandas' effective lattice for delimited text).
+    * Columns whose type only diverges past the sample window fall back
+    * to null cells under PERMISSIVE — callers pick the trade
+    * explicitly via ReadOpts.sampleInference.
+    */
+  def inferSchemaFromSample(path: String, sep: Char,
+                            conf: Configuration = new Configuration())
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val lines = sampleLines(path, conf, maxLines = 200)
+    require(lines.nonEmpty, s"empty sample for $path")
+    val header = splitLine(lines.head, sep)
+    val rows = lines.tail.map(splitLine(_, sep))
+    val fields = header.zipWithIndex.map { case (name, i) =>
+      val cells = rows.flatMap(_.lift(i)).map(_.trim)
+        .filterNot(NaSet.contains)
+      // same lattice as Spark's CSV inference so the sample path yields
+      // identical schemas on type-stable data: Int -> Long -> Double ->
+      // String
+      val t: DataType =
+        if (cells.isEmpty) StringType
+        else if (cells.forall(c => c.toIntOption.isDefined)) IntegerType
+        else if (cells.forall(c => c.toLongOption.isDefined)) LongType
+        else if (cells.forall(c => c.toDoubleOption.isDefined)) DoubleType
+        else StringType
+      StructField(name, t, nullable = true)
+    }
+    StructType(fields)
   }
 
   /** Resolve one concrete file under a glob source to sniff (the first

@@ -35,7 +35,8 @@ final case class MeltSpec(key: Option[MeltEnd] = None,
   */
 final case class ReadOpts(sep: Option[String] = None,
                           header: Boolean = true,
-                          indexCol: Option[String] = None)
+                          indexCol: Option[String] = None,
+                          sampleInference: Boolean = false)
 
 /** One compiled pipeline command: source glob -> project/rename ->
   * token-extract -> concat -> melt -> parquet. Superset of the three
@@ -147,7 +148,9 @@ object ManifestParser {
   private def parseRead(n: JsonNode): ReadOpts = ReadOpts(
     sep = text(n, "sep"),
     header = Option(n.get("header")).forall(_.asBoolean(true)),
-    indexCol = text(n, "index_col"))
+    indexCol = text(n, "index_col"),
+    sampleInference = Option(n.get("sample_inference"))
+      .exists(_.asBoolean(false)))
 
   private def text(n: JsonNode, f: String): Option[String] =
     Option(n.get(f)).filter(x => !x.isNull).map(_.asText)

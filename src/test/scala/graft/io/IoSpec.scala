@@ -84,6 +84,27 @@ class DsvReaderSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("a", "b"))
   }
 
+  test("sample inference matches full inference on type-stable data") {
+    val p = tmpFile("s.tsv",
+      "id\tqty\tprice\tflag\n1\t2.5\t10\tA\n2\t3.5\t20\tB\n")
+    val full = DsvReader.read(spark, p)
+    val sampled = DsvReader.read(spark, p,
+      ReadOpts(sampleInference = true))
+    assert(sampled.schema.map(f => f.name -> f.dataType) ==
+      full.schema.map(f => f.name -> f.dataType))
+    assert(sampled.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+  }
+
+  test("sample inference: NA cells don't vote; long beats double beats string") {
+    import org.apache.spark.sql.types._
+    val p = tmpFile("v.csv", "a,b,c\nNA,1.5,x\n7,2,y\n")
+    val schema = Sniffer.inferSchemaFromSample(p, ',')
+    assert(schema("a").dataType == IntegerType) // NA ignored
+    assert(schema("b").dataType == DoubleType) // 1.5 forces double
+    assert(schema("c").dataType == StringType)
+  }
+
   test("quoted fields containing the delimiter survive sniff + read") {
     val p = tmpFile("q.csv", "name,desc\nx,\"a, b, c\"\ny,plain\n")
     val df = DsvReader.read(spark, p)
