@@ -124,6 +124,16 @@ class AnnotateSpec extends AnyFunSuite {
     val out = Annotate.project(df, Seq(ColMeta("gene", Some("G"), None)))
     assert(out.columns.toSeq == Seq("gene"))
   }
+
+  test("annotateAll keeps every column, annotating catalog hits only") {
+    val df = Seq((1, 2)).toDF("gene", "mystery")
+    val cat = FieldsCatalog(Seq(
+      graft.model.FieldEntry("gene", name = "Gene", desc = "target")))
+    val out = Annotate.annotateAll(df, cat)
+    assert(out.columns.toSeq == Seq("gene", "mystery"))
+    assert(out.schema("gene").metadata.getString("name") == "Gene")
+    assert(out.schema("mystery").metadata.toString == "{}")
+  }
 }
 
 class ProfileSpec extends AnyFunSuite {
@@ -137,6 +147,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows("hi") == (100L, false))
     assert(rows("lo") == (3L, true))
   }
+
+  test("approx profile agrees with exact at tiny cardinalities") {
+    val df = (1 to 100).map(i => (i % 4, "x")).toDF("lo", "s")
+    val approx = Profile.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(approx("lo") && approx("s")) // HLL exact at n << 10
+  }
+
+  test("numericSummary computes one-pass min/max/mean/stddev") {
+    val df = Seq((1.0, "a"), (3.0, "b"), (5.0, "c")).toDF("v", "s")
+    val r = Profile.numericSummary(df).head
+    assert(r.getAs[Double]("v__min") == 1.0)
+    assert(r.getAs[Double]("v__max") == 5.0)
+    assert(r.getAs[Double]("v__mean") == 3.0)
+    assert(math.abs(r.getAs[Double]("v__stddev") - 2.0) < 1e-12)
+  }
 }
 
 class ConcatSpec extends AnyFunSuite {
@@ -149,6 +175,13 @@ class ConcatSpec extends AnyFunSuite {
     val u = Concat.unionByName(Seq(a, b))
     assert(u.columns.toSet == Set("id", "a", "b"))
     assert(u.count() == 2)
+  }
+
+  test("driftReport counts per-column presence across frames") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, "y")).toDF("id", "b")
+    val rep = Concat.driftReport(Seq(a, b))
+    assert(rep == Map("id" -> 2, "a" -> 1, "b" -> 1))
   }
 
   test("property: concat row count is sum of parts") {
