@@ -23,7 +23,14 @@ object Runner {
            catalog: Option[FieldsCatalog] = None): DataFrame = {
     val resolved = Tokens.resolveDataDirectory(cmd.source, dataDir)
     val glob = Tokens.toGlob(resolved)
-    var df = DsvReader.read(spark, glob, cmd.read)
+    // source format by extension: the reference's surface is DSV, but a
+    // complete engine also lands json/parquet sources in one manifest
+    var df =
+      if (glob.matches(".*\\.json(\\.gz)?$"))
+        spark.read.option("multiLine", "false").json(glob)
+      else if (glob.endsWith(".parquet"))
+        spark.read.parquet(glob)
+      else DsvReader.read(spark, glob, cmd.read)
     if (cmd.cols.nonEmpty) {
       // a melt needs its value columns to survive the projection: they
       // ride along un-annotated (the reference's cols lists only the

@@ -13,10 +13,15 @@ import org.apache.spark.sql.DataFrame
   */
 object ParquetSink {
 
+  /** @param compression parquet codec — snappy (default, cheap CPU) or
+    *                     zstd (denser; at 100 TB the storage/scan-byte
+    *                     savings usually win)
+    */
   def write(df: DataFrame, target: String, singleFile: Boolean = false,
-            partitionBy: Seq[String] = Nil): Unit = {
+            partitionBy: Seq[String] = Nil,
+            compression: String = "snappy"): Unit = {
     val d = if (singleFile) df.coalesce(1) else df
-    val w = d.write.mode("overwrite")
+    val w = d.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(target)
   }

@@ -33,6 +33,24 @@ class RunnerSpec extends AnyFunSuite {
     assert(back.select("gene").distinct().count() == 2)
   }
 
+  test("json and parquet sources run through the same manifest pipeline") {
+    val root = Files.createTempDirectory("graft-fmt")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.write(data.resolve("j.json"),
+      "{\"id\":1,\"v\":2.5}\n{\"id\":2,\"v\":3.5}\n".getBytes)
+    import spark.implicits._
+    Seq((10L, "p")).toDF("id", "s")
+      .write.mode("overwrite").parquet(data.resolve("p.parquet").toString)
+    val m = ManifestParser.parse(
+      """[{"source":"data/j.json","target":"j.parquet","where":"id > 1"},
+        | {"source":"data/p.parquet","target":"p2.parquet"}]""".stripMargin)
+    val out = root.resolve("out").toString
+    Runner.run(spark, m, data.toString, out)
+    assert(spark.read.parquet(s"$out/j.parquet").count() == 1)
+    assert(spark.read.parquet(s"$out/p2.parquet").head.getString(1) == "p")
+  }
+
   test("where predicate filters rows") {
     val root = Files.createTempDirectory("graft-run2")
     val data = root.resolve("data")
