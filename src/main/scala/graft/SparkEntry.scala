@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the xxhash64-based signatures
-    * (q14, q17) and the binary stub (q24) -> rows-only check.
+    * (q14, q17) -> rows-only check.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles

@@ -4,21 +4,28 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.io.ByteArrayInputStream
+import scala.util.Try
+
 /** Multimodal (image/audio/video) columns as opaque binary + typed
   * metadata (SURVEY §2.12 X4).
   *
-  * Real, tested plumbing: the binary-file source, media-format sniffing
-  * from magic bytes (pure expressions over the binary column), the
-  * feature-record schema, and the partition-sized batch shape. The actual
-  * media DECODE is stubbed behind [[stubDecodeFeatures]] — the image/audio
-  * codecs are not on this classpath (zero-egress container); the stub is a
-  * clearly-marked deterministic fake with the same signature a real
-  * decoder would have (per-partition batched, columnar-friendly).
+  * Real end-to-end: the binary-file source, media-format sniffing from
+  * magic bytes (pure expressions over the binary column), REAL image
+  * decode (PNG/JPEG/GIF via `javax.imageio` — on every JVM, offline-safe)
+  * emitting true width/height + per-channel pixel means, and REAL audio
+  * decode (WAV via `javax.sound.sampled`) emitting frame count + sample
+  * statistics. Only video (and any codec the JVM lacks) falls back to
+  * [[byteStats]] — a clearly-marked deterministic stand-in with the same
+  * batched `mapPartitions` shape a real video decoder would use.
   *
   * At scale: `binaryFile` reads parallelize per file;
   * `spark.sql.files.maxPartitionBytes` + `pathGlobFilter` control batch
   * shape; features land in a flat struct so downstream filters prune
-  * columns without touching payload bytes.
+  * columns without touching payload bytes. The decode is the one place a
+  * Catalyst expression genuinely cannot go (stateful codec objects), so
+  * it is an `rdd.mapPartitions` — one iterator pass per partition, no
+  * driver collect.
   */
 object Multimodal {
 
@@ -32,8 +39,8 @@ object Multimodal {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
-  /** Sniff media container from magic bytes — REAL (pure expressions on
-    * the first payload bytes; no decode).
+  /** Sniff media container from magic bytes — pure expressions on the
+    * first payload bytes; no decode.
     */
   def withFormat(df: DataFrame, contentCol: String = "content"): DataFrame = {
     val head8 = hex(substring(col(contentCol), 1, 8))
@@ -50,7 +57,11 @@ object Multimodal {
         .otherwise("unknown"))
   }
 
-  /** Feature record a real decoder would emit per media object. */
+  /** Feature record emitted per media object. For images the feature
+    * vector is the per-channel pixel means [r, g, b]; for WAV audio it is
+    * [mean, min, max] of the unsigned sample values; for undecodable
+    * payloads it is the [[byteStats]] fallback.
+    */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("format", StringType, nullable = true),
@@ -58,42 +69,122 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** STUB DECODE — deterministic fake standing in for image/audio decode
-    * (real codecs unavailable offline; see object doc). Mirrors the batch
-    * shape of a real `mapPartitions` decoder: one iterator pass per
-    * partition, no driver collect. Emits byte-statistics pseudo-features
-    * (stable across runs) so downstream similarity/dedup plumbing is
-    * exercisable end-to-end.
+  /** Deterministic byte-bucket means — the documented STAND-IN feature
+    * for formats with no JVM codec (video; or corrupt payloads). Real
+    * statistics of the raw bytes, fake as a *decode*.
     */
-  def stubDecodeFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+  private def byteStats(bytes: Array[Byte], dim: Int): Seq[Double] = {
+    if (bytes.isEmpty) return Seq.fill(dim)(0.0)
+    val sums = new Array[Long](dim); val cnts = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val b = i % dim; sums(b) += bytes(i) & 0xff; cnts(b) += 1; i += 1
+    }
+    (0 until dim).map(d =>
+      if (cnts(d) > 0) sums(d).toDouble / cnts(d) else 0.0)
+  }
+
+  /** REAL image decode: width/height + exact per-channel means. Integer
+    * pixel sums (exact, < 2^53) divided once — deterministic doubles.
+    */
+  private def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[Double])] =
+    Try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, Seq(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)))
+      }
+    }.toOption.flatten
+
+  /** REAL audio decode (WAV/PCM via javax.sound): frame count + unsigned
+    * sample statistics over the raw sample bytes.
+    */
+  private def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Seq[Double])] =
+    Try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val frames = ais.getFrameLength.toInt
+        val buf = ais.readAllBytes()
+        if (buf.isEmpty) Some((frames, Seq(0.0, 0.0, 0.0)))
+        else {
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < buf.length) {
+            val v = buf(i) & 0xff
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v; i += 1
+          }
+          Some((frames, Seq(sum.toDouble / buf.length, mn.toDouble,
+            mx.toDouble)))
+        }
+      } finally ais.close()
+    }.toOption.flatten
+
+  /** Decode a binary-source frame into [[FeatureSchema]] records:
+    * real image + WAV decode, byte-stat fallback for the rest. Batched
+    * per partition; payload bytes never leave the executor.
+    */
+  def decodeFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val withFmt = withFormat(df)
     val rdd = withFmt.select("path", "format", "length", "content").rdd
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
         it.map { r =>
           val path = r.getString(0)
           val fmt = r.getString(1)
+          val nBytes = r.getLong(2)
           val bytes = Option(r.get(3))
             .map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty[Byte])
-          // fake "embedding": per-bucket byte-value means — deterministic
-          val feat = new Array[Float](dim)
-          if (bytes.nonEmpty) {
-            val sums = new Array[Long](dim); val cnts = new Array[Long](dim)
-            var i = 0
-            while (i < bytes.length) {
-              val b = i % dim; sums(b) += bytes(i) & 0xff; cnts(b) += 1; i += 1
-            }
-            var d = 0
-            while (d < dim) {
-              feat(d) = if (cnts(d) > 0) (sums(d).toDouble / cnts(d)).toFloat else 0f
-              d += 1
-            }
+          val (w, h, nf, feat) = fmt match {
+            case "png" | "jpeg" | "gif" =>
+              decodeImage(bytes) match {
+                case Some((iw, ih, f)) =>
+                  (Integer.valueOf(iw), Integer.valueOf(ih),
+                    null: Integer, f)
+                case None =>
+                  (null: Integer, null: Integer, null: Integer,
+                    byteStats(bytes, dim))
+              }
+            case "wav" =>
+              decodeWav(bytes) match {
+                case Some((frames, f)) =>
+                  (null: Integer, null: Integer, Integer.valueOf(frames), f)
+                case None =>
+                  (null: Integer, null: Integer, null: Integer,
+                    byteStats(bytes, dim))
+              }
+            case _ =>
+              (null: Integer, null: Integer, null: Integer,
+                byteStats(bytes, dim))
           }
-          Row(path, fmt, r.getLong(2), null, null, null, feat.toSeq)
+          Row(path, fmt, nBytes, w, h, nf, feat)
         }
       }
     spark.createDataFrame(rdd, FeatureSchema)
   }
+
+  /** Round-1 name kept for compatibility; decode is now real for
+    * image/WAV and byte-stat for the rest.
+    */
+  @deprecated("use decodeFeatures", "round 2")
+  def stubDecodeFeatures(df: DataFrame, dim: Int = 8): DataFrame =
+    decodeFeatures(df, dim)
 }

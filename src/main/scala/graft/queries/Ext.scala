@@ -310,28 +310,68 @@ object ExtQueries {
   val q23Sql: String = q12Sql
 
   // ---------------------------------------------------------------- q24
-  /** X4: multimodal plumbing — deterministic fake media files, binary
-    * source, magic-byte format sniff (real), stubbed decode features.
-    * No oracle (binary stub) — rows-only check.
+  /** X4: multimodal — REAL media fixtures (PNG/JPEG written by
+    * `javax.imageio`, WAV by `javax.sound.sampled`), binary source,
+    * magic-byte format sniff, real decode. Pixel/sample contents follow
+    * closed-form generative formulas, so the oracle recomputes the
+    * expected means directly in SQL: the PNG is lossless (decode returns
+    * the written pixels exactly) and WAV is raw PCM. JPEG is lossy —
+    * codec-specific pixel values — so only its (real, decoded)
+    * dimensions are checked and its px_mean is masked to null. Output is
+    * all scalars (the driver canonicalizer cannot sort array columns).
     */
   def q24(s: SparkSession, dir: String): DataFrame = {
-    val base = Paths.get("/tmp/graft_fixtures/media")
-    val magic = Map(
-      "a.png" -> Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
-      "b.jpg" -> Array[Int](0xFF, 0xD8, 0xFF, 0xE0),
-      "c.wav" -> Array[Int](0x52, 0x49, 0x46, 0x46, 0x24, 0x08, 0x00, 0x00,
-        0x57, 0x41, 0x56, 0x45),
-      "d.bin" -> Array[Int](0x00, 0x01, 0x02, 0x03))
-    magic.foreach { case (name, m) =>
-      val payload = m.map(_.toByte) ++ Array.tabulate(512)(i => (i % 251).toByte)
-      java.nio.file.Files.createDirectories(base)
-      java.nio.file.Files.write(base.resolve(name), payload)
+    val base = Paths.get("/tmp/graft_fixtures/media_v2")
+    java.nio.file.Files.createDirectories(base)
+    // a.png: 16x16 gray ramp, v(x,y) = (7x + 13y) % 256 on all channels
+    val png = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = (x * 7 + y * 13) % 256
+      png.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
+    javax.imageio.ImageIO.write(png, "png", base.resolve("a.png").toFile)
+    // b.jpg: 24x12 gradient — dims checked, pixels lossy
+    val jpg = new java.awt.image.BufferedImage(24, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 24)
+      jpg.setRGB(x, y, ((x * 10) << 16) | ((y * 20) << 8) | 128)
+    javax.imageio.ImageIO.write(jpg, "jpg", base.resolve("b.jpg").toFile)
+    // c.wav: 2000 unsigned 8-bit mono PCM samples, s(i) = (37i) % 256
+    val samples = Array.tabulate(2000)(i => ((i * 37) % 256).toByte)
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), afmt, samples.length.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      base.resolve("c.wav").toFile)
+    // d.bin: no known magic — byte-stat fallback path
+    java.nio.file.Files.write(base.resolve("d.bin"),
+      Array[Int](0x00, 0x01, 0x02, 0x03).map(_.toByte) ++
+        Array.tabulate(512)(i => (i % 251).toByte))
     val bin = Multimodal.readBinary(s, base.toString)
-    Multimodal.stubDecodeFeatures(bin)
+    Multimodal.decodeFeatures(bin)
       .select(substring_index(col("path"), "/", -1).as("file"),
-        col("format"), col("n_bytes"), col("feature"))
+        col("format"), col("width"), col("height"), col("n_frames"),
+        when(col("format").isin("png", "wav"),
+          round(element_at(col("feature"), 1), 4)).as("px_mean"))
   }
+  /** Oracle recomputes the generative-formula means in SQL; decoded
+    * dimensions and frame counts are pinned literals.
+    */
+  val q24Sql: String =
+    """SELECT 'a.png' AS file, 'png' AS format,
+      |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  CAST(NULL AS INTEGER) AS n_frames,
+      |  (SELECT round(avg(((x % 16) * 7 + (x // 16) * 13) % 256), 4)
+      |   FROM range(256) t(x)) AS px_mean
+      |UNION ALL
+      |SELECT 'b.jpg', 'jpeg', 24, 12, NULL, NULL
+      |UNION ALL
+      |SELECT 'c.wav', 'wav', NULL, NULL, 2000,
+      |  (SELECT round(avg((i * 37) % 256), 4) FROM range(2000) t(i))
+      |UNION ALL
+      |SELECT 'd.bin', 'unknown', NULL, NULL, NULL, NULL""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** S11: HDF5 -> DataFrame -> (driver writes parquet). Fixture = the
@@ -550,6 +590,7 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q24_multimodal" -> q24Sql,
     "q26_hdf5_roundtrip" -> q26Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,

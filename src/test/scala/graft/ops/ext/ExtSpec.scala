@@ -131,18 +131,51 @@ class TextAnalysisSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("format sniffing from magic bytes + stub features") {
+  test("format sniffing from magic bytes + byte-stat fallback") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm")
+    // truncated payloads: magic sniffs, decode falls back to byte stats
     java.nio.file.Files.write(dir.resolve("x.png"),
       Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3)
         .map(_.toByte))
     java.nio.file.Files.write(dir.resolve("y.jpg"),
       Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 9, 9).map(_.toByte))
-    val feats = Multimodal.stubDecodeFeatures(
+    val feats = Multimodal.decodeFeatures(
       Multimodal.readBinary(spark, dir.toString)).collect()
-    val byName = feats.map(r => r.getString(0).split('/').last ->
-      r.getString(1)).toMap
-    assert(byName("x.png") == "png" && byName("y.jpg") == "jpeg")
-    assert(feats.forall(_.getSeq[Float](6).nonEmpty))
+    val byName = feats.map(r => r.getString(0).split('/').last -> r).toMap
+    assert(byName("x.png").getString(1) == "png"
+      && byName("y.jpg").getString(1) == "jpeg")
+    assert(feats.forall(r => r.isNullAt(3) && r.getSeq[Double](6).nonEmpty))
+  }
+
+  test("real PNG decode: exact dimensions and channel means") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-png")
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, (10 << 16) | (20 << 8) | (x + y)) // r=10 g=20 b=x+y
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("p.png").toFile)
+    val r = Multimodal.decodeFeatures(
+      Multimodal.readBinary(spark, dir.toString)).head
+    assert(r.getInt(3) == 8 && r.getInt(4) == 4)
+    val feat = r.getSeq[Double](6)
+    val expB = (for (y <- 0 until 4; x <- 0 until 8) yield x + y)
+      .sum.toDouble / 32
+    assert(feat == Seq(10.0, 20.0, expB))
+  }
+
+  test("real WAV decode: frame count and sample mean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-wav")
+    val samples = Array.tabulate(100)(i => (i % 256).toByte)
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), afmt, samples.length.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      dir.resolve("w.wav").toFile)
+    val r = Multimodal.decodeFeatures(
+      Multimodal.readBinary(spark, dir.toString)).head
+    assert(r.getString(1) == "wav")
+    assert(r.getInt(5) == 100)
+    assert(r.getSeq[Double](6).head == (0 until 100).sum.toDouble / 100)
   }
 }
