@@ -106,10 +106,12 @@ object Annotator {
       : Seq[String] = {
     val full = s"${root.stripSuffix("/")}/$relPath"
     val lines = {
-      // reuse the sniffing sample for both sep + header
+      // reuse the sniffing sample for both sep + header; quote-aware
+      // split (a quoted header cell may contain the separator) so the
+      // compiled catalog sees the same columns Spark's CSV reader will
       val sep = Sniffer.sniffSep(full, conf)
       val head = firstLine(full, conf)
-      head.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      Sniffer.splitLine(head, sep.head)
     }
     lines.map(_.trim)
   }

@@ -69,13 +69,14 @@ object DsvReader {
     val named = df.toDF(normalizeNames(df.columns.toSeq): _*)
     // remaining pandas NA tokens on string columns -> null (numeric
     // columns already coerce failures to null via PERMISSIVE + nanValue)
-    import org.apache.spark.sql.functions.{col, when}
+    import graft.Cols.ref
+    import org.apache.spark.sql.functions.when
     import org.apache.spark.sql.types.StringType
     val cleaned = named.schema.fields.map { f =>
       if (f.dataType == StringType)
-        when(col(f.name).isin(NaTokens: _*), null)
-          .otherwise(col(f.name)).as(f.name)
-      else col(f.name)
+        when(ref(f.name).isin(NaTokens: _*), null)
+          .otherwise(ref(f.name)).as(f.name)
+      else ref(f.name)
     }
     named.select(cleaned.toSeq: _*)
   }

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.model.{ColMeta, FieldsCatalog}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.MetadataBuilder
 
 /** Projection + metadata-preserving rename (SURVEY §2.2 P1/P2).
@@ -33,7 +32,7 @@ object Annotate {
     val byNorm = df.columns.map(c => FieldsCatalog.norm(c) -> c).toMap
     val selected = cols.flatMap { m =>
       byNorm.get(FieldsCatalog.norm(m.col)).map { actual =>
-        col(actual).as(FieldsCatalog.norm(m.col),
+        graft.Cols.ref(actual).as(FieldsCatalog.norm(m.col),
           metadataFor(m.name, m.desc))
       }
     }
@@ -47,10 +46,10 @@ object Annotate {
                   process: String = "*", file: String = "*"): DataFrame = {
     val out = df.columns.map { c =>
       catalog.resolve(c, process, file) match {
-        case Some(e) => col(c).as(c,
+        case Some(e) => graft.Cols.ref(c).as(c,
           metadataFor(Some(e.name).filter(_.nonEmpty),
                       Some(e.desc).filter(_.nonEmpty)))
-        case None => col(c)
+        case None => graft.Cols.ref(c)
       }
     }
     df.select(out.toSeq: _*)

@@ -1,8 +1,8 @@
 package graft.ops
 
+import graft.Cols.ref
 import graft.model.MeltSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, NumericType}
 
 /** Melt / unpivot — the reference's signature reshaping operator
@@ -32,13 +32,13 @@ object Melt {
     // melt's upcast-to-object behavior (`run_annotate.py:202-211`)
     val prepared =
       if (allNumeric)
-        values.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(DoubleType)))
+        values.foldLeft(df)((d, c) => d.withColumn(c, ref(c).cast(DoubleType)))
       else if (types.size > 1)
-        values.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+        values.foldLeft(df)((d, c) => d.withColumn(c, ref(c).cast("string")))
       else df
     prepared.unpivot(
-      ids = idCols.map(col).toArray,
-      values = values.map(col).toArray,
+      ids = idCols.map(ref).toArray,
+      values = values.map(ref).toArray,
       variableColumnName = varName,
       valueColumnName = valueName)
   }

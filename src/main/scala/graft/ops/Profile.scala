@@ -19,8 +19,8 @@ object Profile {
 
   def distinctCounts(df: DataFrame, exact: Boolean = true): DataFrame = {
     val aggs: Seq[Column] = df.columns.toSeq.map { c =>
-      if (exact) countDistinct(col(c)).as(c)
-      else approx_count_distinct(col(c)).as(c)
+      if (exact) countDistinct(graft.Cols.ref(c)).as(c)
+      else approx_count_distinct(graft.Cols.ref(c)).as(c)
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -30,7 +30,7 @@ object Profile {
               threshold: Int = CategoricalThreshold): DataFrame = {
     val counts = distinctCounts(df, exact)
     val long = counts.unpivot(Array.empty[Column],
-      df.columns.map(col), "column", "n_distinct")
+      df.columns.map(graft.Cols.ref), "column", "n_distinct")
     long.withColumn("low_cardinality", col("n_distinct") < lit(threshold))
   }
 
@@ -42,10 +42,10 @@ object Profile {
     val numCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     val aggs = numCols.flatMap { c => Seq(
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max"),
-      avg(col(c)).as(s"${c}__mean"),
-      stddev(col(c)).as(s"${c}__stddev"))
+      min(graft.Cols.ref(c)).cast("double").as(s"${c}__min"),
+      max(graft.Cols.ref(c)).cast("double").as(s"${c}__max"),
+      avg(graft.Cols.ref(c)).as(s"${c}__mean"),
+      stddev(graft.Cols.ref(c)).as(s"${c}__stddev"))
     }
     df.agg(aggs.head, aggs.tail: _*)
   }

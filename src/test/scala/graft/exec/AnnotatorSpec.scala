@@ -95,6 +95,16 @@ class AnnotatorSpec extends AnyFunSuite {
     assert(r.manifest.commands.head.target == "t.parquet")
   }
 
+  test("quoted header cell containing the separator splits correctly") {
+    val root = Files.createTempDirectory("graft-qh")
+    val d = root.resolve("data")
+    Files.createDirectories(d)
+    Files.write(d.resolve("q.csv"),
+      "id,\"name, long\",score\n1,\"a, b\",2\n".getBytes("UTF-8"))
+    val cols = Annotator.headerColumns(root.toString, "data/q.csv")
+    assert(cols == Seq("id", "name, long", "score"))
+  }
+
   test("zero-match variable pattern is an error (SURVEY §1.5.7)") {
     val root = fixture()
     val bad = Annotator.Config.parse(

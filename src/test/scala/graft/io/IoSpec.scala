@@ -52,6 +52,16 @@ class DsvReaderSpec extends AnyFunSuite {
       Seq("gene", "gene_2", "score"))
   }
 
+  test("dotted headers (p.value) read as flat columns, NA-cleaned") {
+    // canonical MAGeCK-style headers: dots must not parse as struct paths
+    val p = tmpFile("m.tsv", "gene\tp.value\tp.low\nBRCA1\t0.01\tNA\nTP53\tNA\tfoo\n")
+    val df = DsvReader.read(spark, p)
+    assert(df.columns.toSeq == Seq("gene", "p.value", "p.low"))
+    val rows = df.orderBy(graft.Cols.ref("gene")).collect()
+    assert(rows(0).getDouble(1) == 0.01 && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "foo")
+  }
+
   test("sniffed tab read infers numeric types") {
     val p = tmpFile("t.tsv", "A\tB\n1\t2.5\n3\tx\n")
     val df = DsvReader.read(spark, p)
