@@ -14,7 +14,12 @@ import java.nio.file.{Files, Paths}
   * and is cached, not timed.
   *
   * Every SparkEntry query is also timed individually (noop sink — full
-  * materialization, no output IO), reported under "queries".
+  * materialization, no output IO), reported under "queries" as the
+  * MEDIAN of 3 runs — single-shot timings put GC/compilation debt on
+  * whichever query it lands on (round-1 recorded an 80 s outlier for an
+  * ~12 s query that way). A query that fails any run reports the -1.0
+  * sentinel and its name under "errors", so a crash is never mistaken
+  * for a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,19 +67,32 @@ object Bench {
       runE2e(graft.model.ReadOpts()))
     val e2eSample = runE2e(graft.model.ReadOpts(sampleInference = true))
 
-    // -- per-query timings ---------------------------------------------
+    // -- per-query timings: median of 3, -1 sentinel on failure --------
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+      finally spark.catalog.clearCache() // each timed run starts uncached
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val runs = (1 to 3).map(_ => timeOnce(fn))
+      runs.collectFirst { case Left(msg) => msg } match {
+        case Some(msg) =>
+          System.err.println(s"[bench] $name failed: $msg")
+          name -> -1.0
+        case None =>
+          name -> runs.collect { case Right(s) => s }.sorted.apply(1)
       }
-      name -> (System.nanoTime() - q0) / 1e9
     }
+    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val qs = (results :+ ("e2e_sample_inference" -> e2eSample))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -63,11 +63,31 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, k: Int = 32, bands: Int = 16,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      includeExactDuplicates: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    // EXACT-DUPLICATE PRE-PASS: identical texts share every band, so a
+    // thousand-way exact-duplicate class (routine in crawl corpora) makes
+    // the band self-join quadratic in the class size. Collapse each class
+    // to its min-id representative (one window shuffle) before any
+    // signature work — LSH then sees each distinct text once. The
+    // representative carries its class; `includeExactDuplicates = true`
+    // re-expands pairs to all members (cross-class pairs inherit the
+    // representative jaccard — the texts are identical — and
+    // within-class pairs are jaccard 1.0 by construction).
+    val wExact = Window.partitionBy(col("__h"))
+    val tagged = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__h", sha2(col("__text"), 256))
+      .withColumn("__rep", min(col("id")).over(wExact))
+    val memb = tagged.select(col("id"), col("__rep").as("rep"))
+    val reps = tagged.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__text"))
+    // persisted: feeds the signature path AND both sides of the exact-
+    // jaccard verify join — without it the scan + shingling run 3x
+    val sh = reps.select(col("id"),
+      shingles(col("__text"), shingleSize).as("sh"))
+      .persist()
     val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     // k derived hash functions: xxhash64 of (base hash, seed index) —
@@ -104,29 +124,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val repPairs = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (!includeExactDuplicates) repPairs
+    else {
+      val cross = repPairs
+        .join(memb.as("ma"), col("ma.rep") === col("id_a"))
+        .join(memb.as("mb"), col("mb.rep") === col("id_b"))
+        .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+          greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+      val within = memb.as("m1")
+        .join(memb.as("m2"), col("m1.rep") === col("m2.rep"))
+        .filter(col("m1.id") < col("m2.id"))
+        .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(within)
+    }
   }
 
-  /** Embedding-cosine near-duplicate pairs (brute-force verify): pairs
-    * of rows whose embedding cosine >= threshold, id_a < id_b. The
-    * all-pairs form is the small-corpus/verification path; at scale,
-    * generate candidates with [[Similarity.lshTopK]]'s sign buckets
-    * first and verify only bucket-mates with this exact cosine.
+  /** Embedding-cosine near-duplicate pairs: pairs of rows whose embedding
+    * cosine >= threshold, id_a < id_b.
+    *
+    * DEFAULT path (the 100 TB shape): banded sign-LSH candidate
+    * generation — each vector lands in `bands` (band, key) buckets of
+    * `rowsPerBand` hyperplanes; the self-join runs per bucket, never the
+    * n^2 pair space; exact cosine verifies candidates only. Recall for a
+    * pair at cosine c is 1 - (1 - (1 - acos(c)/pi)^r)^B — at the
+    * near-dup regime (c >= 0.99, defaults B=8 r=4) the miss probability
+    * is ~1e-9. `exact = true` opts into the all-pairs crossJoin —
+    * recall exactly 1, cost exactly n^2: the small-corpus verify path.
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double, exact: Boolean = false,
+                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     // norms precomputed once per row — NOT per pair (an n x redundancy)
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", Similarity.l2norm(col("vec")))
-    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("nrm").as("nrm_a"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("nrm").as("nrm_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val scored =
+      if (exact) {
+        val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+          col("nrm").as("nrm_a"))
+        val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      } else {
+        // candidate ids only through the band join (no vector payload
+        // replication per band); vectors re-attached to the surviving
+        // distinct pairs
+        val buckets = v.select(col("id"),
+          explode(Similarity.lshBandBuckets(col("vec"), bands, rowsPerBand))
+            .as("bucket"))
+        val cand = buckets.as("x")
+          .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+          .filter(col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+            col("nrm").as("nrm_a")), Seq("id_a"))
+          .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+            col("nrm").as("nrm_b")), Seq("id_b"))
+      }
+    scored
       .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b"))
         / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
@@ -166,6 +228,29 @@ object Dedup {
     * n^2 pair space. Requires maxHamming < bands for exactness
     * (8 bands of 8 bits covers h <= 7).
     */
+  /** SimHash candidates + exact-jaccard verification: the engine-portable
+    * near-dup pair set. SimHash banding only *generates* candidates
+    * (hamming <= maxHamming, exact by pigeonhole); the exact shingle
+    * jaccard then decides membership, so the result is checkable against
+    * an exhaustive-jaccard oracle — and at scale the verify join still
+    * touches only candidate pairs, never n^2. `maxHamming` is a recall
+    * knob: generous values (15 of 64 bits) keep every plausible pair.
+    */
+  def simhashNearDupsVerified(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int = 3, maxHamming: Int = 15,
+                              bands: Int = 16, threshold: Double = 0.8)
+      : DataFrame = {
+    val cand = simhashNearDups(df, textCol, idCol, maxHamming, bands)
+      .select(col("id_a"), col("id_b"))
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, bands: Int = 8): DataFrame = {
     require(maxHamming < bands,

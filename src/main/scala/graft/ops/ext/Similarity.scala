@@ -111,15 +111,32 @@ object Similarity {
     (xxhash64(concat(lit(s"plane$p#"), d.cast("string"))).cast("double")
       / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bucket key from `bits` random hyperplanes. */
-  def lshBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map { p =>
+  /** Sign-bucket key from hyperplanes [fromPlane, toPlane). */
+  def lshBucketRange(vec: Column, fromPlane: Int, toPlane: Int): Column =
+    (fromPlane until toPlane).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x * planeComponent(p, i)),
         lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      when(proj >= 0, shiftleft(lit(1L), p - fromPlane)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+
+  /** Sign-bucket key from `bits` random hyperplanes. */
+  def lshBucket(vec: Column, bits: Int): Column = lshBucketRange(vec, 0, bits)
+
+  /** Banded sign-LSH bucket array: `bands` independent (band, key)
+    * buckets of `rowsPerBand` hyperplanes each. Two vectors at cosine c
+    * share >= 1 band with probability 1 - (1 - (1 - acos(c)/pi)^r)^B —
+    * the OR-of-ANDs construction that keeps recall high where a single
+    * wide bucket would split near-identical vectors ~bits*acos(c)/pi of
+    * the time.
+    */
+  def lshBandBuckets(vec: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucketRange(vec, b * rowsPerBand, (b + 1) * rowsPerBand)
+          .as("key"))
+    }: _*)
 
   /** LSH-bucketed cosine top-k: candidates limited to the query's sign
     * bucket, then exact cosine + window top-k. Approximate (recall < 1);

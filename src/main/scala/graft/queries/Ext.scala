@@ -100,8 +100,12 @@ object ExtQueries {
     * before any exact jaccard runs.
     */
   def q13(s: SparkSession, dir: String): DataFrame =
+    // includeExactDuplicates: the oracle is the exhaustive pair set, and
+    // the corpus contains exact-dup classes (docs short enough that the
+    // mutation is a no-op) whose pairs must surface too
     Dedup.minhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
-      shingleSize = 3, k = 32, bands = 16, threshold = 0.8)
+      shingleSize = 3, k = 32, bands = 16, threshold = 0.8,
+      includeExactDuplicates = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   val q13Sql: String =
     s"""WITH corpus AS ($nearDupCorpusSql),
@@ -434,8 +438,11 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- q33
   /** Custom stateful streaming: flatMapGroupsWithState running per-user
-    * stats over the bounded events stream (update mode; rows-only — the
-    * per-group fold order makes float totals engine-specific).
+    * stats over the bounded events stream (update mode). The checked
+    * projection keeps the fold-order-INDEPENDENT state columns
+    * (n_events, max_value) so the result is oracle-checkable; the double
+    * running `total` stays in the operator output but is engine-specific
+    * (per-group fold order) and is dropped here.
     */
   def q33(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Stateful
@@ -453,7 +460,11 @@ object ExtQueries {
       .format("memory").queryName("q33_state").start()
     try q.processAllAvailable() finally q.stop()
     s.table("q33_state")
+      .select(col("user_id"), col("n_events"), col("max_value"))
   }
+  val q33Sql: String =
+    """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+      |FROM events WHERE value IS NOT NULL GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q34
   /** As-of join: each purchase event enriched with the user's most
@@ -522,11 +533,14 @@ object ExtQueries {
     "q33_stateful_stream" -> (q33 _),
     "q34_asof_join" -> (q34 _),
     "q35_embedding_neardup" -> (q35 _),
-    // SimHash near-dup pairs over the injected-near-dup corpus
-    // (xxhash-based fingerprints -> rows-only check)
+    // SimHash-candidates + exact-jaccard-verified near-dup pairs: the
+    // final pair set is engine-portable (same oracle as q13 — a second
+    // candidate-generation algorithm converging on the same exact set)
     "q38_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
-        maxHamming = 7, bands = 8)),
+      Dedup.simhashNearDupsVerified(nearDupCorpus(s, dir), "text", "doc_id",
+        shingleSize = 3, maxHamming = 15, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
     "q37_cosine_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -592,6 +606,8 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q24_multimodal" -> q24Sql,
     "q26_hdf5_roundtrip" -> q26Sql,
+    "q33_stateful_stream" -> q33Sql,
+    "q38_simhash_neardup" -> q13Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
     "q34_asof_join" -> q34Sql,

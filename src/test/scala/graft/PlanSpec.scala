@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
       s"melt must not shuffle:\n$plan")
   }
 
+  test("q35 bucketed near-dup default plans no all-pairs join") {
+    val plan = planOf("q35_embedding_neardup")
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed path must not plan a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed path must not plan a nested-loop join:\n$plan")
+  }
+
   test("q31 per-group top-k stays a single window pass") {
     val plan = planOf("q31_topk_per_group")
     assert(plan.contains("Window"), "expected window exec")

@@ -37,12 +37,33 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
-  test("minhash LSH surfaces exact and near duplicates") {
+  test("minhash LSH surfaces near duplicates; exact classes collapse") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L))) // identical text always collides
-    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs == Set((1L, 3L))) // rep of {1,2} pairs with near-dup 3
+    val expanded = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.5, includeExactDuplicates = true)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // cross pairs for every member + the within-class pair at jaccard 1
+    assert(expanded.map(p => (p._1, p._2)) ==
+      Set((1L, 3L), (2L, 3L), (1L, 2L)))
+    assert(expanded.collect { case (1L, 2L, j) => j } == Set(1.0))
+  }
+
+  test("1000-way exact-duplicate class cannot explode the band join") {
+    // pre-pass collapses the class to one representative: candidate
+    // generation sees ONE row for the class, not 10^6 band collisions
+    val big = (1L to 1000L).map(i => (i, "all copies share this text"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(
+        (2000L, "all copies share this text here"), // near-dup of the class
+        (3000L, "something unrelated entirely different")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashNearDups(big, "text", "doc_id",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2000L))) // representative carries the class
   }
 
   test("identical docs share a simhash; distinct docs differ") {
