@@ -17,6 +17,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    (v1 B-tree node type 1) with optional deflate filter
   *
   * Everything else raises a clear error instead of misreading.
+  *
+  * Access is through [[H5In]] (positioned reads, Long offsets): a whole
+  * file in memory ([[BytesIn]]) or seekable storage of any size — the
+  * DataSource V2 wrapper ([[Hdf5DataSource]]) reads metadata once and
+  * then only the chunk byte-ranges its row split needs, so file size is
+  * not bounded by a single task's memory.
   */
 object Hdf5Format {
 
@@ -33,64 +39,105 @@ object Hdf5Format {
     def rows: Long = if (dims.isEmpty) 1L else dims.head
   }
 
+  /** Raw-storage description of one dataset (no payload decoded). */
+  sealed trait Storage
+  case class Contiguous(addr: Long) extends Storage
+  case class ChunkRef(rowStart: Long, colStart: Long, addr: Long,
+                      nBytes: Int)
+  case class Chunked(chunkDims: Seq[Int], deflate: Boolean,
+                     chunks: Seq[ChunkRef]) extends Storage
+
+  /** Parsed dataset metadata: everything needed to plan and execute a
+    * row-range read without touching payload bytes.
+    */
+  case class H5DatasetMeta(name: String, dtype: H5Type, dims: Seq[Long],
+                           storage: Storage) {
+    def rows: Long = if (dims.isEmpty) 1L else dims.head
+    /** Elements per row (1 for rank-1, row width for rank-2). */
+    def rowElems: Int = if (dims.size <= 1) 1 else dims(1).toInt
+    def rowBytes: Long = rowElems.toLong * dtype.byteSize
+  }
+
   private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
     .map(_.toByte)
   private val Undef = -1L // 0xFFFF... = undefined address
 
-  private class Buf(bytes: Array[Byte]) {
-    val bb: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def u8(p: Int): Int = bb.get(p) & 0xff
-    def u16(p: Int): Int = bb.getShort(p) & 0xffff
-    def u32(p: Int): Long = bb.getInt(p) & 0xffffffffL
-    def u64(p: Int): Long = bb.getLong(p)
-    def slice(p: Int, n: Int): Array[Byte] = {
-      val a = new Array[Byte](n); bb.position(p); bb.get(a); bb.position(0); a
+  /** Positioned-read access to HDF5 bytes (all offsets Long). */
+  trait H5In {
+    def length: Long
+    def slice(p: Long, n: Int): Array[Byte]
+    def u8(p: Long): Int = slice(p, 1)(0) & 0xff
+    def u16(p: Long): Int = wrap(slice(p, 2)).getShort & 0xffff
+    def u32(p: Long): Long = wrap(slice(p, 4)).getInt & 0xffffffffL
+    def u64(p: Long): Long = wrap(slice(p, 8)).getLong
+    def ascii(p: Long, n: Int): String = new String(slice(p, n), "US-ASCII")
+    def cstr(p: Long): String = {
+      val sb = new java.io.ByteArrayOutputStream()
+      var q = p
+      var b = u8(q)
+      while (b != 0) { sb.write(b); q += 1; b = u8(q) }
+      new String(sb.toByteArray, "UTF-8")
     }
-    def ascii(p: Int, n: Int): String = new String(slice(p, n), "US-ASCII")
-    def cstr(p: Int): String = {
-      var e = p; while (bb.get(e) != 0) e += 1
-      new String(slice(p, e - p), "UTF-8")
+    private def wrap(a: Array[Byte]) =
+      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  /** Whole file in memory. */
+  class BytesIn(bytes: Array[Byte]) extends H5In {
+    def length: Long = bytes.length.toLong
+    def slice(p: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      System.arraycopy(bytes, p.toInt, a, 0, n)
+      a
     }
   }
 
+  /** Whole-file parse (profile check + every dataset fully decoded). */
   def parse(bytes: Array[Byte]): Seq[H5Dataset] = {
-    val b = new Buf(bytes)
-    require(bytes.length > 96 && Signature.indices.forall(i =>
-      bytes(i) == Signature(i)), "not an HDF5 file (bad signature)")
-    val sbVersion = b.u8(8)
+    val in = new BytesIn(bytes)
+    parseMeta(in).map(m => readRows(in, m, 0L, m.rows))
+  }
+
+  /** Structure-only parse: walks groups/object headers/chunk B-trees and
+    * returns per-dataset metadata. Touches only metadata bytes — for a
+    * chunked 100 GB file this is a few KB of reads.
+    */
+  def parseMeta(in: H5In): Seq[H5DatasetMeta] = {
+    require(in.length > 96 && in.slice(0, 8).sameElements(Signature),
+      "not an HDF5 file (bad signature)")
+    val sbVersion = in.u8(8)
     require(sbVersion == 0,
       s"unsupported superblock version $sbVersion (profile: v0)")
-    require(b.u8(13) == 8 && b.u8(14) == 8,
+    require(in.u8(13) == 8 && in.u8(14) == 8,
       "unsupported offset/length size (profile: 8 bytes)")
     // root group symbol table entry at 56: scratch holds btree+heap addrs
-    val rootBtree = b.u64(80)
-    val rootHeap = b.u64(88)
-    val out = Seq.newBuilder[H5Dataset]
-    walkGroup(b, rootBtree, rootHeap, "", out)
+    val rootBtree = in.u64(80)
+    val rootHeap = in.u64(88)
+    val out = Seq.newBuilder[H5DatasetMeta]
+    walkGroup(in, rootBtree, rootHeap, "", out)
     out.result()
   }
 
   // ---- group traversal ---------------------------------------------------
 
-  private def walkGroup(b: Buf, btreeAddr: Long, heapAddr: Long,
+  private def walkGroup(b: H5In, btreeAddr: Long, heapAddr: Long,
                         prefix: String,
-                        out: scala.collection.mutable.Builder[H5Dataset, _])
+                        out: scala.collection.mutable.Builder[H5DatasetMeta, _])
       : Unit = {
-    require(b.ascii(heapAddr.toInt, 4) == "HEAP", "bad local heap signature")
-    val heapData = b.u64(heapAddr.toInt + 24)
+    require(b.ascii(heapAddr, 4) == "HEAP", "bad local heap signature")
+    val heapData = b.u64(heapAddr + 24)
     walkBtree(b, btreeAddr, heapData, prefix, out)
   }
 
-  private def walkBtree(b: Buf, addr: Long, heapData: Long, prefix: String,
-                        out: scala.collection.mutable.Builder[H5Dataset, _])
+  private def walkBtree(b: H5In, addr: Long, heapData: Long, prefix: String,
+                        out: scala.collection.mutable.Builder[H5DatasetMeta, _])
       : Unit = {
-    val p = addr.toInt
-    require(b.ascii(p, 4) == "TREE", "bad B-tree signature")
-    require(b.u8(p + 4) == 0, "expected group B-tree (node type 0)")
-    val level = b.u8(p + 5)
-    val n = b.u16(p + 6)
+    require(b.ascii(addr, 4) == "TREE", "bad B-tree signature")
+    require(b.u8(addr + 4) == 0, "expected group B-tree (node type 0)")
+    val level = b.u8(addr + 5)
+    val n = b.u16(addr + 6)
     // entries: key(len=8) child(8) pairs after 8(sig/meta)+16(siblings)
-    var q = p + 24 + 8 // skip key 0
+    var q = addr + 24 + 8 // skip key 0
     (0 until n).foreach { _ =>
       val child = b.u64(q)
       if (level > 0) walkBtree(b, child, heapData, prefix, out)
@@ -99,32 +146,31 @@ object Hdf5Format {
     }
   }
 
-  private def walkSnod(b: Buf, addr: Long, heapData: Long, prefix: String,
-                       out: scala.collection.mutable.Builder[H5Dataset, _])
+  private def walkSnod(b: H5In, addr: Long, heapData: Long, prefix: String,
+                       out: scala.collection.mutable.Builder[H5DatasetMeta, _])
       : Unit = {
-    val p = addr.toInt
-    require(b.ascii(p, 4) == "SNOD", "bad symbol node signature")
-    val n = b.u16(p + 6)
+    require(b.ascii(addr, 4) == "SNOD", "bad symbol node signature")
+    val n = b.u16(addr + 6)
     (0 until n).foreach { i =>
-      val e = p + 8 + i * 40
+      val e = addr + 8 + i * 40
       val nameOff = b.u64(e)
       val ohAddr = b.u64(e + 8)
-      val name = b.cstr((heapData + nameOff).toInt)
+      val name = b.cstr(heapData + nameOff)
       readObject(b, ohAddr, s"$prefix$name", out)
     }
   }
 
   // ---- object headers ----------------------------------------------------
 
-  private case class Messages(items: Seq[(Int, Int)]) // (type, bodyPos)
+  private case class Messages(items: Seq[(Int, Long)]) // (type, bodyPos)
 
-  private def readMessagesV1(b: Buf, addr: Long): Messages = {
-    val p = addr.toInt
-    require(b.u8(p) == 1, s"unsupported object header version ${b.u8(p)}")
-    var remaining = b.u16(p + 2)
-    val items = Seq.newBuilder[(Int, Int)]
+  private def readMessagesV1(b: H5In, addr: Long): Messages = {
+    require(b.u8(addr) == 1,
+      s"unsupported object header version ${b.u8(addr)}")
+    var remaining = b.u16(addr + 2)
+    val items = Seq.newBuilder[(Int, Long)]
     // v1 prefix is 12 bytes + 4 pad; blocks may continue via msg 0x10
-    var blocks = List((p + 16, b.u32(p + 8).toInt))
+    var blocks = List((addr + 16, b.u32(addr + 8)))
     while (blocks.nonEmpty && remaining > 0) {
       var (q, size) = blocks.head
       blocks = blocks.tail
@@ -134,7 +180,7 @@ object Hdf5Format {
         val msize = b.u16(q + 2)
         val body = q + 8
         if (mtype == 0x0010) // continuation: offset(8) + length(8)
-          blocks ::= ((b.u64(body).toInt, b.u64(body + 8).toInt))
+          blocks ::= ((b.u64(body), b.u64(body + 8)))
         else items += ((mtype, body))
         remaining -= 1
         q = body + msize
@@ -143,22 +189,22 @@ object Hdf5Format {
     Messages(items.result())
   }
 
-  private def readObject(b: Buf, addr: Long, path: String,
-                         out: scala.collection.mutable.Builder[H5Dataset, _])
+  private def readObject(b: H5In, addr: Long, path: String,
+                         out: scala.collection.mutable.Builder[H5DatasetMeta, _])
       : Unit = {
     val msgs = readMessagesV1(b, addr)
     msgs.items.find(_._1 == 0x0011) match {
       case Some((_, body)) => // symbol table message -> subgroup
         walkGroup(b, b.u64(body), b.u64(body + 8), s"$path/", out)
       case None =>
-        decodeDataset(b, msgs, path).foreach(out += _)
+        datasetMeta(b, msgs, path).foreach(out += _)
     }
   }
 
-  // ---- dataset decoding ---------------------------------------------------
+  // ---- dataset metadata ----------------------------------------------------
 
-  private def decodeDataset(b: Buf, msgs: Messages, name: String)
-      : Option[H5Dataset] = {
+  private def datasetMeta(b: H5In, msgs: Messages, name: String)
+      : Option[H5DatasetMeta] = {
     val space = msgs.items.find(_._1 == 0x0001).map(_._2)
     val dtype = msgs.items.find(_._1 == 0x0003).map(_._2)
     val layout = msgs.items.find(_._1 == 0x0008).map(_._2)
@@ -188,47 +234,46 @@ object Hdf5Format {
         s"unsupported datatype class $c for $name")
     }
 
-    val total = dims.product.toInt
-    val raw = readRawData(b, layout.get, msgs, total * size, dims, size, name)
-    Some(H5Dataset(name, h5t, dims, convert(raw, h5t, total)))
-  }
-
-  private def readRawData(b: Buf, lay: Int, msgs: Messages, nBytes: Int,
-                          dims: Seq[Long], elemSize: Int, name: String)
-      : Array[Byte] = {
+    val lay = layout.get
     val version = b.u8(lay)
     require(version == 3, s"unsupported layout version $version ($name)")
-    b.u8(lay + 1) match {
+    val storage = b.u8(lay + 1) match {
       case 1 => // contiguous: address(8), size(8)
         val addr = b.u64(lay + 2)
         require(addr != Undef, s"dataset $name has no allocated storage")
-        b.slice(addr.toInt, nBytes)
+        Contiguous(addr)
       case 2 => // chunked: dimensionality(1), btree addr(8), dims u32*
         val ndims = b.u8(lay + 2) // rank + 1 (element size dim)
         val btree = b.u64(lay + 3)
         val chunkDims = (0 until ndims - 1)
           .map(i => b.u32(lay + 11 + i * 4).toInt)
-        val deflate = hasDeflate(b, msgs)
-        val outArr = new Array[Byte](nBytes)
-        readChunks(b, btree, chunkDims, dims.map(_.toInt), elemSize,
-          deflate, outArr)
-        outArr
+        val refs = Seq.newBuilder[ChunkRef]
+        collectChunks(b, btree, chunkDims.size, refs)
+        Chunked(chunkDims, hasDeflate(b, msgs), refs.result())
       case c => throw new IllegalArgumentException(
         s"unsupported layout class $c ($name)")
     }
+    Some(H5DatasetMeta(name, h5t, dims, storage))
   }
 
-  private def hasDeflate(b: Buf, msgs: Messages): Boolean =
+  private def hasDeflate(b: H5In, msgs: Messages): Boolean =
     msgs.items.find(_._1 == 0x000B).exists { case (_, p) =>
-      // filter pipeline v1: version, nfilters, 6 reserved; v2: no reserved
+      // filter pipeline v1 only (8-byte header incl. reserved; name
+      // padded to a multiple of 8; client data padded to even count).
+      // v2 lays fields out differently (no name-length for ids < 256,
+      // no padding) — reject rather than mis-walk.
+      val version = b.u8(p)
+      require(version == 1,
+        s"unsupported filter pipeline version $version (profile: v1)")
       val nf = b.u8(p + 1)
-      var q = p + (if (b.u8(p) == 1) 8 else 2)
+      var q = p + 8
       (0 until nf).exists { _ =>
         val id = b.u16(q)
         val nameLen = b.u16(q + 2)
         val nvals = b.u16(q + 6)
-        val pad = if (b.u8(p) == 1 && nvals % 2 == 1) 4 else if (nvals % 2 == 1) 4 else 0
-        q += 8 + nameLen + nvals * 4 + pad
+        val namePad = (8 - nameLen % 8) % 8
+        val valPad = if (nvals % 2 == 1) 4 else 0
+        q += 8 + nameLen + namePad + nvals * 4 + valPad
         id == 1
       }
     }
@@ -236,28 +281,88 @@ object Hdf5Format {
   /** Chunk B-tree (v1, node type 1): keys carry (chunk bytes, filter
     * mask, offset coords); children are chunk payload addresses.
     */
-  private def readChunks(b: Buf, addr: Long, chunkDims: Seq[Int],
-                         dims: Seq[Int], elemSize: Int, deflate: Boolean,
-                         out: Array[Byte]): Unit = {
-    val p = addr.toInt
-    require(b.ascii(p, 4) == "TREE", "bad chunk B-tree signature")
-    require(b.u8(p + 4) == 1, "expected chunk B-tree (node type 1)")
-    val level = b.u8(p + 5)
-    val n = b.u16(p + 6)
-    val keySize = 8 + 8 * (chunkDims.size + 1)
-    var q = p + 24
+  private def collectChunks(b: H5In, addr: Long, nCoordDims: Int,
+                            out: scala.collection.mutable.Builder[ChunkRef, _])
+      : Unit = {
+    require(b.ascii(addr, 4) == "TREE", "bad chunk B-tree signature")
+    require(b.u8(addr + 4) == 1, "expected chunk B-tree (node type 1)")
+    val level = b.u8(addr + 5)
+    val n = b.u16(addr + 6)
+    val keySize = 8 + 8 * (nCoordDims + 1)
+    var q = addr + 24
     (0 until n).foreach { _ =>
       val chunkBytes = b.u32(q).toInt
-      val coords = chunkDims.indices.map(i => b.u64(q + 8 + i * 8).toInt)
+      val rowStart = b.u64(q + 8)
+      val colStart = if (nCoordDims > 1) b.u64(q + 16) else 0L
       val child = b.u64(q + keySize)
-      if (level > 0)
-        readChunks(b, child, chunkDims, dims, elemSize, deflate, out)
-      else {
-        val rawChunk = b.slice(child.toInt, chunkBytes)
-        val data = if (deflate) inflate(rawChunk) else rawChunk
-        copyChunk(data, coords, chunkDims, dims, elemSize, out)
-      }
+      if (level > 0) collectChunks(b, child, nCoordDims, out)
+      else out += ChunkRef(rowStart, colStart, child, chunkBytes)
       q += keySize + 8
+    }
+  }
+
+  // ---- row-range decoding --------------------------------------------------
+
+  /** Decode rows [r0, r1) of one dataset into an [[H5Dataset]] whose
+    * leading dimension is (r1 - r0). Contiguous storage reads exactly
+    * the row byte-range; chunked storage reads (and inflates) only the
+    * chunks overlapping the range.
+    */
+  def readRows(in: H5In, m: H5DatasetMeta, r0: Long, r1: Long): H5Dataset = {
+    require(r0 >= 0 && r1 <= m.rows && r0 <= r1,
+      s"row range [$r0,$r1) out of [0,${m.rows}) for ${m.name}")
+    val nRows = (r1 - r0).toInt
+    val elemSize = m.dtype.byteSize
+    val outBytes = nRows.toLong * m.rowBytes
+    require(outBytes <= Int.MaxValue - 8,
+      s"row range [$r0,$r1) of ${m.name} exceeds one task's buffer; " +
+        "split into more partitions")
+    val raw = new Array[Byte](outBytes.toInt)
+    m.storage match {
+      case Contiguous(addr) =>
+        readRange(in, addr + r0 * m.rowBytes, raw, 0, raw.length)
+      case Chunked(chunkDims, deflate, chunks) =>
+        val cRows = chunkDims.head
+        val cCols = if (chunkDims.size > 1) chunkDims(1) else 1
+        val cols = m.rowElems
+        chunks.foreach { c =>
+          if (c.rowStart < r1 && c.rowStart + cRows > r0) {
+            val chunkRaw = in.slice(c.addr, c.nBytes)
+            val data = if (deflate) inflate(chunkRaw) else chunkRaw
+            // rows of this chunk clipped to the requested range + the
+            // dataset's true extent (edge chunks over-allocate)
+            val rowLo = math.max(c.rowStart, r0)
+            val rowHi = math.min(math.min(c.rowStart + cRows, r1), m.rows)
+            val copyCols = math.min(cCols.toLong,
+              cols - c.colStart).toInt
+            var r = rowLo
+            while (r < rowHi) {
+              System.arraycopy(
+                data, (((r - c.rowStart) * cCols) * elemSize).toInt,
+                raw, (((r - r0) * cols + c.colStart) * elemSize).toInt,
+                copyCols * elemSize)
+              r += 1
+            }
+          }
+        }
+    }
+    val outDims =
+      if (m.dims.size <= 1) Seq(nRows.toLong)
+      else Seq(nRows.toLong, m.dims(1))
+    H5Dataset(m.name, m.dtype, outDims,
+      convert(raw, m.dtype, nRows * m.rowElems))
+  }
+
+  /** Bulk read that tolerates `slice` size limits by chunking. */
+  private def readRange(in: H5In, src: Long, dst: Array[Byte],
+                        dstOff: Int, n: Int): Unit = {
+    val step = 1 << 24 // 16 MiB per positioned read
+    var done = 0
+    while (done < n) {
+      val take = math.min(step, n - done)
+      val part = in.slice(src + done, take)
+      System.arraycopy(part, 0, dst, dstOff + done, take)
+      done += take
     }
   }
 
@@ -274,30 +379,6 @@ object Hdf5Format {
     }
     inf.end()
     buf.toByteArray
-  }
-
-  /** Copy a (possibly edge-clipped) chunk into the row-major output. */
-  private def copyChunk(chunk: Array[Byte], coords: Seq[Int],
-                        chunkDims: Seq[Int], dims: Seq[Int], elemSize: Int,
-                        out: Array[Byte]): Unit = {
-    if (dims.size == 1) {
-      val start = coords.head
-      val copyElems = math.min(chunkDims.head, dims.head - start)
-      System.arraycopy(chunk, 0, out, start * elemSize,
-        copyElems * elemSize)
-    } else { // rank 2, row-major
-      val Seq(rows, cols) = dims
-      val Seq(cRows, cCols) = chunkDims
-      val r0 = coords(0); val c0 = coords(1)
-      val copyRows = math.min(cRows, rows - r0)
-      val copyCols = math.min(cCols, cols - c0)
-      var r = 0
-      while (r < copyRows) {
-        System.arraycopy(chunk, r * cCols * elemSize,
-          out, ((r0 + r) * cols + c0) * elemSize, copyCols * elemSize)
-        r += 1
-      }
-    }
   }
 
   private def convert(raw: Array[Byte], t: H5Type, n: Int): AnyRef = {

@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.io.Hdf5Format.{H5Dataset, H5Float, H5Int}
+import graft.io.Hdf5Format.{H5Dataset, H5DatasetMeta, H5Float, H5Int}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -14,17 +14,15 @@ import org.apache.spark.sql.types._
   * become scalar columns, rank-2 datasets become array columns (the
   * embeddings layout).
   *
-  * Scale shape: HDF5 is not splittable without the library, so the unit
-  * of parallelism is the FILE — the file list is distributed and each
-  * task decodes whole files ([[Hdf5Format]] is a plain serializable
-  * decoder over byte arrays). 100 TB of HDF5 = many files; one task
-  * each, read via Hadoop FS (works against object stores), no driver
-  * bottleneck beyond listing. A single huge file is the degenerate case
-  * and is documented as such.
+  * Scale shape: reads go through the DataSource V2 connector
+  * ([[Hdf5DataSource]]): chunk-aligned ROW-RANGE splits inside each
+  * file (one huge file fans out across the cluster; no < 2 GiB
+  * per-file ceiling) and column pruning pushed into the scan. Works
+  * against any Hadoop FS (object stores included) via positioned reads.
   */
 object Hdf5Source {
 
-  def schemaFor(dss: Seq[H5Dataset]): StructType =
+  def schemaForMeta(dss: Seq[H5DatasetMeta]): StructType =
     StructType(dss.map { d =>
       val scalar = d.dtype match {
         case H5Int(_, _) => LongType
@@ -34,7 +32,14 @@ object Hdf5Source {
       StructField(d.name, t, nullable = false)
     })
 
-  /** Decoded datasets -> row iterator over the shared leading dim. */
+  def schemaFor(dss: Seq[H5Dataset]): StructType =
+    schemaForMeta(dss.map(d =>
+      H5DatasetMeta(d.name, d.dtype, d.dims, Hdf5Format.Contiguous(0L))))
+
+  /** Decoded datasets -> row iterator over the shared leading dim
+    * (driver-side utility for small files/tests; the Spark read path is
+    * [[Hdf5DataSource]], which converts to InternalRow directly).
+    */
   def toRows(dss: Seq[H5Dataset]): Iterator[Row] = {
     if (dss.isEmpty) return Iterator.empty
     val n = dss.head.rows.toInt
@@ -55,38 +60,16 @@ object Hdf5Source {
     }
   }
 
-  private def decodePath(path: String, conf: Configuration)
-      : Seq[H5Dataset] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
-    require(len < Int.MaxValue, s"HDF5 file too large for one task: $path")
-    val in = fs.open(p)
-    try {
-      val bytes = new Array[Byte](len.toInt)
-      in.readFully(0, bytes)
-      Hdf5Format.parse(bytes)
-    } finally in.close()
-  }
-
-  /** Read one or many HDF5 files into a DataFrame (schema from the
-    * first file; remaining files decoded in parallel on executors).
+  /** Read one or many HDF5 files into a DataFrame through the DSV2
+    * connector. `select` prunes datasets — the pruning also reaches the
+    * scan when done later via `.select(...)`, Catalyst pushes it down.
     */
   def readToDataFrame(spark: SparkSession, paths: Seq[String],
                       select: Seq[String] = Nil): DataFrame = {
     require(paths.nonEmpty, "no HDF5 files to read")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val keep: Seq[H5Dataset] => Seq[H5Dataset] =
-      if (select.isEmpty) identity
-      else dss => select.flatMap(n => dss.find(_.name == n))
-    val schema = schemaFor(keep(decodePath(paths.head, conf)))
-    // executors rebuild a default Configuration (local/HDFS defaults);
-    // object-store credentials would ride spark.hadoop.* which Spark
-    // injects into executor-side `new Configuration()` loads
-    val rdd = spark.sparkContext
-      .parallelize(paths, math.min(paths.size, 64))
-      .flatMap(p => toRows(keep(decodePath(p, new Configuration()))))
-    spark.createDataFrame(rdd, schema)
+    val df = spark.read.format("hdf5").load(paths: _*)
+    if (select.isEmpty) df
+    else df.select(select.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Glob variant + the end-to-end conversion. */

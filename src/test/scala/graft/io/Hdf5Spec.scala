@@ -67,6 +67,51 @@ class Hdf5Spec extends AnyFunSuite {
       (0L until 6L).toSeq)
   }
 
+  test("DSV2: one file splits into multiple chunk-aligned partitions") {
+    val p = tmp("split.h5")
+    val n = 1000
+    Hdf5Writer.write(p, Seq(
+      Ds("id", I64, Seq(n), (0 until n).map(_.toLong).toArray,
+        chunkDims = Some(Seq(100)), deflate = true),
+      Ds("val", F64, Seq(n), (0 until n).map(_ * 0.5).toArray,
+        chunkDims = Some(Seq(100)))))
+    val df = spark.read.format("hdf5")
+      .option("rowsPerPartition", "300").load(p)
+    assert(df.rdd.getNumPartitions == 4) // 1000 rows / 300 -> 4 ranges
+    assert(df.count() == n)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until n).map(identity))
+    assert(rows.map(_.getDouble(1)).toSeq == (0 until n).map(_ * 0.5))
+  }
+
+  test("DSV2: column pruning reaches the hdf5 scan") {
+    val p = tmp("prune.h5")
+    Hdf5Writer.write(p, Seq(
+      Ds("a", I64, Seq(5), Array(1L, 2L, 3L, 4L, 5L)),
+      Ds("b", F64, Seq(5), Array(1.0, 2.0, 3.0, 4.0, 5.0))))
+    val df = spark.read.format("hdf5").load(p).select("b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hdf5 scan (b)"), s"pruning missed:\n$plan")
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("DSV2: row-range decode matches whole-file decode (rank 2)") {
+    val p = tmp("range.h5")
+    val n = 57
+    Hdf5Writer.write(p, Seq(
+      Ds("emb", F32, Seq(n, 3),
+        (0 until n * 3).map(_.toDouble / 2).toArray,
+        chunkDims = Some(Seq(10, 3)), deflate = true)))
+    val df = spark.read.format("hdf5")
+      .option("rowsPerPartition", "10").load(p)
+    assert(df.rdd.getNumPartitions == 6)
+    val got = df.collect().map(_.getSeq[Double](0)).toSet
+    val want = (0 until n)
+      .map(i => (i * 3 until (i + 1) * 3).map(_.toDouble / 2)).toSet
+    assert(got == want)
+  }
+
   test("property: writer -> reader roundtrip on random arrays") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = for {
