@@ -73,6 +73,10 @@ object ManifestParser {
   def parseNode(root: JsonNode): EngineManifest = {
     if (root.has("commands")) parseEmitted(root)
     else if (root.has("dsv")) parseDsv(root)
+    else if (ManifestSchema.looksLikeClassification(root))
+      // classification dialect: schema-validated (pointed errors at
+      // parse time, not deep inside Spark), then lowered to commands
+      ManifestSchema.compile(root)
     else if (root.isArray) // bare list of commands
       EngineManifest(root.elements.asScala.map(parseCommand).toSeq)
     else throw new IllegalArgumentException(

@@ -39,6 +39,45 @@ class ManifestParserSpec extends AnyFunSuite {
     assert(m.commands.head.source == "data/x.tsv")
   }
 
+  test("classification dialect validates then compiles to commands") {
+    val m = ManifestParser.parse("""{
+      "files": {
+        "standard": [{"file": "rra.summary.txt", "columns": ["gene", "score"]}],
+        "variable": [{"pattern": "counts/[sample].tsv",
+                      "regex": "counts/(?P<sample>.+)\\.tsv",
+                      "columns": ["sgrna", "gene", "s1", "s2"]}]
+      },
+      "columns": {
+        "standard": [
+          {"column": "gene", "name": "Gene", "desc": "gene id"},
+          {"column": "score", "name": "Score", "desc": "rra score"},
+          {"column": "sgrna", "name": "sgRNA", "desc": "guide"}],
+        "variable": [
+          {"columns": ["s1", "s2"], "name": "sample", "desc": "sample reads"}]
+      }}""")
+    assert(m.commands.size == 2)
+    val std = m.commands.head
+    assert(std.source == "rra.summary.txt" && std.target == "rra.summary.parquet")
+    assert(std.cols.map(_.col) == Seq("gene", "score"))
+    assert(std.cols.head.name.contains("Gene") && std.melt.isEmpty)
+    val v = m.commands(1)
+    assert(v.tokens.map(_.token) == Seq("sample"))
+    assert(v.melt.exists(_.valueColumns == Seq("s1", "s2")))
+    assert(v.melt.flatMap(_.key).exists(_.name == "sample"))
+    assert(v.cols.map(_.col) == Seq("sgrna", "gene"))
+  }
+
+  test("malformed classification manifest fails with pointed errors") {
+    val bad = """{
+      "files": {"standard": [{"columns": ["a", 3]}], "variable": []},
+      "columns": {"standard": [{"column": "a", "name": "A"}]}}"""
+    val e = intercept[IllegalArgumentException](ManifestParser.parse(bad))
+    assert(e.getMessage.contains("$.files.standard[0].file: required"))
+    assert(e.getMessage.contains("$.files.standard[0].columns[1]: expected string"))
+    assert(e.getMessage.contains("$.columns.standard[0].desc: required"))
+    assert(e.getMessage.contains("$.columns.variable: required"))
+  }
+
   test("unknown dialect raises") {
     intercept[IllegalArgumentException] {
       ManifestParser.parse("""{"bogus": 1}""")
