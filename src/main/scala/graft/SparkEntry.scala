@@ -16,8 +16,9 @@ object SparkEntry {
     CoreQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the xxhash64-based signatures
-    * (q14, q17) -> rows-only check.
+    * the same parquet tables — every query is oracle-checked (the two
+    * xxhash-based queries check engine-portable INVARIANTS of their
+    * results; see q14/q17 scaladoc).
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles

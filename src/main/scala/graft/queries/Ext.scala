@@ -121,12 +121,24 @@ object ExtQueries {
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
 
   // ---------------------------------------------------------------- q14
-  /** X2: 64-bit SimHash fingerprints (xxhash-based — no SQL oracle;
-    * rows-only check).
+  /** X2: SimHash INVARIANT gate. Raw xxhash-based fingerprints are not
+    * SQL-portable, so the checked output is the property that makes
+    * SimHash useful: every injected near-dup pair (doc vs doc-minus-2-
+    * tokens) fingerprints within hamming <= 24 of 64 bits. Measured
+    * max across sf0.001/0.01/0.1 is 16 (avg ~2.5); an incorrect
+    * fingerprint is ~32 +- 4 away (random bits), so a broken SimHash
+    * flips ~97% of rows to false and the hash check fails.
     */
-  def q14(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(T(s, dir, "documents"), "text", "doc_id")
-      .withColumnRenamed("id", "doc_id")
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.simhash(nearDupCorpus(s, dir), "text", "doc_id")
+    fp.as("a").join(fp.as("b"), col("b.id") === col("a.id") + 1000000L)
+      .select(col("a.id").as("doc_id"),
+        (Dedup.hamming(col("a.simhash"), col("b.simhash")) <= 24)
+          .as("close"))
+  }
+  val q14Sql: String =
+    """SELECT doc_id, CAST(1 AS BOOLEAN) AS close
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   // ---------------------------------------------------------------- q15
   /** X2: exhaustive n-gram jaccard top-20 most-similar pairs among docs
@@ -183,14 +195,30 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- q17
-  /** X3 scale path: sign-bucket LSH cosine top-5 (approximate; xxhash
-    * hyperplanes — rows-only check).
+  /** X3 scale path: sign-bucket LSH cosine top-5, checked by a RECALL
+    * INVARIANT. The hyperplanes are xxhash-derived (not SQL-portable),
+    * so the gate plants a known nearest neighbor per query — a minutely
+    * perturbed copy of every 50th vector (cosine ~0.99999, bucket-miss
+    * probability (1-(1-acos(c)/pi))^4-complement ~ 10^-3 per query,
+    * measured 100% found at all three SFs) — and checks that lshTopK
+    * surfaces it. Broken bucketing/ranking drops rows or flips the
+    * indicator; either fails the hash check.
     */
   def q17(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 50 === 0)
-    Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5, bits = 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x + 0.001).otherwise(x)).as("embedding"))
+    val top = Similarity.lshTopK(emb, queries, "embedding", "vec_id",
+      k = 5, bits = 4)
+    top.groupBy(col("query_id"))
+      .agg((max(when(col("corpus_id") === col("query_id") - 1000000L, 1)
+        .otherwise(0)) === 1).as("planted_found"))
   }
+  val q17Sql: String =
+    """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BOOLEAN) AS planted_found
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   // ---------------------------------------------------------------- q18
   /** X5: stopword-heuristic language ID. Argmax = max hits, ties to the
@@ -604,6 +632,8 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q14_simhash" -> q14Sql,
+    "q17_cosine_lsh" -> q17Sql,
     "q24_multimodal" -> q24Sql,
     "q26_hdf5_roundtrip" -> q26Sql,
     "q33_stateful_stream" -> q33Sql,
