@@ -18,6 +18,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Pin the partition count of a band/bucket frame before its self-join.
+    *
+    * The frame upstream is a per-doc aggregate (signatures/fingerprints —
+    * a few longs per doc), so its exchange is tiny even for a large
+    * corpus, and AQE's partition coalescing — which only sees map output
+    * SIZE, never join fan-out — collapses it to one partition. The bucket
+    * self-join then fans out ~1000x inside a ONE-TASK stage (measured:
+    * q38 at 219 s single-task vs ~7 s repartitioned). An explicit
+    * numbered repartition is exempt from AQE coalescing
+    * (REPARTITION_BY_NUM), and round-robin beats hash-by-bucket here:
+    * under the small-scale broadcast join the stream side can be any
+    * distribution (hash-by-bucket would send the hottest bucket to one
+    * task), and at scale the planner's sort-merge join inserts its own
+    * bucket-hash exchange anyway.
+    */
+  private[ext] def pinFanOutParallelism(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact dedup on a content hash: keeps the row with the smallest `idCol`
     * per identical `textCol` (deterministic winner — `dropDuplicates` picks
     * an arbitrary row, which breaks result reproducibility across runs).
@@ -102,8 +120,9 @@ object Dedup {
           .map(i => col(s"m$i")): _*).as("key"))
     }: _*)
     val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
-    val buckets = sigs.select(col("id"), sigArr.as("sig"),
-      explode(bucketArr).as("bucket"))
+    val buckets = pinFanOutParallelism(
+      sigs.select(col("id"), sigArr.as("sig"),
+        explode(bucketArr).as("bucket")))
     // Candidate pairs carry both signatures; the ESTIMATE PREFILTER
     // (matching signature positions / k >= threshold/2) kills the junk
     // candidates r=2 banding admits — a 5+ sigma margin below any true
@@ -174,9 +193,9 @@ object Dedup {
         // candidate ids only through the band join (no vector payload
         // replication per band); vectors re-attached to the surviving
         // distinct pairs
-        val buckets = v.select(col("id"),
+        val buckets = pinFanOutParallelism(v.select(col("id"),
           explode(Similarity.lshBandBuckets(col("vec"), bands, rowsPerBand))
-            .as("bucket"))
+            .as("bucket")))
         val cand = buckets.as("x")
           .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
           .filter(col("x.id") < col("y.id"))
@@ -262,14 +281,18 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
     }: _*)
-    val buckets = fp.select(col("id"), col("simhash"),
-      explode(bucketArr).as("bucket"))
+    val buckets = pinFanOutParallelism(
+      fp.select(col("id"), col("simhash"), explode(bucketArr).as("bucket")))
     buckets.as("x")
       .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.id") < col("y.id"))
+      // hamming BEFORE the pair-dedup: generous maxHamming needs short
+      // band keys (64/bands bits), so the band join enumerates a large
+      // junk-collision stream; the codegen'd bit_count filter kills it
+      // inside the join stage — deduping first would shuffle ALL of it.
+      .filter(hamming(col("x.simhash"), col("y.simhash")) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
   }
 }

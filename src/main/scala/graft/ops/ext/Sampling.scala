@@ -1,0 +1,54 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (SURVEY §2.12
+  * adjunct): hash-threshold sampling keyed on a stable id, so the
+  * sample is (a) reproducible across runs/retries/engines — no RNG, no
+  * partition-order dependence, unlike `DataFrame.sample` — and (b) a
+  * narrow per-row filter: no shuffle, full scan parallelism, safe to
+  * push through any downstream plan at 100 TB.
+  *
+  * Mechanics: the first 8 hex digits of md5(key) are uniform in
+  * [0, 2^32); a row survives when that hex string compares below the
+  * rate's threshold. Fixed-width lowercase hex compares
+  * lexicographically == numerically, and md5 is identical in every
+  * engine, so the exact sample set is portable (the DuckDB oracle
+  * reproduces it bit-for-bit).
+  *
+  * Stratified variant: per-stratum rates (e.g. downsample the dominant
+  * language, keep the tail) — the standard rebalancing move for LLM
+  * corpus mixing.
+  */
+object Sampling {
+
+  /** Uniform 8-hex-digit bucket of the key's string form. */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Lowercase 8-hex threshold such that P[bucket < threshold] = rate. */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Keep each row with probability `rate`, deterministically in the
+    * key: the same key always makes the same keep/drop decision.
+    */
+  def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit(thresholdHex(rate)))
+
+  /** Per-stratum rates; strata not in `rates` use `defaultRate`.
+    * Null strata use `defaultRate` too (CASE falls through).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(thresholdHex(defaultRate))) {
+        case (acc, (stratum, r)) =>
+          when(col(strataCol) === stratum, lit(thresholdHex(r))).otherwise(acc)
+      }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+}

@@ -554,7 +554,69 @@ object ExtQueries {
       |SELECT id_a, id_b, round(cosine, 6) AS cosine
       |FROM scored WHERE cosine >= 0.999""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Deterministic stratified hash sampling: downsample the dominant
+    * language (en, rate 0.5), drop zh harder (0.125), keep the rest at
+    * 0.25 — the corpus-rebalancing move. No RNG: the exact sample set
+    * is reproducible across engines (md5-threshold), so the oracle
+    * matches it row-for-row.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Sampling
+    Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.125), defaultRate = 0.25)
+      .select("doc_id", "lang", "source")
+  }
+  val q40Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE WHEN lang = 'en' THEN '80000000'
+      |       WHEN lang = 'zh' THEN '20000000'
+      |       ELSE '40000000' END""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Streaming exact dedup: distinct content digests via dropDuplicates
+    * over the bounded documents stream. Winner-agnostic output (digests
+    * only) keeps it deterministic and oracle-checkable; see
+    * StreamOps.streamDistinctDigests for the watermark/eviction story.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    StreamOps.streamDistinctDigests(s, s"$dir/documents.parquet", "text",
+      "q41_stream_dedup")
+  val q41Sql: String =
+    "SELECT DISTINCT md5(text) AS digest FROM documents"
+
+  // ---------------------------------------------------------------- q42
+  /** Benchmark decontamination: every 17th doc plays the eval set; the
+    * rest of the corpus is flagged by distinct shared 3-grams. The
+    * benchmark shingle set is broadcast — the corpus side never
+    * shuffles on the shingle.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Decontaminate
+    val docs = T(s, dir, "documents")
+    Decontaminate.ngramOverlap(
+      corpus = docs.filter(col("doc_id") % 17 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 17 === 0),
+      "text", "doc_id", n = 3)
+  }
+  val q42Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+       |cand AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles, unnest(sh) AS g
+       |         FROM sh WHERE doc_id % 17 <> 0)
+       |SELECT doc_id, n_shingles, count(*) AS n_shared,
+       |  round(count(*)::DOUBLE / n_shingles, 6) AS contamination
+       |FROM cand JOIN bench USING (g)
+       |GROUP BY doc_id, n_shingles""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_hash_sample" -> (q40 _),
+    "q41_stream_dedup" -> (q41 _),
+    "q42_decontaminate" -> (q42 _),
     "q26_hdf5_roundtrip" -> (q26 _),
     "q30_json_extract" -> (q30 _),
     "q32_salted_agg" -> (q32 _),
@@ -632,6 +694,9 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q40_hash_sample" -> q40Sql,
+    "q41_stream_dedup" -> q41Sql,
+    "q42_decontaminate" -> q42Sql,
     "q14_simhash" -> q14Sql,
     "q17_cosine_lsh" -> q17Sql,
     "q24_multimodal" -> q24Sql,

@@ -60,6 +60,39 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact deduplication: dropDuplicates on a content digest
+    * over a file stream. The output keeps ONLY content-derived columns
+    * (the md5 digest), so the result set is independent of which member
+    * of a duplicate class arrived first — micro-batch arrival order is
+    * nondeterministic, the distinct digest set is not (that's what
+    * makes this oracle-checkable). In an unbounded deployment pair this
+    * with `withWatermark` + `dropDuplicatesWithinWatermark` so the
+    * digest state store evicts; the bounded local smoke keeps full
+    * state, which is exact.
+    */
+  def streamDistinctDigests(spark: SparkSession, parquetPath: String,
+                            textCol: String,
+                            queryName: String = "stream_dedup")
+      : DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
+      else reader0
+    val srcPath = if (f.isFile) f.getParent else parquetPath
+    val distinct = reader.parquet(srcPath)
+      .select(md5(col(textCol)).as("digest"))
+      .dropDuplicates("digest")
+    val q = distinct.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionization: session_window with gap — batch twin. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes"): DataFrame =

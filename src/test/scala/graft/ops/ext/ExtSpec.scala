@@ -149,6 +149,47 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("thresholdHex maps rates to fixed-width lowercase hex") {
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.125) == "20000000")
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(1.0) == "ffffffff")
+  }
+
+  test("hash sample is deterministic and near the nominal rate") {
+    val ids = (1L to 4000L).toDF("id")
+    val once = Sampling.sample(ids, "id", 0.25).as[Long].collect().toSet
+    val again = Sampling.sample(ids, "id", 0.25).as[Long].collect().toSet
+    assert(once == again)
+    assert(math.abs(once.size / 4000.0 - 0.25) < 0.03)
+  }
+
+  test("rate-0.25 sample is a subset of the rate-0.5 sample") {
+    // threshold sampling nests: raising the rate only ADDS rows — the
+    // property that makes staged corpus scale-ups reproducible
+    val ids = (1L to 2000L).toDF("id")
+    val small = Sampling.sample(ids, "id", 0.25).as[Long].collect().toSet
+    val large = Sampling.sample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratified rates apply per stratum with default fallback") {
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, "id", "s",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(out("a") == 1000L)
+    assert(!out.contains("b"))
+    assert(math.abs(out("c") / 1000.0 - 0.5) < 0.06)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
