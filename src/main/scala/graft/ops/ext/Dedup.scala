@@ -252,22 +252,69 @@ object Dedup {
     * (hamming <= maxHamming, exact by pigeonhole); the exact shingle
     * jaccard then decides membership, so the result is checkable against
     * an exhaustive-jaccard oracle — and at scale the verify join still
-    * touches only candidate pairs, never n^2. `maxHamming` is a recall
-    * knob: generous values (15 of 64 bits) keep every plausible pair.
+    * touches only candidate pairs, never n^2.
+    *
+    * SCOPE: documents with >= `minTokens` tokens. A simhash bit flips
+    * when its token-vote margin crosses zero, and margins scale with
+    * sqrt(n_tokens) — so the fingerprint distance of a true
+    * jaccard-0.8 pair is bounded ONLY for long-enough docs (measured on
+    * the gate corpus at sf0.1: max hamming 6 at >= 50 tokens, but 16 —
+    * unbounded in principle — below 25 tokens). Restricting to long
+    * docs is what makes a tight `maxHamming` honest, and a tight
+    * maxHamming is what allows few WIDE bands: 8 bands of 8 bits sees
+    * 2^-8 of each corpus side per bucket vs 2^-4 for the 16x4 split a
+    * hamming-15 envelope would force — 32x fewer junk pairs enumerated.
+    * Short docs belong on the MinHash path ([[hybridNearDups]]), whose
+    * recall does not depend on document length.
     */
   def simhashNearDupsVerified(df: DataFrame, textCol: String, idCol: String,
-                              shingleSize: Int = 3, maxHamming: Int = 15,
-                              bands: Int = 16, threshold: Double = 0.8)
+                              shingleSize: Int = 3, maxHamming: Int = 7,
+                              bands: Int = 8, threshold: Double = 0.8,
+                              minTokens: Int = 50)
       : DataFrame = {
-    val cand = simhashNearDups(df, textCol, idCol, maxHamming, bands)
+    val long = df.filter(
+      size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0)) >= minTokens)
+    val cand = simhashNearDups(long, textCol, idCol, maxHamming, bands)
       .select(col("id_a"), col("id_b"))
-    val sh = df.select(col(idCol).as("id"),
+    val sh = long.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
     cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full-corpus near-duplicate pairs by LENGTH-ROUTED candidate
+    * generation: long docs (>= minTokens tokens) through the wide-band
+    * simhash path, short docs through MinHash-LSH (recall independent
+    * of length). The routing is lossless for the pair set: jaccard >=
+    * `threshold` bounds the shingle-count ratio by `threshold`, so a
+    * pair whose smaller doc is short has BOTH docs under
+    * minTokens/threshold tokens — the short path's input includes that
+    * slack band, and pairs falling in both paths (both docs inside
+    * [minTokens, minTokens/threshold)) collapse in the final distinct.
+    * Both paths verify with the same exact jaccard, so the union equals
+    * the exhaustive-jaccard pair set (up to the documented ~1e-7
+    * banding miss), whichever generator found the pair.
+    */
+  def hybridNearDups(df: DataFrame, textCol: String, idCol: String,
+                     shingleSize: Int = 3, threshold: Double = 0.8,
+                     minTokens: Int = 50): DataFrame = {
+    val nToks = size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => length(t) > 0))
+    // shingle counts are n-(shingleSize-1); the ratio bound plus the
+    // shingle/token offset gives the short path's upper cutoff
+    val shortCutoff = ((minTokens - (shingleSize - 1)) / threshold).toInt +
+      shingleSize // tokens strictly below this go short
+    val short = df.filter(nToks < shortCutoff)
+    val shortPairs = minhashNearDups(short, textCol, idCol, shingleSize,
+        threshold = threshold, includeExactDuplicates = true)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val longPairs = simhashNearDupsVerified(df, textCol, idCol, shingleSize,
+      threshold = threshold, minTokens = minTokens)
+    shortPairs.unionByName(longPairs).dropDuplicates("id_a", "id_b")
   }
 
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ops.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.RangeJoin
+import graft.ops.ext.{Chunking, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -613,7 +614,141 @@ object ExtQueries {
        |FROM cand JOIN bench USING (g)
        |GROUP BY doc_id, n_shingles""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Bin-bucketed range join: lineitems shipped inside each sampled
+    * order's 7-day window, as an equi-join on day bins (binWidth 8 →
+    * each interval touches <= 2 bins) — never a nested-loop scan. Day
+    * precision on both engines: timestamps are cast to dates before
+    * comparing. Bin width also sets join parallelism (~one bucket per
+    * 8-day slice of the date domain), so it must stay small relative to
+    * the domain — a width swallowing the whole domain would serialize
+    * the join the same way it would any hash join on a constant key.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val day = (c: String) => unix_date(to_date(col(c)))
+    val iv = T(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), day("o_orderdate").as("start_day"),
+        (day("o_orderdate") + 7).as("end_day"))
+    val pts = T(s, dir, "lineitem")
+      .select(col("l_quantity"), day("l_shipdate").as("ship_day"))
+    RangeJoin.pointInInterval(pts, "ship_day", iv, "start_day", "end_day",
+        binWidth = 8)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_qty"))
+  }
+  val q43Sql: String =
+    """SELECT o_orderkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem
+      |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 7
+      |WHERE o_orderkey % 100 = 0
+      |GROUP BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** The composed curation pipeline (quality → exact dedup → near-dup
+    * drop → decontamination → stratified sample) on the near-dup corpus
+    * (mutated copies carry their base doc's lang/source), with every
+    * 17th base doc playing the held-out benchmark. Mutated near-copies
+    * of benchmark docs land in the corpus — exactly the contamination
+    * the decontaminate stage exists to catch.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val toks = TextAnalysis.tokens(col("text"))
+    val mutated = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+          .as("text"), col("lang"), col("source"))
+    val corpus = docs.unionByName(mutated).filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    Curation.curate(corpus, bench, "text", "doc_id", "lang",
+        minTokens = 10, nearDupThreshold = 0.8, contaminationMax = 0.2,
+        rates = Map("en" -> 0.5), defaultRate = 1.0)
+      .select("doc_id", "lang", "source")
+  }
+  val q44Sql: String =
+    s"""WITH mut AS (SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text, lang, source
+       |  FROM (SELECT doc_id, lang, source,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM documents WHERE doc_id % 10 = 0)),
+       |corp AS (SELECT * FROM (
+       |    SELECT doc_id, text, lang, source FROM documents
+       |    UNION ALL SELECT * FROM mut)
+       |  WHERE doc_id % 17 <> 0),
+       |qual AS (SELECT * FROM corp
+       |  WHERE len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0)) >= 10),
+       |ded AS (SELECT * FROM qual
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM qual GROUP BY text)),
+       |shq AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM ded)),
+       |dup_b AS (SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM shq a JOIN shq b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |nd AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)),
+       |bench_g AS (SELECT DISTINCT unnest(sh) AS g
+       |  FROM (SELECT $shinglesSql AS sh
+       |        FROM (SELECT list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |              FROM documents WHERE doc_id % 17 = 0))),
+       |contam AS (SELECT doc_id FROM (
+       |    SELECT doc_id, round(count(*)::DOUBLE / any_value(n_sh), 6) AS c
+       |    FROM (SELECT doc_id, len(sh)::BIGINT AS n_sh, unnest(sh) AS g
+       |          FROM (SELECT doc_id, $shinglesSql AS sh
+       |                FROM (SELECT doc_id,
+       |                        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |                      FROM nd)))
+       |    JOIN bench_g USING (g) GROUP BY doc_id)
+       |  WHERE c >= 0.2)
+       |SELECT doc_id, lang, source FROM nd
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    CASE WHEN lang = 'en' THEN '80000000' ELSE 'ffffffff' END""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Fixed-token-window chunking (64-token chunks, stride 48): the
+    * long-doc → training-sequence split as narrow expressions.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Chunking.fixedTokenChunks(T(s, dir, "documents"), "text",
+      chunkSize = 64, stride = 48)
+  val q45Sql: String =
+    """SELECT doc_id, lang, source, n_chars, CAST(chunk_id AS INT) AS chunk_id,
+      |  array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+      |  len(toks[chunk_id*48+1 : chunk_id*48+64])::INT AS n_chunk_tokens
+      |FROM (SELECT doc_id, lang, source, n_chars, toks,
+      |        unnest(range(0, 1 + CAST(ceil(greatest(len(toks)-64, 0) / 48.0) AS BIGINT)))
+      |          AS chunk_id
+      |      FROM (SELECT doc_id, lang, source, n_chars,
+      |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+      |            FROM documents))""".stripMargin
+
+  /** q38's oracle: the exhaustive-jaccard pair set restricted to the
+    * simhash path's documented envelope (both docs >= 50 tokens).
+    */
+  val q38Sql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM corpus)
+       |  WHERE len(toks) >= 50)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_range_join" -> (q43 _),
+    "q44_curation" -> (q44 _),
+    "q45_chunking" -> (q45 _),
     "q40_hash_sample" -> (q40 _),
     "q41_stream_dedup" -> (q41 _),
     "q42_decontaminate" -> (q42 _),
@@ -623,12 +758,20 @@ object ExtQueries {
     "q33_stateful_stream" -> (q33 _),
     "q34_asof_join" -> (q34 _),
     "q35_embedding_neardup" -> (q35 _),
-    // SimHash-candidates + exact-jaccard-verified near-dup pairs: the
-    // final pair set is engine-portable (same oracle as q13 — a second
-    // candidate-generation algorithm converging on the same exact set)
+    // SimHash-candidates + exact-jaccard-verified near-dup pairs over
+    // the long-doc slice (simhash's honest envelope — see the operator
+    // scaladoc); oracle = exhaustive jaccard restricted the same way
     "q38_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupsVerified(nearDupCorpus(s, dir), "text", "doc_id",
-        shingleSize = 3, maxHamming = 15, bands = 16, threshold = 0.8)
+        shingleSize = 3, maxHamming = 7, bands = 8, threshold = 0.8,
+        minTokens = 50)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+    // length-routed hybrid (simhash long docs + minhash short docs)
+    // converging on the SAME full exhaustive pair set as q13
+    "q46_hybrid_neardup" -> ((s, dir) =>
+      Dedup.hybridNearDups(nearDupCorpus(s, dir), "text", "doc_id",
+        shingleSize = 3, threshold = 0.8, minTokens = 50)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))),
     "q37_cosine_ivf" -> ((s, dir) => {
@@ -694,6 +837,10 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q43_range_join" -> q43Sql,
+    "q44_curation" -> q44Sql,
+    "q45_chunking" -> q45Sql,
+    "q46_hybrid_neardup" -> q13Sql,
     "q40_hash_sample" -> q40Sql,
     "q41_stream_dedup" -> q41Sql,
     "q42_decontaminate" -> q42Sql,
@@ -702,7 +849,7 @@ object ExtQueries {
     "q24_multimodal" -> q24Sql,
     "q26_hdf5_roundtrip" -> q26Sql,
     "q33_stateful_stream" -> q33Sql,
-    "q38_simhash_neardup" -> q13Sql,
+    "q38_simhash_neardup" -> q38Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
     "q34_asof_join" -> q34Sql,

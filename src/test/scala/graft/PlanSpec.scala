@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed path must not plan a nested-loop join:\n$plan")
   }
 
+  test("q43 range join plans as an equi-join on day bins, no nested loop") {
+    val plan = planOf("q43_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"range join planned a cartesian product:\n$plan")
+  }
+
   test("q31 per-group top-k stays a single window pass") {
     val plan = planOf("q31_topk_per_group")
     assert(plan.contains("Window"), "expected window exec")

@@ -1,0 +1,110 @@
+package graft.ops.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windows tile the token stream with the configured stride") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.fixedTokenChunks(df, "text", chunkSize = 4, stride = 3)
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, "t1 t2 t3 t4", 4),
+      (1, "t4 t5 t6 t7", 4),
+      (2, "t7 t8 t9 t10", 4)))
+  }
+
+  test("short and empty docs yield exactly one chunk") {
+    val df = Seq((1L, "only two"), (2L, "")).toDF("doc_id", "text")
+    val got = Chunking.fixedTokenChunks(df, "text", chunkSize = 64, stride = 48)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0, "only two", 2), (2L, 0, "", 0)))
+  }
+
+  test("every token position is covered by some chunk") {
+    val n = 157
+    val df = Seq((1L, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val covered = Chunking.fixedTokenChunks(df, "text", 64, 48)
+      .select("chunk_text").as[String].collect()
+      .flatMap(_.split(" ")).toSet
+    assert(covered == (1 to n).map(i => s"w$i").toSet)
+  }
+}
+
+class HybridNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus with a SHORT near-dup pair (below the simhash envelope), a
+  // LONG near-dup pair, and unrelated docs — the hybrid must find both
+  // pairs; the simhash-only path only the long one
+  private def mkCorpus() = {
+    val longText = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val longMut = (1 to 78).map(i => s"tok$i").mkString(" ")
+    val shortText = (1 to 20).map(i => s"s$i").mkString(" ")
+    val shortMut = (1 to 19).map(i => s"s$i").mkString(" ")
+    val noise = (1 to 50).map(j =>
+      (100L + j, (1 to 40).map(i => s"n${j}x$i").mkString(" ")))
+    (Seq((1L, longText), (2L, longMut), (3L, shortText), (4L, shortMut)) ++
+      noise).toDF("doc_id", "text")
+  }
+
+  test("routes short pairs to minhash, long pairs to simhash — finds both") {
+    val pairs = Dedup.hybridNearDups(mkCorpus(), "text", "doc_id",
+        threshold = 0.8, minTokens = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("simhash-only path scopes to long docs (short pair out of envelope)") {
+    val pairs = Dedup.simhashNearDupsVerified(mkCorpus(), "text", "doc_id",
+        threshold = 0.8, minTokens = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("each stage drops exactly the rows it should") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val benchText = (1 to 60).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, good, "en"),                       // survives
+      (2L, "too short", "en"),                // quality gate
+      (3L, good, "de"),                       // exact dup of 1 (larger id)
+      (4L, (1 to 58).map(i => s"w$i").mkString(" "), "de"), // near-dup of 1
+      (5L, benchText, "de")                   // contaminated vs benchmark
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Curation.curate(docs, bench, "text", "doc_id", "lang",
+        minTokens = 10, nearDupThreshold = 0.8, contaminationMax = 0.2,
+        rates = Map.empty, defaultRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  test("sampling stage respects per-stratum rates deterministically") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"doc $i " + (1 to 20).map(j => s"u${i}t$j").mkString(" "),
+        if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val bench = Seq((9999L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, bench, "text", "doc_id", "lang",
+      minTokens = 5, nearDupThreshold = 0.9, contaminationMax = 0.5,
+      rates = Map("en" -> 0.0), defaultRate = 1.0)
+    val langs = out.select("lang").as[String].collect()
+    assert(!langs.contains("en"))
+    assert(langs.count(_ == "fr") == 200)
+  }
+}
