@@ -47,15 +47,25 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word shingles of size n (lowercased, split on non-alphanumerics).
-    * Pure expression: split -> filter empties -> sliding windows via
-    * transform(sequence(...)).
+  /** Word shingles of size n (lowercased, split on non-alphanumerics),
+    * HASHED: each sliding window maps to one xxhash64 long instead of
+    * carrying the concatenated string. Pure expression: split -> filter
+    * empties -> windows via transform(sequence(...)). The long arrays
+    * make array_distinct/intersect/union cheap and the shuffled shingle
+    * frames ~8x narrower (q38 sf0.1: 7.4 s -> 5.1 s; the alternative of
+    * hashing per-position element_at columns measured SLOWER than
+    * hashing the concatenated window — the wider hash input loses more
+    * than the string allocation saves). Distinct windows collide with
+    * probability
+    * ~2^-64, so every set cardinality downstream (jaccard, overlap
+    * counts) matches the string-shingle construction the DuckDB oracles
+    * use — shingle VALUES never surface in any result.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
     val count = greatest(size(toks) - (n - 1), lit(1))
     array_distinct(transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
   /** Exact pairwise Jaccard over two shingle-array columns. */
@@ -106,8 +116,8 @@ object Dedup {
     val sh = reps.select(col("id"),
       shingles(col("__text"), shingleSize).as("sh"))
       .persist()
-    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    // shingles are already xxhash64 longs — they ARE the base hashes
+    val hashed = sh.select(col("id"), explode(col("sh")).as("h"))
     // k derived hash functions: xxhash64 of (base hash, seed index) —
     // two-word hashing, codegen'd, no overflow (ANSI-safe)
     val aggs = (0 until k).map { i =>
@@ -275,11 +285,17 @@ object Dedup {
     val long = df.filter(
       size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         t => length(t) > 0)) >= minTokens)
-    val cand = simhashNearDups(long, textCol, idCol, maxHamming, bands)
-      .select(col("id_a"), col("id_b"))
+    // the candidate set is orders of magnitude smaller than the corpus:
+    // broadcast it through both verify joins so the wide shingle frame
+    // is probed in place (never shuffle-sorted with its arrays)
+    val cand = broadcast(simhashNearDups(long, textCol, idCol, maxHamming, bands)
+      .select(col("id_a"), col("id_b")))
+    // persisted: both sides of the verify join probe it — without the
+    // persist the corpus text scan + shingling run twice
     val sh = long.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      shingles(col(textCol), shingleSize).as("sh")).persist()
+    broadcast(cand
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a")))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -21,12 +21,16 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L))
   }
 
-  test("shingles are sliding distinct word 3-grams") {
+  test("shingles are sliding distinct hashed word 3-grams") {
     val sh = docs.filter($"doc_id" === 4)
-      .select(Dedup.shingles($"text", 3)).head.getSeq[String](0)
-    assert(sh.contains("completely different words"))
-    assert(sh.contains("words entirely here"))
+      .select(Dedup.shingles($"text", 3)).head.getSeq[Long](0)
     assert(sh.size == 4) // 6 tokens -> 4 shingles
+    assert(sh.distinct.size == 4)
+    // window hash = xxhash64 of the space-joined window, order-sensitive
+    val h = docs.sparkSession.range(1)
+      .select(xxhash64(lit("completely different words")))
+      .head.getLong(0)
+    assert(sh.contains(h))
   }
 
   test("jaccard of identical sets is 1, disjoint is 0") {
