@@ -48,24 +48,23 @@ object Dedup {
   }
 
   /** Word shingles of size n (lowercased, split on non-alphanumerics),
-    * HASHED: each sliding window maps to one xxhash64 long instead of
-    * carrying the concatenated string. Pure expression: split -> filter
-    * empties -> windows via transform(sequence(...)). The long arrays
-    * make array_distinct/intersect/union cheap and the shuffled shingle
-    * frames ~8x narrower (q38 sf0.1: 7.4 s -> 5.1 s; the alternative of
-    * hashing per-position element_at columns measured SLOWER than
-    * hashing the concatenated window — the wider hash input loses more
-    * than the string allocation saves). Distinct windows collide with
-    * probability
-    * ~2^-64, so every set cardinality downstream (jaccard, overlap
-    * counts) matches the string-shingle construction the DuckDB oracles
-    * use — shingle VALUES never surface in any result.
+    * HASHED: each sliding window maps to one hash long instead of a
+    * concatenated string — long arrays make array_distinct/intersect/
+    * union cheap and shuffled shingle frames ~8x narrower. Windowing +
+    * hashing + dedup run in the native [[graft.expr.ShingleHashes]]
+    * Catalyst expression (zero per-window allocations, whole-stage
+    * codegen) — the composed transform/slice/concat_ws form measured
+    * 3.7 s at sf0.1 and the per-window string allocation was most of
+    * it. Distinct windows collide with probability ~2^-64, so every set
+    * cardinality downstream (jaccard, overlap counts) matches the
+    * string-shingle construction the DuckDB oracles use — shingle
+    * VALUES never surface in any result.
     */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
     val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), count - 1),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    GraftExpressionBridge.column(
+      graft.expr.ShingleHashes(GraftExpressionBridge.expression(toks), n))
   }
 
   /** Exact pairwise Jaccard over two shingle-array columns. */
