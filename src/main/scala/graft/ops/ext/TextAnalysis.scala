@@ -74,6 +74,29 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4.0)) * 0.3, 6))
   }
 
+  /** Intra-document repetition signals (the RefinedWeb-style quality
+    * gates): distinct-token ratio and duplicated n-gram ratios. A
+    * templated/spammy doc repeats its n-grams, so
+    * 1 - distinct_windows/total_windows spikes — cheap narrow
+    * expressions, no shuffle, and fully portable to the SQL oracle
+    * (window counts only, via the same sliding-window construction).
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String,
+                         ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks).cast("double")
+    val base = df
+      .withColumn("n_tokens", nToks)
+      .withColumn("distinct_token_ratio",
+        when(nToks > 0,
+          round(size(array_distinct(toks)) / nToks, 6)).otherwise(1.0))
+    ns.foldLeft(base) { (acc, n) =>
+      val total = greatest(size(toks) - (n - 1), lit(1)).cast("double")
+      acc.withColumn(s"dup_${n}gram_ratio",
+        round(lit(1.0) - size(Dedup.shingles(col(textCol), n)) / total, 6))
+    }
+  }
+
   /** Polynomial rolling-hash fingerprint over the document's characters:
     * h = (h * 31 + codepoint) mod 1e9+7. A native fold expression —
     * deterministic, engine-portable (same recurrence is expressible in

@@ -728,6 +728,74 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** PII redaction gate: deterministic PII (email / phone / URL / IPv4)
+    * is injected into every 7th doc on BOTH engines, then redacted with
+    * the same RE2∩Java pattern set — the redacted TEXT is hash-checked,
+    * not just the counts. Count columns measure each pattern on the
+    * progressively-redacted text (an IP inside a URL counts as URL).
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextClean
+    val id = col("doc_id")
+    val injected = T(s, dir, "documents").select(id, when(id % 7 === 0,
+      concat(col("text"),
+        lit(" contact user"), id.cast("string"), lit("@example.com"),
+        lit(" or +1 (555) 010-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" visit https://example.com/u/"), id.cast("string"),
+        lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+        (id % 100).cast("string")))
+      .otherwise(col("text")).as("text"))
+    injected.select(id +: TextClean.redact(col("text")).as("redacted") +:
+      TextClean.matchCounts(col("text")): _*)
+  }
+  val q47Sql: String = {
+    import graft.ops.ext.TextClean.Patterns
+    // same pattern strings as the engine, applied in the same order
+    val stages = Patterns.scanLeft("text") { case (in, (_, pat, repl)) =>
+      s"regexp_replace($in, '$pat', '$repl', 'g')"
+    }
+    val counts = Patterns.zip(stages).map { case ((kind, pat, _), in) =>
+      s"len(regexp_extract_all($in, '$pat'))::INT AS n_$kind"
+    }
+    s"""SELECT doc_id, ${stages.last} AS redacted,
+       |  ${counts.mkString(",\n  ")}
+       |FROM (SELECT doc_id,
+       |        CASE WHEN doc_id % 7 = 0 THEN text
+       |            || ' contact user' || doc_id || '@example.com'
+       |            || ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |            || ' visit https://example.com/u/' || doc_id
+       |            || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+       |          ELSE text END AS text
+       |      FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Intra-doc repetition quality signals (distinct-token ratio,
+    * duplicated 2-/3-gram ratios) — RefinedWeb-style gates as narrow
+    * expressions.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFeatures(
+      T(s, dir, "documents").select("doc_id", "text"), "text", Seq(2, 3))
+      .select("doc_id", "n_tokens", "distinct_token_ratio",
+        "dup_2gram_ratio", "dup_3gram_ratio")
+  val q48Sql: String =
+    """SELECT doc_id, len(toks)::DOUBLE AS n_tokens,
+      |  CASE WHEN len(toks) > 0
+      |    THEN round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+      |    ELSE 1.0 END AS distinct_token_ratio,
+      |  round(1.0 - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+      |      for i in range(1, greatest(len(toks)-1, 1)+1)]))::DOUBLE
+      |    / greatest(len(toks)-1, 1), 6) AS dup_2gram_ratio,
+      |  round(1.0 - len(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |      for i in range(1, greatest(len(toks)-2, 1)+1)]))::DOUBLE
+      |    / greatest(len(toks)-2, 1), 6) AS dup_3gram_ratio
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+      |      FROM documents)""".stripMargin
+
   /** q38's oracle: the exhaustive-jaccard pair set restricted to the
     * simhash path's documented envelope (both docs >= 50 tokens).
     */
@@ -746,6 +814,8 @@ object ExtQueries {
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_redact" -> (q47 _),
+    "q48_repetition" -> (q48 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -837,6 +907,8 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q47_redact" -> q47Sql,
+    "q48_repetition" -> q48Sql,
     "q43_range_join" -> q43Sql,
     "q44_curation" -> q44Sql,
     "q45_chunking" -> q45Sql,
