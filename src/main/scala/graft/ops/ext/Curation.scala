@@ -38,14 +38,19 @@ object Curation {
              rates: Map[String, Double] = Map.empty,
              defaultRate: Double = 1.0): DataFrame = {
     val quality = docs.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
-    val exact = Dedup.exactByHash(quality, textCol, idCol)
+    // stage boundaries persist: `exact` feeds the near-dup pass AND the
+    // anti-join left side; `deduped` (below) feeds decontamination AND
+    // the final anti-join — without caching, the exact-dedup window
+    // recomputes once per consumer. In a production-scale run the
+    // equivalent move is checkpointing between curation stages.
+    val exact = Dedup.exactByHash(quality, textCol, idCol).persist()
     // drop the larger id of every near-dup pair (id_a < id_b by
     // construction): simple, deterministic, non-transitive — a doc is
     // dropped iff SOME smaller-id near-dup exists, dropped or not
     val dupIds = Dedup.minhashNearDups(exact, textCol, idCol,
         threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    val deduped = exact.join(dupIds, Seq(idCol), "left_anti")
+    val deduped = exact.join(dupIds, Seq(idCol), "left_anti").persist()
     val contaminatedIds = Decontaminate
       .ngramOverlap(deduped, benchmark, textCol, idCol)
       .filter(col("contamination") >= contaminationMax)

@@ -728,6 +728,30 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Stream-static join: the bounded events stream enriched against a
+    * static user-dimension (derived deterministically from the batch
+    * table: distinct users bucketed into named segments), then
+    * tumbling-window aggregated per segment. Oracle = the same join +
+    * window in batch SQL.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("seg_"), (col("user_id") % 5).cast("string"))
+          .as("segment"))
+    StreamOps.streamStaticEnrich(s, s"$dir/events.parquet", "ts",
+      "user_id", dim, "segment", "1 hour", "1 hour", "q49_stream",
+      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+  val q49Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  'seg_' || (user_id % 5) AS segment,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q47
   /** PII redaction gate: deterministic PII (email / phone / URL / IPv4)
     * is injected into every 7th doc on BOTH engines, then redacted with
@@ -816,6 +840,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_redact" -> (q47 _),
     "q48_repetition" -> (q48 _),
+    "q49_stream_enrich" -> (q49 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -909,6 +934,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q47_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
+    "q49_stream_enrich" -> q49Sql,
     "q43_range_join" -> q43Sql,
     "q44_curation" -> q44Sql,
     "q45_chunking" -> q45Sql,

@@ -93,6 +93,49 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: join a stream to a STATIC dimension
+    * (Spark plans it as a broadcast per micro-batch — the canonical
+    * enrich-then-aggregate shape), then tumbling-window aggregate on a
+    * dimension attribute. At scale the static side is a dimension
+    * snapshot refreshed by restarting the query (or a stream-stream
+    * join with watermarks if it must be live); state is bounded by the
+    * watermark exactly as in the plain windowed agg.
+    */
+  def streamStaticEnrich(spark: SparkSession, parquetPath: String,
+                         tsCol: String, keyCol: String,
+                         dim: DataFrame, segCol: String,
+                         window: String = "1 hour",
+                         watermark: String = "1 hour",
+                         queryName: String = "stream_enrich",
+                         prepare: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
+      else reader0
+    val srcPath = if (f.isFile) f.getParent else parquetPath
+    val enriched = prepare(reader.parquet(srcPath))
+      .join(broadcast(dim), keyCol)
+    val agg = enriched
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(segCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col(segCol),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionization: session_window with gap — batch twin. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes"): DataFrame =
