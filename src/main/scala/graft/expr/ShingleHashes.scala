@@ -52,13 +52,23 @@ case class ShingleHashes(child: Expression, n: Int)
 object ShingleHashes {
   private final val Seed = 42L
 
-  /** Window-hash kernel. Shared by interpreted eval and codegen. */
+  /** Window-hash kernel. Shared by interpreted eval and codegen.
+    * Zero-length tokens are skipped HERE (not by a preceding
+    * higher-order `filter`): `ArrayFilter` is CodegenFallback in Spark,
+    * so keeping it in the tree would push the whole enclosing Project
+    * out of whole-stage codegen — and the kernel skip is free.
+    */
   def compute(arr: ArrayData, n: Int): ArrayData = {
-    val t = arr.numElements()
-    val tokenHash = new Array[Long](t)
+    val raw = arr.numElements()
+    val tokenHash = new Array[Long](raw)
+    var t = 0
     var i = 0
-    while (i < t) {
-      tokenHash(i) = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+    while (i < raw) {
+      val tok = arr.getUTF8String(i)
+      if (tok.numBytes() > 0) {
+        tokenHash(t) = XXH64.hashUTF8String(tok, Seed)
+        t += 1
+      }
       i += 1
     }
     val w = math.max(t - n + 1, 1)

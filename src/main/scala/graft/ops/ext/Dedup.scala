@@ -62,7 +62,11 @@ object Dedup {
     */
   def shingles(text: Column, n: Int = 3): Column = {
     import org.apache.spark.sql.GraftExpressionBridge
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    // no higher-order filter here: empty tokens are skipped inside the
+    // kernel, keeping the whole expression tree codegen-able
+    // (ArrayFilter would push the enclosing Project out of
+    // whole-stage codegen — plan-asserted in PlanSpec)
+    val toks = split(lower(text), "[^a-z0-9]+")
     GraftExpressionBridge.column(
       graft.expr.ShingleHashes(GraftExpressionBridge.expression(toks), n))
   }

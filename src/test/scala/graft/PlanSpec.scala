@@ -52,6 +52,19 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed path must not plan a nested-loop join:\n$plan")
   }
 
+  test("ShingleHashes runs inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("q15_ngram_jaccard")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages are real
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("shingle_hashes"),
+      s"expected shingle_hashes in plan:\n$plan")
+    // a codegen'd operator prints with the `*(n)` star; the Project
+    // evaluating shingle_hashes must carry it (no row-boxed fallback)
+    val starredProject = """\*\(\d+\) Project \[[^\n]*shingle_hashes""".r
+    assert(starredProject.findFirstIn(plan).isDefined,
+      s"shingle_hashes Project not codegen'd:\n$plan")
+  }
+
   test("q43 range join plans as an equi-join on day bins, no nested loop") {
     val plan = planOf("q43_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
