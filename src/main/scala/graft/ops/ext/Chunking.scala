@@ -1,6 +1,7 @@
 package graft.ops.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-size token-window chunking with stride — the standard
@@ -24,6 +25,39 @@ object Chunking {
     * columns except the text, plus `chunk_id` (0-based), `chunk_text`,
     * `n_chunk_tokens`.
     */
+  /** GPT-style sequence packing: chunks are concatenated in a
+    * deterministic order and cut every `budget` tokens; a chunk
+    * straddling a cut contributes to both sequences. Assignment is by
+    * token offset — a window cumsum turns each chunk into a span
+    * [cum - n, cum), and the spans are binned exactly like the range
+    * join (explode to overlapped budget-multiples).
+    *
+    * The cumsum window partitions by `shardCol`, NOT globally: a global
+    * ordering is the classic single-partition window anti-pattern at
+    * 100 TB. Production packing is shard-local anyway (sequence ids are
+    * (shard, local_seq)); shards pack in parallel, one window shuffle.
+    * Output: one row per (chunk x sequence it feeds) with `seq_id` and
+    * `tok_in_seq` (tokens this chunk contributes to that sequence).
+    */
+  def packSequences(chunks: DataFrame, shardCol: String,
+                    orderCols: Seq[String], tokenCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
+    val cum = sum(col(tokenCol)).over(w)
+    chunks
+      .filter(col(tokenCol) > 0)
+      .withColumn("__end", cum)
+      .withColumn("__start", cum - col(tokenCol))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / budget),
+        floor((col("__end") - 1) / budget))))
+      .withColumn("tok_in_seq",
+        least(col("__end"), (col("seq_id") + 1) * budget) -
+          greatest(col("__start"), col("seq_id") * budget))
+      .drop("__start", "__end")
+  }
+
   def fixedTokenChunks(df: DataFrame, textCol: String,
                        chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,

@@ -728,6 +728,50 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Sequence packing over the q45 chunks: disjoint 64-token tiling
+    * (stride = chunkSize), shard-local concat-and-cut at a 256-token
+    * budget. Per-(shard, sequence) composition summary; every interior
+    * sequence totals exactly the budget.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Chunking
+    val chunks = Chunking.fixedTokenChunks(
+        T(s, dir, "documents").select("doc_id", "text"), "text",
+        chunkSize = 64, stride = 64)
+      .withColumn("shard", col("doc_id") % 8)
+    Chunking.packSequences(chunks, "shard", Seq("doc_id", "chunk_id"),
+        "n_chunk_tokens", budget = 256)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tok_in_seq")).as("n_tokens"))
+  }
+  val q50Sql: String =
+    """WITH chunks AS (
+      |  SELECT doc_id, chunk_id,
+      |    len(toks[chunk_id*64+1 : chunk_id*64+64])::BIGINT AS n
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(0, 1 + CAST(ceil(greatest(len(toks)-64, 0) / 64.0) AS BIGINT)))
+      |            AS chunk_id
+      |        FROM (SELECT doc_id,
+      |                list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+      |              FROM documents))),
+      |spans AS (
+      |  SELECT doc_id % 8 AS shard, doc_id, chunk_id, n,
+      |    CAST(sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM chunks WHERE n > 0),
+      |binned AS (
+      |  SELECT shard, doc_id, cum - n AS s, cum AS e,
+      |    unnest(range((cum - n) // 256, (cum - 1) // 256 + 1)) AS seq_id
+      |  FROM spans)
+      |SELECT shard, seq_id, count(*) AS n_chunks,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  CAST(sum(least(e, (seq_id+1)*256) - greatest(s, seq_id*256)) AS BIGINT)
+      |    AS n_tokens
+      |FROM binned GROUP BY shard, seq_id""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Stream-static join: the bounded events stream enriched against a
     * static user-dimension (derived deterministically from the batch
@@ -841,6 +885,7 @@ object ExtQueries {
     "q47_redact" -> (q47 _),
     "q48_repetition" -> (q48 _),
     "q49_stream_enrich" -> (q49 _),
+    "q50_seq_packing" -> (q50 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -935,6 +980,7 @@ object ExtQueries {
     "q47_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
     "q49_stream_enrich" -> q49Sql,
+    "q50_seq_packing" -> q50Sql,
     "q43_range_join" -> q43Sql,
     "q44_curation" -> q44Sql,
     "q45_chunking" -> q45Sql,

@@ -39,6 +39,44 @@ class ChunkingSpec extends AnyFunSuite {
   }
 }
 
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val chunks = Seq(
+    // shard 0: token counts 100, 200, 30 -> cum 100, 300, 330
+    (0L, 1L, 0, 100L), (0L, 1L, 1, 200L), (0L, 3L, 0, 30L),
+    // shard 1: a single chunk larger than two budgets
+    (1L, 2L, 0, 600L),
+    // zero-token chunk must be ignored
+    (0L, 9L, 0, 0L)
+  ).toDF("shard", "doc_id", "chunk_id", "n")
+
+  test("spans split across budget cuts; contributions sum to chunk size") {
+    val out = Chunking.packSequences(chunks, "shard",
+        Seq("doc_id", "chunk_id"), "n", budget = 256)
+      .select("shard", "doc_id", "chunk_id", "seq_id", "tok_in_seq")
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 0, 0L, 100L),            // fits seq 0
+      (0L, 1L, 1, 0L, 156L), (0L, 1L, 1, 1L, 44L), // straddles the cut
+      (0L, 3L, 0, 1L, 30L),
+      (1L, 2L, 0, 0L, 256L), (1L, 2L, 0, 1L, 256L), (1L, 2L, 0, 2L, 88L)))
+  }
+
+  test("interior sequences total exactly the budget") {
+    val totals = Chunking.packSequences(chunks, "shard",
+        Seq("doc_id", "chunk_id"), "n", budget = 256)
+      .groupBy("shard", "seq_id").agg(sum("tok_in_seq").as("t"))
+      .as[(Long, Long, Long)].collect()
+    val maxSeq = totals.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    totals.foreach { case (shard, seq, t) =>
+      if (seq < maxSeq(shard)) assert(t == 256L, s"interior seq $shard/$seq")
+      else assert(t <= 256L)
+    }
+  }
+}
+
 class HybridNearDupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
