@@ -42,6 +42,7 @@ object Main {
       case "run" => run(opts)
       case "hdf2parquet" => hdf2parquet(opts)
       case "profile" => profile(opts)
+      case "curate" => curate(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -115,10 +116,48 @@ object Main {
     } finally spark.stop()
   }
 
+  /** The full corpus-curation pipeline as one command: quality gate →
+    * exact dedup → near-dup drop → (optional) benchmark decontamination
+    * → (optional) stratified sampling, written as parquet.
+    * `--rates` is `stratum=rate,...` over `--strata-col` (defaults keep
+    * everything).
+    */
+  private def curate(opts: Map[String, String]): Unit = {
+    val in = req(opts, "input")
+    val out = req(opts, "out")
+    val textCol = opts.getOrElse("text-col", "text")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val strataCol = opts.getOrElse("strata-col", idCol)
+    val rates = opts.get("rates").map(_.split(",").map { kv =>
+      val Array(k, v) = kv.split("="); k -> v.toDouble
+    }.toMap).getOrElse(Map.empty[String, Double])
+    val spark = session()
+    try {
+      val docs = spark.read.parquet(in)
+      // no benchmark given -> an empty one (decontamination passes all)
+      val bench = opts.get("benchmark").map(spark.read.parquet(_))
+        .getOrElse(docs.filter(org.apache.spark.sql.functions.lit(false)))
+      val curated = graft.ops.ext.Curation.curate(docs, bench, textCol,
+        idCol, strataCol,
+        minTokens = opts.getOrElse("min-tokens", "10").toInt,
+        nearDupThreshold = opts.getOrElse("near-dup-jaccard", "0.8").toDouble,
+        contaminationMax = opts.getOrElse("contamination-max", "0.2").toDouble,
+        rates = rates,
+        defaultRate = opts.getOrElse("default-rate", "1.0").toDouble)
+      curated.write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"$in -> $out ($n surviving rows)")
+    } finally spark.stop()
+  }
+
   private def usage(): Unit = System.err.println(
     """usage:
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
       |  graft.cli.Main run --manifest m.json --data-dir DIR --out DIR [--single-file true]
       |  graft.cli.Main hdf2parquet --in GLOB --out DIR
-      |  graft.cli.Main profile --input PARQUET [--approx true]""".stripMargin)
+      |  graft.cli.Main profile --input PARQUET [--approx true]
+      |  graft.cli.Main curate --input PARQUET --out DIR [--benchmark PARQUET]
+      |    [--text-col text] [--id-col doc_id] [--strata-col lang]
+      |    [--min-tokens 10] [--near-dup-jaccard 0.8] [--contamination-max 0.2]
+      |    [--rates en=0.5,zh=0.125] [--default-rate 1.0]""".stripMargin)
 }
