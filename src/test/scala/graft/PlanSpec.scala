@@ -73,6 +73,23 @@ class PlanSpec extends AnyFunSuite {
       s"range join planned a cartesian product:\n$plan")
   }
 
+  test("q44 curation pipeline plans no all-pairs join anywhere") {
+    val df = SparkEntry.queries("q44_curation")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in plan:\n$plan")
+  }
+
+  test("q50 packing window partitions by shard (parallel, not global)") {
+    val df = SparkEntry.queries("q50_seq_packing")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected window exec")
+    assert(!plan.toLowerCase.contains("singlepartition"),
+      s"global single-partition window — packing would serialize:\n$plan")
+  }
+
   test("q31 per-group top-k stays a single window pass") {
     val plan = planOf("q31_topk_per_group")
     assert(plan.contains("Window"), "expected window exec")

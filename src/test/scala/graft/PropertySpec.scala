@@ -80,4 +80,36 @@ class PropertySpec extends AnyFunSuite {
         once.count() == texts.distinct.size.toLong
     }, n = 5)
   }
+
+  test("property: shingle-hash cardinality equals distinct string windows") {
+    import graft.ops.ext.Dedup
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd", "x1")
+    check(Prop.forAll(Gen.listOfN(12, tok), Gen.choose(1, 4)) { (toks, n) =>
+      val text = toks.mkString(" ")
+      val want =
+        if (toks.size <= n) Set(toks)
+        else toks.sliding(n).map(_.toList).toSet
+      val got = Seq(text).toDF("text")
+        .select(Dedup.shingles($"text", n)).head.getSeq[Long](0)
+      got.size == want.size && got.distinct.size == got.size
+    }, n = 15)
+  }
+
+  test("property: sequence packing conserves tokens and respects budget") {
+    import graft.ops.ext.Chunking
+    val size = Gen.choose(1L, 120L)
+    check(Prop.forAll(Gen.nonEmptyListOf(size), Gen.choose(64, 256)) {
+      (sizes, budget) =>
+        val df = sizes.zipWithIndex
+          .map { case (s, i) => (i.toLong % 3, i.toLong, 0, s) }
+          .toDF("shard", "doc_id", "chunk_id", "n")
+        val packed = Chunking.packSequences(df, "shard",
+          Seq("doc_id", "chunk_id"), "n", budget)
+        val perSeq = packed.groupBy("shard", "seq_id")
+          .agg(sum("tok_in_seq").as("t")).select("t")
+          .as[Long].collect()
+        // every token lands exactly once; no sequence exceeds budget
+        perSeq.sum == sizes.sum && perSeq.forall(_ <= budget)
+    }, n = 10)
+  }
 }
