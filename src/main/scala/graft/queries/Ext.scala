@@ -728,6 +728,33 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** transformWithState (the Spark 4 arbitrary-state API) running the
+    * same per-user stats as q33's flatMapGroupsWithState — same
+    * fold-order-independent oracle. TWS requires the RocksDB state
+    * store provider; set per-session before the stream starts.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Stateful, StatefulTws}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val f = new java.io.File(s"$dir/events.parquet")
+    val schema = s.read.parquet(f.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .select(col("user_id"), col("value"))
+      .filter(col("value").isNotNull)
+      .as[Stateful.Event]
+    val q = StatefulTws.runningUserStats(s, src)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("q51_state").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("q51_state")
+      .select(col("user_id"), col("n_events"), col("max_value"))
+  }
+
   // ---------------------------------------------------------------- q50
   /** Sequence packing over the q45 chunks: disjoint 64-token tiling
     * (stride = chunkSize), shard-local concat-and-cut at a 256-token
@@ -886,6 +913,7 @@ object ExtQueries {
     "q48_repetition" -> (q48 _),
     "q49_stream_enrich" -> (q49 _),
     "q50_seq_packing" -> (q50 _),
+    "q51_tws_stateful" -> (q51 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -993,6 +1021,7 @@ object ExtQueries {
     "q24_multimodal" -> q24Sql,
     "q26_hdf5_roundtrip" -> q26Sql,
     "q33_stateful_stream" -> q33Sql,
+    "q51_tws_stateful" -> q33Sql,
     "q38_simhash_neardup" -> q38Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
