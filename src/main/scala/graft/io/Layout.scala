@@ -58,4 +58,23 @@ object Layout {
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(outPath)
   }
+
+  /** Compact a parquet directory to ~`targetBytes` files — the
+    * small-files remedy (streaming sinks and fine-grained partitioning
+    * both produce file counts that degrade scan planning and metadata
+    * ops at scale). File count is sized from the ACTUAL on-disk bytes
+    * (Hadoop listing, driver-side metadata only), then rewritten via
+    * round-robin repartition. Returns the new file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(files)
+      .write.mode("overwrite").parquet(outPath)
+    files.toLong
+  }
 }

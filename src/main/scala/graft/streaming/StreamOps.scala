@@ -136,6 +136,35 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Production sink shape: stream to a DIRECTORY parquet sink with a
+    * checkpoint (exactly-once via the sink's commit log), driven to
+    * completion on the bounded source. The memory-sink helpers above
+    * are the local-mode verification shape; this is the one a real
+    * deployment uses — restart with the same checkpoint resumes, and
+    * the output is a normal parquet table any batch reader consumes.
+    * Append-mode only (file sinks cannot update), so aggregations need
+    * a watermark for final-result emission.
+    */
+  def streamToParquet(spark: SparkSession, parquetPath: String,
+                      outPath: String, checkpointPath: String,
+                      transform: DataFrame => DataFrame = identity): Unit = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
+      else reader0
+    val srcPath = if (f.isFile) f.getParent else parquetPath
+    val q = transform(reader.parquet(srcPath))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Sessionization: session_window with gap — batch twin. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes"): DataFrame =
