@@ -728,6 +728,30 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Approximate distinct at scale: HLL++ (`approx_count_distinct`,
+    * rsd 0.05) per hour-of-day vs the exact count, gated by an
+    * INVARIANT oracle (q14/q17 pattern): the checked output carries the
+    * exact count plus a generous relative-error bound flag. HLL merge
+    * is commutative, so the sketch estimate is deterministic across
+    * partitionings; a broken sketch is off by far more than 20% (or
+    * zero) and flips rows to false. This is the verification pattern
+    * for any approximate operator whose exact twin is oracle-able.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("hour_of_day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.2).as("hll_within_bound"))
+  val q52Sql: String =
+    """SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BOOLEAN) AS hll_within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q51
   /** transformWithState (the Spark 4 arbitrary-state API) running the
     * same per-user stats as q33's flatMapGroupsWithState — same
@@ -914,6 +938,7 @@ object ExtQueries {
     "q49_stream_enrich" -> (q49 _),
     "q50_seq_packing" -> (q50 _),
     "q51_tws_stateful" -> (q51 _),
+    "q52_hll_distinct" -> (q52 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -1022,6 +1047,7 @@ object ExtQueries {
     "q26_hdf5_roundtrip" -> q26Sql,
     "q33_stateful_stream" -> q33Sql,
     "q51_tws_stateful" -> q33Sql,
+    "q52_hll_distinct" -> q52Sql,
     "q38_simhash_neardup" -> q38Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,
