@@ -247,6 +247,58 @@ object Dedup {
     agg.select(col("id"), fp.as("simhash"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns PAIRS into duplicate CLUSTERS (pairwise winner-picking
+    * is not transitive: a~b, b~c must collapse to one canonical doc
+    * even when a~c was never emitted). Deterministic min-label
+    * propagation: every node's label converges to the smallest id in
+    * its component, so the canonical representative is reproducible.
+    *
+    * Scale shape: each iteration is one join + min-aggregation on the
+    * edge list; iterations needed = graph diameter in label-hops
+    * (near-dup clusters are shallow — crawl dup classes are stars, not
+    * chains). Labels persist per iteration and the loop exits on a
+    * converged count of zero label changes; `maxIter` bounds the
+    * pathological chain. The driver only sees one Boolean per
+    * iteration (the changed-count), never the data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0)
+    // symmetric edge list; labels LOCALCHECKPOINT per iteration — an
+    // iterative self-join doubles the plan tree every round, so bare
+    // persist still carries (and eventually OOMs on) an exponentially
+    // growing lineage; the checkpoint truncates it to the materialized
+    // blocks (the standard Spark iterative-algorithm idiom)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of (its label, neighbors' labels)
+      val neighborMin = sym
+        .join(labels.select(col("id").as("src"),
+          col("component").as("src_comp")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_comp")).as("neighbor_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("neighbor_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -728,6 +728,39 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Duplicate-CLUSTER canonicalization: connected components over the
+    * q13 near-dup pair graph (min-label propagation), oracle-checked
+    * against DuckDB's recursive-CTE transitive closure. Output = every
+    * paired doc with the smallest id of its component (its canonical
+    * representative).
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(nearDupCorpus(s, dir), "text",
+      "doc_id", shingleSize = 3, k = 32, bands = 16, threshold = 0.8,
+      includeExactDuplicates = true)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs)
+  }
+  val q53Sql: String =
+    s"""WITH RECURSIVE corpus AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM corpus)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id, min(label) AS component FROM reach GROUP BY id""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate distinct at scale: HLL++ (`approx_count_distinct`,
     * rsd 0.05) per hour-of-day vs the exact count, gated by an
@@ -939,6 +972,7 @@ object ExtQueries {
     "q50_seq_packing" -> (q50 _),
     "q51_tws_stateful" -> (q51 _),
     "q52_hll_distinct" -> (q52 _),
+    "q53_dup_components" -> (q53 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -1048,6 +1082,7 @@ object ExtQueries {
     "q33_stateful_stream" -> q33Sql,
     "q51_tws_stateful" -> q33Sql,
     "q52_hll_distinct" -> q52Sql,
+    "q53_dup_components" -> q53Sql,
     "q38_simhash_neardup" -> q38Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,

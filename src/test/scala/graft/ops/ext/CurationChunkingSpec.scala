@@ -110,6 +110,37 @@ class HybridNearDupSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a chain collapses transitively to its min id") {
+    // 1-2, 2-3, 3-4: pairwise dropping would never link 1 and 4
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("separate components keep separate canonical ids") {
+    val got = cc(Seq((5L, 9L), (2L, 7L), (7L, 11L)))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L, 11L -> 2L))
+  }
+
+  test("a long chain needs more than one propagation round") {
+    val n = 12
+    val got = cc((1 until n).map(i => (i.toLong, i.toLong + 1)))
+    assert(got == (1 to n).map(i => i.toLong -> 1L).toMap)
+  }
+
+  test("star with the center as max id still canonicalizes to min") {
+    val got = cc(Seq((1L, 100L), (2L, 100L), (3L, 100L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 100L -> 1L))
+  }
+}
+
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
