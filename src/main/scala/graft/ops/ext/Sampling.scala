@@ -39,6 +39,25 @@ object Sampling {
   def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < lit(thresholdHex(rate)))
 
+  /** Per-ROW keep probability (e.g. length- or quality-weighted corpus
+    * mixing): keep a row iff its deterministic uniform draw falls under
+    * `weight` (clamped to [0,1] by the caller's expression). The draw
+    * is TWO Lehmer steps on the integral key — one step is monotone in
+    * the key until its first wraparound (consecutive small ids would
+    * all land low and pass any threshold); the second multiply wraps
+    * every ~12 consecutive ids and equidistributes. Pure integer
+    * arithmetic, overflow-free under ANSI ((p-1) x 48271 < 2^63), and
+    * reproducible verbatim in any SQL engine, unlike rand(seed) whose
+    * stream is engine- and partitioning-specific.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column)
+      : DataFrame = {
+    val p = 2147483647L // 2^31 - 1 (Lehmer modulus)
+    val u1 = pmod(col(keyCol).cast("long"), lit(p)) * 48271L % p
+    val u = u1 * 48271L % p
+    df.filter(u.cast("double") < weight * p)
+  }
+
   /** Per-stratum rates; strata not in `rates` use `defaultRate`.
     * Null strata use `defaultRate` too (CASE falls through).
     */

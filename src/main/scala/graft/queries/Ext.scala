@@ -728,6 +728,23 @@ object ExtQueries {
       |              list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |            FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Length-weighted sampling: keep probability = min(1, n_chars/1000)
+    * per doc — the continuous-weight corpus-mixing move, deterministic
+    * via a Lehmer draw on doc_id (integer arithmetic, engine-portable).
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Sampling
+    Sampling.weightedSample(T(s, dir, "documents"), "doc_id",
+        least(lit(1.0), col("n_chars") / 1000.0))
+      .select("doc_id", "lang", "n_chars")
+  }
+  val q54Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST((doc_id % 2147483647) * 48271 % 2147483647
+      |           * 48271 % 2147483647 AS DOUBLE) <
+      |      least(1.0, n_chars / 1000.0) * 2147483647""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Duplicate-CLUSTER canonicalization: connected components over the
     * q13 near-dup pair graph (min-label propagation), oracle-checked
@@ -973,6 +990,7 @@ object ExtQueries {
     "q51_tws_stateful" -> (q51 _),
     "q52_hll_distinct" -> (q52 _),
     "q53_dup_components" -> (q53 _),
+    "q54_weighted_sample" -> (q54 _),
     "q43_range_join" -> (q43 _),
     "q44_curation" -> (q44 _),
     "q45_chunking" -> (q45 _),
@@ -1083,6 +1101,7 @@ object ExtQueries {
     "q51_tws_stateful" -> q33Sql,
     "q52_hll_distinct" -> q52Sql,
     "q53_dup_components" -> q53Sql,
+    "q54_weighted_sample" -> q54Sql,
     "q38_simhash_neardup" -> q38Sql,
     "q30_json_extract" -> q30Sql,
     "q32_salted_agg" -> q32Sql,

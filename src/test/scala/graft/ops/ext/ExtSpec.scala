@@ -180,6 +180,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(large))
   }
 
+  test("weighted sample: weight 0 drops all, 1 keeps all, mid is between") {
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() == 2000)
+    val mid = Sampling.weightedSample(df, "id", lit(0.3)).count()
+    assert(math.abs(mid / 2000.0 - 0.3) < 0.05)
+    // deterministic: same key set both times
+    val a = Sampling.weightedSample(df, "id", lit(0.3)).as[Long].collect().toSet
+    val b = Sampling.weightedSample(df, "id", lit(0.3)).as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("stratified rates apply per stratum with default fallback") {
     val df = (1L to 3000L).map(i =>
       (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
