@@ -3,6 +3,7 @@ package graft.ops.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.12
   * X1/X2). All paths are pure `functions._` pipelines (whole-stage
@@ -274,6 +275,15 @@ object Dedup {
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
+    // convergence probe: labels are monotonically non-increasing per
+    // node (least(own, neighbor-min)), so the label SUM is strictly
+    // decreasing until the fixpoint — an unchanged sum IS convergence,
+    // with one aggregate per round instead of a self-join diff.
+    // Decimal sum: at extreme id x node counts a long sum could wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -283,17 +293,15 @@ object Dedup {
           col("component").as("src_comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("neighbor_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"),
             coalesce(col("neighbor_comp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val sumNow = labelSum(labels)
+      converged = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
       iter += 1
     }
     labels
