@@ -15,9 +15,17 @@ import java.nio.file.{Files, Paths}
   *
   * Every SparkEntry query is also timed individually (noop sink — full
   * materialization, no output IO), reported under "queries" as the
-  * MEDIAN of 3 runs — single-shot timings put GC/compilation debt on
-  * whichever query it lands on (round-1 recorded an 80 s outlier for an
-  * ~12 s query that way). A query that fails any run reports the -1.0
+  * MINIMUM of 3 runs, with the median alongside in "queries_median".
+  * Single-shot timings put GC/compilation debt on whichever query it
+  * lands on (round-1 recorded an 80 s outlier for an ~12 s query);
+  * round-2 showed the median is not enough either — a bench run under
+  * SUSTAINED external machine load (round-2's recorded run took 2.3x
+  * the wall-clock of an idle run of the same build) inflates all three
+  * trials, and the median keeps the inflation while the min sheds the
+  * worst of it. Timing noise is one-sided (load only ever adds time),
+  * so min-of-N is the standard estimator; "loadavg_start"/"loadavg_end"
+  * (1-min /proc/loadavg) are recorded so a contended run is visible in
+  * the artifact itself. A query that fails any run reports the -1.0
   * sentinel and its name under "errors", so a crash is never mistaken
   * for a fast success.
   */
@@ -77,22 +85,30 @@ object Bench {
       } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
       finally spark.catalog.clearCache() // each timed run starts uncached
 
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map(_ => timeOnce(fn))
       runs.collectFirst { case Left(msg) => msg } match {
         case Some(msg) =>
           System.err.println(s"[bench] $name failed: $msg")
-          name -> -1.0
+          name -> (-1.0, -1.0)
         case None =>
-          name -> runs.collect { case Right(s) => s }.sorted.apply(1)
+          val ts = runs.collect { case Right(s) => s }.sorted
+          name -> (ts.head, ts(1))
       }
     }
-    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    val loadEnd = loadavg()
+    val errors = results.collect { case (n, (v, _)) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val qs = (results :+ ("e2e_sample_inference" -> e2eSample))
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfName"}""")
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, (mn, _)) => k -> mn } :+
+      ("e2e_sample_inference" -> e2eSample))
+    val qsMed = obj(results.map { case (k, (_, md)) => k -> md })
+    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -44,12 +44,19 @@ object Curation {
     // recomputes once per consumer. In a production-scale run the
     // equivalent move is checkpointing between curation stages.
     val exact = Dedup.exactByHash(quality, textCol, idCol).persist()
-    // drop the larger id of every near-dup pair (id_a < id_b by
-    // construction): simple, deterministic, non-transitive — a doc is
-    // dropped iff SOME smaller-id near-dup exists, dropped or not
-    val dupIds = Dedup.minhashNearDups(exact, textCol, idCol,
-        threshold = nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+    // duplicate CLUSTERS, not pairs: near-dup similarity is not
+    // transitive (a~b, b~c with no a~c pair), so pairwise larger-id
+    // dropping can keep two docs that belong to one cluster. Connected
+    // components over the verified pair graph collapses each cluster to
+    // its min-id representative — every non-representative is dropped.
+    // The component pass runs on the PAIR set (orders of magnitude
+    // smaller than the corpus), so its iteration cost is negligible
+    // next to the LSH join that produced the pairs.
+    val pairs = Dedup.minhashNearDups(exact, textCol, idCol,
+      threshold = nearDupThreshold).select(col("id_a"), col("id_b"))
+    val dupIds = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     val deduped = exact.join(dupIds, Seq(idCol), "left_anti").persist()
     val contaminatedIds = Decontaminate
       .ngramOverlap(deduped, benchmark, textCol, idCol)

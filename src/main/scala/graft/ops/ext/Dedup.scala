@@ -280,9 +280,10 @@ object Dedup {
     // decreasing until the fixpoint — an unchanged sum IS convergence,
     // with one aggregate per round instead of a self-join diff.
     // Decimal sum: at extreme id x node counts a long sum could wrap.
+    // null sum = zero nodes (empty pair graph): already converged
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head
-        .getDecimal(0)
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -649,7 +649,10 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- q44
   /** The composed curation pipeline (quality → exact dedup → near-dup
-    * drop → decontamination → stratified sample) on the near-dup corpus
+    * cluster canonicalization → decontamination → stratified sample) on
+    * the near-dup corpus; the near-dup stage keeps one representative
+    * (min id) per connected component of the verified pair graph, and
+    * the oracle reproduces the closure with a recursive CTE
     * (mutated copies carry their base doc's lang/source), with every
     * 17th base doc playing the held-out benchmark. Mutated near-copies
     * of benchmark docs land in the corpus — exactly the contamination
@@ -670,7 +673,7 @@ object ExtQueries {
       .select("doc_id", "lang", "source")
   }
   val q44Sql: String =
-    s"""WITH mut AS (SELECT doc_id + 1000000 AS doc_id,
+    s"""WITH RECURSIVE mut AS (SELECT doc_id + 1000000 AS doc_id,
        |    array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text, lang, source
        |  FROM (SELECT doc_id, lang, source,
        |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
@@ -687,10 +690,19 @@ object ExtQueries {
        |  FROM (SELECT doc_id,
        |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
        |        FROM ded)),
-       |dup_b AS (SELECT DISTINCT b.doc_id AS doc_id
+       |dpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM shq a JOIN shq b ON a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |dedges AS (SELECT id_a AS src, id_b AS dst FROM dpairs
+       |           UNION ALL SELECT id_b, id_a FROM dpairs),
+       |dreach(id, label) AS (
+       |  SELECT src, src FROM dedges
+       |  UNION
+       |  SELECT e.dst, r.label FROM dreach r JOIN dedges e ON e.src = r.id),
+       |dup_b AS (SELECT id AS doc_id
+       |  FROM (SELECT id, min(label) AS component FROM dreach GROUP BY id)
+       |  WHERE id <> component),
        |nd AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)),
        |bench_g AS (SELECT DISTINCT unnest(sh) AS g
        |  FROM (SELECT $shinglesSql AS sh

@@ -163,6 +163,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set(1L))
   }
 
+  test("near-dup stage canonicalizes clusters, not pairs") {
+    // jaccard(1,3) and jaccard(2,3) >= 0.8 but jaccard(1,2) < 0.8: the
+    // pair graph is a path 1-3-2, one component. Pairwise larger-id
+    // dropping would keep {1, 2}; component canonicalization keeps only
+    // the min id 1.
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.drop(10).mkString(" "), "en"),  // w11..w60
+      (2L, base.take(50).mkString(" "), "en"),  // w1..w50
+      (3L, base.mkString(" "), "en")            // w1..w60
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Curation.curate(docs, bench, "text", "doc_id", "lang",
+        minTokens = 10, nearDupThreshold = 0.8, contaminationMax = 0.2,
+        rates = Map.empty, defaultRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
   test("sampling stage respects per-stratum rates deterministically") {
     val docs = (1L to 400L).map(i =>
       (i, s"doc $i " + (1 to 20).map(j => s"u${i}t$j").mkString(" "),
