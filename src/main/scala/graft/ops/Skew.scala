@@ -39,6 +39,33 @@ object Skew {
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as(s"sum_$valueCol"))
   }
 
+  /** Salted equi-join: semantically identical to
+    * `big.join(small, keys, joinType)` but resilient to heavy-hitter
+    * join keys on the big side. The big side gets a deterministic
+    * per-row salt in [0, salts); the small side is replicated once per
+    * salt value (an `explode` over a literal array — `salts`x blowup of
+    * the SMALL side only); the join runs on (keys :+ salt), so a hot
+    * key's probe rows spread over `salts` reducers instead of melting
+    * one.
+    *
+    * When to use: the small side is too big to broadcast (else
+    * broadcast and there is no skew problem) and the big side's key
+    * histogram has heavy hitters. AQE's skew-join split covers
+    * sort-merge joins after the fact; explicit salting is the planned
+    * form that also composes with bucketing. Only inner/left joins are
+    * exposed: a right/full join would see the small side's unmatched
+    * rows once per salt.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
+    val replSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Salted distinct count: exact, two balanced phases (dedup on
     * (key, salt, value) partitions first, then count per key).
     */

@@ -115,4 +115,37 @@ object TextAnalysis {
   def topTokens(df: DataFrame, textCol: String, n: Int): DataFrame =
     termFrequencies(df, textCol)
       .orderBy(col("count").desc, col("token")).limit(n)
+
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) with N = corpus size, score = tf * idf, top-k by
+    * (score desc, term) per doc.
+    *
+    * Scale shape: two shuffles — (doc, term) for tf, (term) for df —
+    * then the per-term document frequency joins back by term
+    * (vocabulary-sized right side: AQE broadcasts it when it fits) and
+    * one window pass ranks within each doc. N is a scalar (one
+    * metadata-cheap count job), never a crossJoin.
+    *
+    * Determinism: ranking compares the ROUNDED score (6 dp) with a term
+    * tie-break, so a sub-ulp ln() difference between engines cannot
+    * flip a rank boundary.
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val score = round(col("tf").cast("double") *
+      log((lit(nDocs + 1.0)) / (col("dfreq") + lit(1.0))), 6)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
 }

@@ -994,7 +994,136 @@ object ExtQueries {
        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Batch sessionization: per-user gap-based sessions (30 min) over
+    * the event history — the backfill twin of q22's streaming
+    * session_window. One shuffle on user, integer-microsecond gap
+    * comparison, explicit event_id tie-break (see Sessionize scaladoc).
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sessionize
+    Sessionize.sessionStats(
+      events(s, dir).select("user_id", "event_id", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start"), col("session_end"))
+  }
+  val q55Sql: String =
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Rolling per-user trailing-5-event sum/average of `value` — the
+    * bounded-frame window primitive (see Rolling scaladoc for the
+    * decimal-sum determinism story).
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Rolling
+    Rolling.rollingSumAvg(
+      events(s, dir).select("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), "value", nRows = 5)
+      .select(col("event_id"), col("user_id"), col("moving_n"),
+        col("moving_sum"), col("moving_avg"))
+  }
+  val q56Sql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS moving_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    / count(*) OVER w AS moving_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** TF-IDF top-3 terms per document (rank compares the ROUNDED score
+    * so a sub-ulp ln() difference between engines cannot flip a
+    * boundary; term tie-break pins exact ties).
+    */
+  def q57(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(
+      T(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", k = 3)
+  val q57Sql: String =
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                             t -> len(t)>0)) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfx AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term)
+      |SELECT doc_id, rank, term, tf, score FROM (
+      |  SELECT doc_id, term, tf,
+      |    round(tf::DOUBLE * ln(((SELECT count(*) FROM documents) + 1.0)
+      |                          / (dfreq + 1.0)), 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY
+      |      round(tf::DOUBLE * ln(((SELECT count(*) FROM documents) + 1.0)
+      |                            / (dfreq + 1.0)), 6) DESC, term) AS BIGINT) AS rank
+      |  FROM tf JOIN dfx USING (term))
+      |WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Salted equi-join (lineitem x orders on orderkey, 8 salts) rolled
+    * up per order — must be bit-identical to the plain join, which is
+    * exactly what the oracle runs. See Skew.saltedJoin for when this
+    * beats broadcast/AQE.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val big = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    val small = T(s, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(big, small, Seq("orderkey"), salts = 8)
+      .groupBy("orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_qty"),
+        max(col("o_orderpriority")).as("priority"))
+  }
+  val q58Sql: String =
+    """SELECT l_orderkey AS orderkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  max(o_orderpriority) AS priority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Approximate percentile vs exact, q52-invariant style: per-language
+    * exact median of n_chars (interpolated — exact at p=0.5 on integer
+    * inputs in both engines) plus a bound flag on the approx sketch.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("exact_median"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .as("approx_median"))
+      .select(col("lang"), col("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          greatest(col("exact_median") * 0.05, lit(1.0)))
+          .as("approx_within_bound"))
+  val q59Sql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.5) AS exact_median,
+      |  CAST(1 AS BOOLEAN) AS approx_within_bound
+      |FROM documents GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_sessionize" -> (q55 _),
+    "q56_rolling" -> (q56 _),
+    "q57_tfidf" -> (q57 _),
+    "q58_salted_join" -> (q58 _),
+    "q59_quantiles" -> (q59 _),
     "q47_redact" -> (q47 _),
     "q48_repetition" -> (q48 _),
     "q49_stream_enrich" -> (q49 _),
@@ -1094,6 +1223,11 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q55_sessionize" -> q55Sql,
+    "q56_rolling" -> q56Sql,
+    "q57_tfidf" -> q57Sql,
+    "q58_salted_join" -> q58Sql,
+    "q59_quantiles" -> q59Sql,
     "q47_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
     "q49_stream_enrich" -> q49Sql,
