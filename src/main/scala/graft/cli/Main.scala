@@ -25,6 +25,7 @@ object Main {
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
+      .withExtensions(new graft.expr.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)

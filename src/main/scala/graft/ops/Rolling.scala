@@ -34,8 +34,12 @@ object Rolling {
       .rowsBetween(-(nRows - 1L), Window.currentRow)
     val decSum = sum(col(valueCol).cast(DecimalType(18, 6))).over(w)
     val n = count(lit(1)).over(w)
-    df.withColumn("moving_n", n)
-      .withColumn("moving_sum", decSum.cast("double"))
-      .withColumn("moving_avg", decSum.cast("double") / n)
+    // both window aggregates land in ONE select (chained withColumn
+    // would insert a Project between them and block CollapseWindow —
+    // two Window execs instead of one), and moving_avg derives from the
+    // materialized columns, never a re-instantiated window expression
+    df.select(col("*"), n.as("moving_n"),
+        decSum.cast("double").as("moving_sum"))
+      .withColumn("moving_avg", col("moving_sum") / col("moving_n"))
   }
 }

@@ -1118,7 +1118,30 @@ object ExtQueries {
       |  CAST(1 AS BOOLEAN) AS approx_within_bound
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Stream-stream join: purchases within 30 min after a click, per
+    * user, both sides watermarked (see StreamOps.streamStreamJoin).
+    * Oracle = the batch self-join; the inner-join pair set is
+    * independent of micro-batch slicing.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StreamOps.streamStreamJoin(s, s"$dir/events.parquet",
+      "event_type", "click", "purchase", "ts", "event_id", "user_id",
+      within = "30 minutes", watermark = "1 hour",
+      queryName = "q60_stream_join",
+      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .select(col("user_id"), col("left_id").as("click_id"),
+        col("right_id").as("purchase_id"))
+  }
+  val q60Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_join" -> (q60 _),
     "q55_sessionize" -> (q55 _),
     "q56_rolling" -> (q56 _),
     "q57_tfidf" -> (q57 _),
@@ -1223,6 +1246,7 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q60_stream_join" -> q60Sql,
     "q55_sessionize" -> q55Sql,
     "q56_rolling" -> q56Sql,
     "q57_tfidf" -> q57Sql,

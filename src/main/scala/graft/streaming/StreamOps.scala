@@ -19,6 +19,22 @@ object StreamOps {
     df.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** File-stream source over a parquet path, schema from a batch peek.
+    * The file-stream source requires a directory; a single-file path is
+    * rewritten to parent dir + pathGlobFilter.
+    */
+  private def fileStream(spark: SparkSession, parquetPath: String)
+      : DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
+      else reader0
+    val srcPath = if (f.isFile) f.getParent else parquetPath
+    reader.parquet(srcPath)
+  }
+
   /** Streaming tumbling window over a bounded parquet dir, driven to
     * completion synchronously (memory sink + processAllAvailable) — the
     * local-mode smoke shape; swap source/sink for Kafka/files in prod.
@@ -32,16 +48,7 @@ object StreamOps {
                            queryName: String = "stream_counts",
                            prepare: DataFrame => DataFrame = identity)
       : DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    // the file-stream source requires a directory; a single-file path is
-    // rewritten to parent dir + pathGlobFilter
-    val f = new java.io.File(parquetPath)
-    val reader0 = spark.readStream.schema(schema)
-    val reader =
-      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
-      else reader0
-    val srcPath = if (f.isFile) f.getParent else parquetPath
-    val src = prepare(reader.parquet(srcPath))
+    val src = prepare(fileStream(spark, parquetPath))
     val agg = src
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
@@ -74,14 +81,7 @@ object StreamOps {
                             textCol: String,
                             queryName: String = "stream_dedup")
       : DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    val reader0 = spark.readStream.schema(schema)
-    val reader =
-      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
-      else reader0
-    val srcPath = if (f.isFile) f.getParent else parquetPath
-    val distinct = reader.parquet(srcPath)
+    val distinct = fileStream(spark, parquetPath)
       .select(md5(col(textCol)).as("digest"))
       .dropDuplicates("digest")
     val q = distinct.writeStream
@@ -109,14 +109,7 @@ object StreamOps {
                          queryName: String = "stream_enrich",
                          prepare: DataFrame => DataFrame = identity)
       : DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    val reader0 = spark.readStream.schema(schema)
-    val reader =
-      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
-      else reader0
-    val srcPath = if (f.isFile) f.getParent else parquetPath
-    val enriched = prepare(reader.parquet(srcPath))
+    val enriched = prepare(fileStream(spark, parquetPath))
       .join(broadcast(dim), keyCol)
     val agg = enriched
       .withWatermark(tsCol, watermark)
@@ -148,14 +141,7 @@ object StreamOps {
   def streamToParquet(spark: SparkSession, parquetPath: String,
                       outPath: String, checkpointPath: String,
                       transform: DataFrame => DataFrame = identity): Unit = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    val reader0 = spark.readStream.schema(schema)
-    val reader =
-      if (f.isFile) reader0.option("pathGlobFilter", f.getName)
-      else reader0
-    val srcPath = if (f.isFile) f.getParent else parquetPath
-    val q = transform(reader.parquet(srcPath))
+    val q = transform(fileStream(spark, parquetPath))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -163,6 +149,49 @@ object StreamOps {
       .option("checkpointLocation", checkpointPath)
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Stream-STREAM inner join: two event streams (here: two typed
+    * slices of one stream) joined per key within a time range —
+    * "purchase within `within` after click". Both sides carry
+    * watermarks and the join condition bounds purchase_ts relative to
+    * click_ts in BOTH directions, so Spark can compute state
+    * expiration for each side (the canonical bounded stream-stream
+    * join; an unbounded condition would hold all history in state).
+    * Output is append-mode: inner-join results are final once the
+    * watermark passes, and the joined pair set is independent of
+    * micro-batch slicing — which is what makes it oracle-checkable
+    * against the batch join.
+    */
+  def streamStreamJoin(spark: SparkSession, parquetPath: String,
+                       typeCol: String, leftType: String, rightType: String,
+                       tsCol: String, idCol: String, keyCol: String,
+                       within: String = "30 minutes",
+                       watermark: String = "1 hour",
+                       queryName: String = "stream_join",
+                       prepare: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val src = prepare(fileStream(spark, parquetPath))
+    val left = src.filter(col(typeCol) === leftType)
+      .select(col(keyCol).as("l_key"), col(idCol).as("left_id"),
+        col(tsCol).as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val right = src.filter(col(typeCol) === rightType)
+      .select(col(keyCol).as("r_key"), col(idCol).as("right_id"),
+        col(tsCol).as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    val joined = left.join(right,
+      expr(s"""l_key = r_key AND
+               right_ts >= left_ts AND
+               right_ts <= left_ts + interval $within"""))
+      .select(col("l_key").as(keyCol), col("left_id"), col("right_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
   }
 
   /** Sessionization: session_window with gap — batch twin. */

@@ -97,4 +97,35 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
       s"too many shuffles:\n$plan")
   }
+
+  test("q55 sessionize: lag + cumsum share one user-partitioned sort") {
+    val plan = planOf("q55_sessionize")
+    // one exchange for the user partitioning; both window functions
+    // (lag, running sum) must reuse that sort, not add shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"sessionize must shuffle once (by user):\n$plan")
+    assert(!plan.toLowerCase.contains("singlepartition"),
+      s"sessionize must never serialize to one partition:\n$plan")
+  }
+
+  test("q56 rolling frame plans one shuffle and a bounded row frame") {
+    val plan = planOf("q56_rolling")
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"sum/count/avg must collapse into ONE window exec:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"rolling agg must shuffle once (by key):\n$plan")
+    assert(plan.contains("RowFrame, -4, currentrow"),
+      s"expected the bounded row frame in the plan:\n$plan")
+  }
+
+  test("q58 salted join plans no broadcast of the salted big side") {
+    val plan = planOf("q58_salted_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay an equi-join:\n$plan")
+    // the small side is exploded `salts`x: Generate must sit under the
+    // join, i.e. replication happens before (not after) the join
+    assert(plan.contains("Generate explode"),
+      s"expected small-side salt replication via explode:\n$plan")
+  }
 }

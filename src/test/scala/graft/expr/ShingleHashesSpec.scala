@@ -62,6 +62,30 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(codegen == interpreted)
   }
 
+  test("shingle_hashes is SQL-callable via GraftExtensions") {
+    Seq("alpha beta gamma delta").toDF("text")
+      .createOrReplaceTempView("sh_ext_docs")
+    val viaSql = spark.sql(
+      """SELECT shingle_hashes(
+        |  filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0), 3) AS sh
+        |FROM sh_ext_docs""".stripMargin).head.getSeq[Long](0)
+    val viaColumn = Seq("alpha beta gamma delta").toDF("text")
+      .select(Dedup.shingles($"text", 3)).head.getSeq[Long](0)
+    assert(viaSql == viaColumn)
+    // default shingle size is 3
+    val viaDefault = spark.sql(
+      """SELECT shingle_hashes(
+        |  filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS sh
+        |FROM sh_ext_docs""".stripMargin).head.getSeq[Long](0)
+    assert(viaDefault == viaColumn)
+    // non-literal shingle size is rejected with the usage message
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a'), 1 + 2) FROM sh_ext_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("shingle_hashes"))
+  }
+
   test("jaccard over hashed shingles equals jaccard over string windows") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox leaps over the lazy dog again and again"
