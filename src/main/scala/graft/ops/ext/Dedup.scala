@@ -294,12 +294,17 @@ object Dedup {
           col("component").as("src_comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("neighbor_comp"))
+      // LAZY checkpoint: the convergence probe right below is the first
+      // action, so one job both materializes this round's labels and
+      // computes the sum (an eager checkpoint would spend a separate
+      // job per round just materializing — measurable at small graph
+      // sizes where per-round fixed cost dominates)
       labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"),
             coalesce(col("neighbor_comp"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sumNow = labelSum(labels)
       converged = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow

@@ -1140,7 +1140,90 @@ object ExtQueries {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Per-label embedding centroids in LONG form (label, dim, centroid)
+    * — the distributed vector-mean that IVF training needs. posexplode
+    * turns the array into (dim, value) rows, the per-(label, dim) sum
+    * runs in DECIMAL(38,18) (a float widened to double casts with no
+    * realistic tie at 18 dp, and the decimal sum is merge-order exact),
+    * and one double division at the end. Long form because the gate
+    * canonicalizer cannot sort array columns (q24 lesson) — and at
+    * scale the long form is also the shape that parallelizes the
+    * aggregation across dims instead of holding whole vectors.
+    */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast(DecimalType(38, 18))).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("centroid"))
+  val q61Sql: String =
+    """SELECT label, CAST(o - 1 AS BIGINT) AS dim, count(*) AS n,
+      |  round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |        / count(*), 6) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS o
+      |      FROM embeddings)
+      |GROUP BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Grouping sets: CUBE over (returnflag, linestatus) — all four
+    * grouping combinations in one pass (Expand + single aggregation,
+    * never four scans). Null grouping markers are coalesced to 'ALL' in
+    * both engines so the canonicalizer never sorts nulls.
+    */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+  val q62Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Vocabulary building: corpus term frequencies, min-count 5, dense
+    * token ids by (count desc, token). The id-assigning window is
+    * GLOBAL by construction (an enumeration), which is fine precisely
+    * because it runs on the post-filter vocabulary — bounded by
+    * distinct-token count (Heaps' law sublinear), not corpus size; the
+    * corpus-sized work (tokenize + term count) is all distributed.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("count").desc, col("token"))
+    TextAnalysis.termFrequencies(
+        T(s, dir, "documents").select("text"), "text")
+      .filter(col("count") >= 5)
+      .select(row_number().over(w).cast("long").as("token_id"),
+        col("token"), col("count"))
+  }
+  val q63Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+      |    AS token_id,
+      |  token, n AS count
+      |FROM (SELECT token, count(*) AS n
+      |      FROM (SELECT unnest(list_filter(
+      |              string_split_regex(lower(text),'[^a-z0-9]+'),
+      |              t -> len(t)>0)) AS token
+      |            FROM documents)
+      |      GROUP BY token)
+      |WHERE n >= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_centroids" -> (q61 _),
+    "q62_cube" -> (q62 _),
+    "q63_vocab" -> (q63 _),
     "q60_stream_join" -> (q60 _),
     "q55_sessionize" -> (q55 _),
     "q56_rolling" -> (q56 _),
@@ -1246,6 +1329,9 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q61_centroids" -> q61Sql,
+    "q62_cube" -> q62Sql,
+    "q63_vocab" -> q63Sql,
     "q60_stream_join" -> q60Sql,
     "q55_sessionize" -> q55Sql,
     "q56_rolling" -> q56Sql,
