@@ -90,7 +90,13 @@ object Bench {
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0)
       catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=q13_minhash_neardup,q53_...
+    // times just those queries (the driver never sets it — full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 3).map(_ => timeOnce(fn))
       runs.collectFirst { case Left(msg) => msg } match {
         case Some(msg) =>

@@ -68,6 +68,65 @@ class RollingSpec extends AnyFunSuite {
   }
 }
 
+class SessionRollingPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def check(p: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: rolling moving_sum equals a brute-force trailing sum") {
+    val gen = Gen.listOfN(12, Gen.choose(-100, 100))
+    check(Prop.forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v.toDouble) }
+      val got = Rolling.rollingSumAvg(rows.toDF("k", "seq", "v"),
+          Seq("k"), Seq(col("seq")), "v", 4)
+        .select("seq", "moving_sum").as[(Long, Double)].collect().toMap
+      rows.indices.forall { i =>
+        val want = vs.slice(math.max(0, i - 3), i + 1).map(_.toDouble).sum
+        got(i.toLong) == want
+      }
+    })
+  }
+
+  test("property: every within-session gap <= threshold, every session break > threshold") {
+    val gapGen = Gen.listOfN(10, Gen.choose(1L, 4000L)) // seconds between events
+    check(Prop.forAll(gapGen) { gaps =>
+      val times = gaps.scanLeft(0L)(_ + _)
+      val rows = times.zipWithIndex.map { case (t, i) =>
+        ("u", i.toLong, new java.sql.Timestamp(t * 1000L))
+      }
+      val got = Sessionize.sessionize(rows.toDF("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select("event_id", "session_idx").as[(Long, Long)].collect()
+        .sortBy(_._1).map(_._2)
+      got.indices.tail.forall { i =>
+        val sameSession = got(i) == got(i - 1)
+        if (gaps(i - 1) > 1800) !sameSession
+        else sameSession
+      } && got.head == 0L
+    })
+  }
+
+  test("property: saltedJoin result set equals the plain join") {
+    val keyGen = Gen.listOfN(20, Gen.choose(1L, 5L))
+    check(Prop.forAll(keyGen) { ks =>
+      val big = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "row_id")
+      val small = Seq((1L, "a"), (2L, "b"), (7L, "c")).toDF("k", "name")
+      val plain = big.join(small, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      salted == plain
+    })
+  }
+}
+
 class TfIdfSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
