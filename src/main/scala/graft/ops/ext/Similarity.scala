@@ -30,6 +30,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Random-projection dimensionality reduction, emitted in LONG form
+    * (id, proj_dim, value): value[d] = <x, w_d> with deterministic
+    * pseudo-random hyperplanes w_d[i] = lehmer(d*dims+i+1)/m - 0.5
+    * (Lehmer step, integer arithmetic — portable to any SQL engine, no
+    * RNG state). The whole mat-vec is narrow expressions per row
+    * (`zip_with` multiply + sequential `aggregate` fold): NO shuffle,
+    * no UDF, embarrassingly parallel over the corpus — the projection
+    * that feeds coarse ANN or visualization at 100 TB.
+    */
+  def randomProjectLong(df: DataFrame, vecCol: String, idCol: String,
+                        nProj: Int, dims: Int): DataFrame = {
+    val xs = transform(col(vecCol), x => x.cast("double"))
+    val weight = (d: Column, i: Column) =>
+      ((d * dims + i + 1) * 48271L % 2147483647L).cast("double") /
+        2147483647.0 - 0.5
+    val projections = transform(sequence(lit(0), lit(nProj - 1)), d =>
+      aggregate(
+        zip_with(xs, transform(sequence(lit(0), lit(dims - 1)),
+          i => weight(d, i)), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v))
+    df.select(col(idCol), posexplode(projections).as(Seq("proj_dim", "value")))
+      .select(col(idCol), col("proj_dim").cast("long").as("proj_dim"),
+        round(col("value"), 6).as("value"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows. Query side is broadcast (it is the small side by
     * contract); the corpus is scanned once, norms computed one time per

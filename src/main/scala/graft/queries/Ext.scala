@@ -1220,7 +1220,50 @@ object ExtQueries {
       |      GROUP BY token)
       |WHERE n >= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Random-projection reduction of the 64-d embeddings to 8 dims, long
+    * form — see Similarity.randomProjectLong (narrow mat-vec, zero
+    * shuffles, Lehmer-derived hyperplanes portable to the oracle).
+    */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjectLong(T(s, dir, "embeddings"),
+      "embedding", "vec_id", nProj = 8, dims = 64)
+  val q64Sql: String =
+    """SELECT vec_id, CAST(d AS BIGINT) AS proj_dim,
+      |  round(list_reduce(
+      |    [CAST(embedding[i+1] AS DOUBLE) *
+      |       (CAST((d*64 + i + 1) * 48271 % 2147483647 AS DOUBLE)
+      |          / 2147483647.0 - 0.5)
+      |     for i in range(0, 64)],
+      |    (a, b) -> a + b), 6) AS value
+      |FROM embeddings, range(0, 8) t(d)""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Per-group cap downsampling: at most 20 docs per language, selected
+    * deterministically by md5(doc_id) order (id tie-break) — the
+    * rebalancing move when a stratum must be hard-capped, not rate-
+    * sampled (q40's md5-threshold form has no count guarantee). One
+    * shuffle on the stratum; the window ranks within groups only.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    T(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+  val q65Sql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_random_projection" -> (q64 _),
+    "q65_cap_per_group" -> (q65 _),
     "q61_centroids" -> (q61 _),
     "q62_cube" -> (q62 _),
     "q63_vocab" -> (q63 _),
@@ -1329,6 +1372,8 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q64_random_projection" -> q64Sql,
+    "q65_cap_per_group" -> q65Sql,
     "q61_centroids" -> q61Sql,
     "q62_cube" -> q62Sql,
     "q63_vocab" -> q63Sql,
