@@ -1,7 +1,10 @@
 package graft.ops.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination (SURVEY §2.12 adjunct): flag training
   * documents that share n-gram shingles with an evaluation/benchmark
@@ -35,5 +38,41 @@ object Decontaminate {
       .select(col(idCol), col("n_shingles"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
+  }
+
+  /** Bloom-filter variant for when even the benchmark's DISTINCT shingle
+    * set is too big to broadcast raw (a 1 B-shingle eval suite is ~8 GB
+    * of longs, but ~1 GB of bloom bits at ~1% fp): build a bloom over
+    * the benchmark shingles (Spark's own BloomFilterAggregate — the
+    * expression behind runtime row-level join filtering, codegen'd, no
+    * UDF), ship the bytes as a literal, and probe each corpus shingle
+    * with BloomFilterMightContain. Per-doc `bloom_hits` OVERCOUNTS by
+    * construction (false positives, never false negatives):
+    * bloom_hits >= the true shared count for every doc, and a doc with
+    * bloom_hits == 0 is PROVABLY clean. The cheap bloom pass prunes the
+    * clean bulk; the exact join (above) re-checks only the flagged few.
+    */
+  def bloomShingleHits(corpus: DataFrame, benchmark: DataFrame,
+                       textCol: String, idCol: String, n: Int = 3,
+                       numBits: Long = 1L << 22): DataFrame = {
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val bloomAgg: Column = GraftExpressionBridge.column(
+      new BloomFilterAggregate(
+        GraftExpressionBridge.expression(col("g")),
+        Literal(numBits / 16), Literal(numBits)).toAggregateExpression())
+    // driver-side build artifact (like collecting a broadcast build
+    // side): one aggregate, numBits/8 bytes
+    val bytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = (g: Column) => GraftExpressionBridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType),
+        GraftExpressionBridge.expression(g)))
+    corpus
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(when(mightContain(col("g")), 1L).otherwise(0L))
+        .as("bloom_hits"))
   }
 }

@@ -19,7 +19,7 @@ import java.nio.file.Paths
   * doc_id + 1,000,000) — same construction on both engines.
   */
 object ExtQueries {
-  import CoreQueries.T
+  import CoreQueries.{T, sfName}
 
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright. Read nanos as long (legacy conf,
@@ -1261,7 +1261,67 @@ object ExtQueries {
       |  FROM documents)
       |WHERE rn <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Bloom-filter decontamination, q52-invariant style: the bloom pass
+    * (Decontaminate.bloomShingleHits — Spark's own BloomFilterAggregate
+    * / MightContain through the expression bridge) joined against the
+    * exact overlap. The checked invariant is the bloom's defining
+    * property — no false negatives: bloom_hits >= exact shared count
+    * for EVERY doc, so the flag column is constant-true iff the bloom
+    * path is sound. The exact columns hash-match DuckDB directly.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Decontaminate
+    val docs = T(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val bloom = Decontaminate.bloomShingleHits(corpus, bench, "text", "doc_id")
+    val exact = Decontaminate.ngramOverlap(corpus, bench, "text", "doc_id")
+      .select(col("doc_id"), col("n_shared"))
+    bloom.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (col("bloom_hits") >= coalesce(col("n_shared"), lit(0L)))
+          .as("bloom_no_false_negatives"))
+  }
+  val q66Sql: String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+       |corp AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles, sh
+       |         FROM sh WHERE doc_id % 17 <> 0),
+       |exact AS (SELECT doc_id, count(*) AS n_shared
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM corp) JOIN bench USING (g)
+       |  GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_shingles,
+       |  coalesce(e.n_shared, 0) AS n_shared,
+       |  CAST(1 AS BOOLEAN) AS bloom_no_false_negatives
+       |FROM corp c LEFT JOIN exact e USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** JSONL source: documents round-tripped through a newline-delimited
+    * JSON fixture (the LLM-pipeline interchange format) with full
+    * schema inference — all columns are long/string, so the round trip
+    * is lossless and the parquet table itself is the oracle.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q67_jsonl"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+      T(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").json(tmp)
+    s.read.json(s"$tmp/*.json")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+  }
+  val q67Sql: String =
+    "SELECT doc_id, lang, source, n_chars, text FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_bloom_decontaminate" -> (q66 _),
+    "q67_jsonl_ingest" -> (q67 _),
     "q64_random_projection" -> (q64 _),
     "q65_cap_per_group" -> (q65 _),
     "q61_centroids" -> (q61 _),
@@ -1372,6 +1432,8 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q66_bloom_decontaminate" -> q66Sql,
+    "q67_jsonl_ingest" -> q67Sql,
     "q64_random_projection" -> q64Sql,
     "q65_cap_per_group" -> q65Sql,
     "q61_centroids" -> q61Sql,

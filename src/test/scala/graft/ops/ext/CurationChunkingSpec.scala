@@ -141,6 +141,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+class BloomDecontaminateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bloom hits dominate exact overlap; disjoint docs prune to zero") {
+    val benchText = (1 to 40).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, benchText),                                  // fully contaminated
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ") + " extra tail here"),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" ")))   // disjoint
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val bloom = Decontaminate.bloomShingleHits(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Decontaminate.ngramOverlap(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // no false negatives: bloom_hits >= exact shared count, every doc
+    for ((id, (_, hits)) <- bloom)
+      assert(hits >= exact.getOrElse(id, 0L), s"doc $id")
+    // doc 1: every shingle shared -> bloom must hit all of them
+    assert(bloom(1L)._2 == bloom(1L)._1)
+    // disjoint doc prunes to zero (tiny sets: fp mass is negligible)
+    assert(bloom(3L)._2 == 0L)
+  }
+}
+
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
