@@ -77,4 +77,20 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     files.toLong
   }
+
+  /** Hive-style directory partitioning (`outPath/col=value/...`): the
+    * third pruning lever next to sorting and z-ordering — a reader
+    * whose predicate hits the partition column skips whole DIRECTORIES
+    * at planning time (PartitionFilters in the scan node; no file is
+    * opened, no row group consulted). Right for low-cardinality columns
+    * a pipeline filters on constantly (language, source, date); wrong
+    * for high-cardinality keys (directory-per-value explodes the
+    * metadata). The pre-shuffle on the partition column makes each
+    * task write to ONE directory — without it every task appends a
+    * file to every partition dir (tasks x partitions small files).
+    */
+  def partitionedWrite(df: DataFrame, partCol: String, outPath: String)
+      : Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(outPath)
 }

@@ -58,6 +58,32 @@ object Sampling {
     df.filter(u.cast("double") < weight * p)
   }
 
+  /** EXACT proportional allocation: keep ceil(|stratum| * num/den) rows
+    * per stratum — the rate as a rational keeps the cutoff in integer
+    * arithmetic (engine-exact; `n * rate` in doubles rounds differently
+    * at representation boundaries). Rows are chosen by the portable
+    * md5 order (ties broken by the key), so the exact sample SET is
+    * reproducible across engines and retries. One shuffle on the
+    * stratum key; both the rank and the stratum size come from the same
+    * window partition — no second pass over the data. Skewed strata
+    * (one giant language) concentrate on one task — for that shape at
+    * 100 TB prefer the threshold variant (`stratifiedSample`, narrow
+    * filter, no shuffle) and accept the ±binomial count jitter.
+    */
+  def stratifiedExact(df: DataFrame, keyCol: String, strataCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= $num/$den <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(hashBucket(col(keyCol)), col(keyCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      // ceil(n*num/den) in integer arithmetic (`div`: integral division
+      // — Column./ would be double division and reintroduce rounding)
+      .filter(col("__rn") <= expr(s"(__n * $num + ${den - 1}) div $den"))
+      .drop("__rn", "__n")
+  }
+
   /** Per-stratum rates; strata not in `rates` use `defaultRate`.
     * Null strata use `defaultRate` too (CASE falls through).
     */

@@ -148,4 +148,41 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
+
+  /** Sharded inverted index: token -> sorted posting list of doc ids,
+    * split into `nShards` rows per token by doc_id so no single row
+    * ever holds a whole stopword's postings (at corpus scale "the"
+    * appears in ~every document — an unsharded collect would be one
+    * multi-GB row on one task; sharded, each row is bounded by
+    * |postings|/nShards and shards build in parallel). `df` carries the
+    * token's TOTAL document frequency on every shard row (window sum
+    * over the token — the rows are already token-partitioned after the
+    * groupBy, so the window adds no extra shuffle); `minDf` drops the
+    * hapax tail, which at crawl scale is most of the vocabulary.
+    *
+    * Postings are emitted as a comma-joined string: a parquet-friendly
+    * scalar the downstream intersect/lookup reader splits lazily.
+    *
+    * The total df comes from a separate tiny aggregate (token, df) —
+    * vocabulary-sized, no postings payload — broadcast-joined back, so
+    * the heavy posting rows are shuffled exactly once (the groupBy); a
+    * token-partitioned window here would re-exchange the postings
+    * strings a second time just to annotate them with their sum.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int, minDf: Long): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    val post = tok
+      .groupBy("token", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+    val totals = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    post.join(broadcast(totals), "token")
+      .select("token", "shard", "df", "df_shard", "postings")
+  }
 }

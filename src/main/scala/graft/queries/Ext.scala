@@ -1319,7 +1319,209 @@ object ExtQueries {
   val q67Sql: String =
     "SELECT doc_id, lang, source, n_chars, text FROM documents"
 
+  // ---------------------------------------------------------------- q68
+  /** Hive-partitioned layout + pruned read: documents written
+    * `lang=<v>/...` (Layout.partitionedWrite), read back through a
+    * partition predicate — the scan's PartitionFilters skip every
+    * non-en directory at planning time (plan-asserted in LayoutSpec).
+    * The parquet round trip is lossless, so the base table is the
+    * oracle.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q68_partitioned"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+      graft.io.Layout.partitionedWrite(T(s, dir, "documents"), "lang", tmp)
+    s.read.parquet(tmp).filter(col("lang") === "en")
+      .select("doc_id", "n_chars", "source")
+  }
+  val q68Sql: String =
+    "SELECT doc_id, n_chars, source FROM documents WHERE lang = 'en'"
+
+  // ---------------------------------------------------------------- q69
+  /** Count-min sketch (Sketches.cmsBuild/cmsEstimate) over event user
+    * ids: the sketch's md5 hashing is engine-portable, so the WHOLE
+    * estimate — not just the guarantee — hash-matches a DuckDB replica;
+    * `never_undercounts` additionally pins the CM invariant per key.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Sketches
+    val ev = events(s, dir).select("user_id")
+    val sketch = Sketches.cmsBuild(ev, "user_id", depth = 4, width = 512)
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    Sketches.cmsEstimate(sketch, truth, "user_id", depth = 4, width = 512)
+      .join(truth, "user_id")
+      .select(col("user_id"), col("n_true"), col("cms_estimate"),
+        (col("cms_estimate") >= col("n_true")).as("never_undercounts"))
+  }
+  val q69Sql: String =
+    """WITH cells AS (
+      |  SELECT user_id, d,
+      |    ('0x'||substr(md5(d::VARCHAR||':'||user_id::VARCHAR),1,8))::BIGINT % 512 AS bucket
+      |  FROM events, range(4) t(d)),
+      |sketch AS (SELECT d, bucket, count(*) AS counter FROM cells GROUP BY 1, 2),
+      |truth AS (SELECT user_id, count(*) AS n_true FROM events GROUP BY 1),
+      |est AS (
+      |  SELECT user_id, min(counter) AS cms_estimate
+      |  FROM (SELECT user_id, d,
+      |          ('0x'||substr(md5(d::VARCHAR||':'||user_id::VARCHAR),1,8))::BIGINT % 512 AS bucket
+      |        FROM truth, range(4) t(d))
+      |  JOIN sketch USING (d, bucket) GROUP BY 1)
+      |SELECT t.user_id, t.n_true, e.cms_estimate,
+      |  e.cms_estimate >= t.n_true AS never_undercounts
+      |FROM truth t JOIN est e USING (user_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Sharded inverted index (TextAnalysis.invertedIndex): token ->
+    * sorted comma-joined postings, 4 shards per token, df >= 50.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(T(s, dir, "documents"), "doc_id", "text",
+      nShards = 4, minDf = 50)
+  val q70Sql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0)) AS token
+      |    FROM documents)),
+      |post AS (
+      |  SELECT token, doc_id % 4 AS shard, count(*) AS df_shard,
+      |    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+      |  FROM tok GROUP BY 1, 2),
+      |totals AS (SELECT token, count(*) AS df FROM tok
+      |           GROUP BY 1 HAVING count(*) >= 50)
+      |SELECT token, shard, df, df_shard, postings
+      |FROM post JOIN totals USING (token)""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Top-50 bigram collocations by PMI (Collocations.pmiTopK): the
+    * ranking key is the exact integer c_ab*N*1e6 div (c_a*c_b) — no
+    * floats anywhere, so the full scored rows hash-match.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.Collocations.pmiTopK(T(s, dir, "documents"), "text",
+      minCount = 5, k = 50)
+  val q71Sql: String =
+    """WITH src AS (SELECT list_filter(
+      |    string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT p[1] AS a, p[2] AS b FROM (
+      |    SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS p
+      |    FROM src WHERE len(toks) >= 2)),
+      |bi AS (SELECT a, b, count(*) AS c_ab FROM pairs
+      |       GROUP BY 1, 2 HAVING count(*) >= 5),
+      |lft AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY 1),
+      |rgt AS (SELECT b, count(*) AS c_b FROM pairs GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM pairs)
+      |SELECT a, b, c_ab, c_a, c_b,
+      |  c_ab * n.n * 1000000 // (c_a * c_b) AS pmi_scaled
+      |FROM bi JOIN lft USING (a) JOIN rgt USING (b), n
+      |ORDER BY pmi_scaled DESC, a, b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Symmetric int8 embedding quantization (Quantize): per-vector
+    * scale, position-weighted integer checksum of the codes, and the
+    * max-dequant-error <= scale/2 certificate. Codes are exact
+    * integers; the one double (scale) is rounded to 6 dp.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Quantize
+    val v = col("embedding")
+    T(s, dir, "embeddings").select(col("vec_id"),
+      round(Quantize.int8Scale(v), 6).as("scale_r"),
+      Quantize.int8Checksum(v).as("q_checksum"),
+      (Quantize.int8MaxError(v) <= Quantize.int8Scale(v) * 0.5000001)
+        .as("err_bounded"))
+  }
+  val q72Sql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+      |q AS (SELECT vec_id, v, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+      |         ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS q
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale_r,
+      |  coalesce(list_sum(list_transform(q, (x,i) -> x * i)), 0)::BIGINT
+      |    AS q_checksum,
+      |  coalesce(list_max(list_transform(list_zip(v, q),
+      |      p -> abs(p[1] - p[2] * scale))), 0.0) <= scale * 0.5000001
+      |    AS err_bounded
+      |FROM q""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Exact proportional stratified sample (Sampling.stratifiedExact):
+    * ceil(|lang| / 5) docs per language, selected by portable md5
+    * order — allocation and membership both engine-exact.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Sampling
+    Sampling.stratifiedExact(T(s, dir, "documents"), "doc_id", "lang",
+      num = 1, den = 5)
+      .select("doc_id", "lang", "source")
+  }
+  val q73Sql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5(doc_id::VARCHAR),1,8), doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents) WHERE rn <= (n * 1 + 4) // 5""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** ORC source/sink round trip (columnar interchange beyond parquet):
+    * same construction as q67 — all-scalar schema, lossless, base
+    * table as oracle.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q74_orc"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+      T(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+  }
+  val q74Sql: String = q67Sql
+
+  // ---------------------------------------------------------------- q75
+  /** CHAINED stateful streaming (StreamOps.streamDedupThenWindow):
+    * watermarked dedup -> tumbling hourly counts in ONE append-mode
+    * query. Fixture = events doubled (every row twice) plus a sentinel
+    * 3 h past the end so the final watermark releases the last real
+    * window; oracle = hourly counts over DISTINCT events.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q75_events_dup"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
+      val ev = events(s, dir).select("user_id", "ts", "value")
+      val sentinel = ev.agg(max("ts").as("ts"))
+        .select(lit(-1L).as("user_id"),
+          (col("ts") + expr("interval 3 hours")).as("ts"),
+          lit(0.0).as("value"))
+      ev.unionByName(ev).unionByName(sentinel)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    StreamOps.streamDedupThenWindow(s, tmp, "ts", "user_id",
+      dedupCols = Seq("user_id", "ts", "value"), sentinelKey = -1L,
+      queryName = "q75_dedup_window")
+  }
+  val q75Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  user_id, count(*) AS n
+      |FROM (SELECT DISTINCT user_id, ts, value FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_partition_prune" -> (q68 _),
+    "q69_countmin" -> (q69 _),
+    "q70_inverted_index" -> (q70 _),
+    "q71_pmi_collocations" -> (q71 _),
+    "q72_int8_quantize" -> (q72 _),
+    "q73_stratified_exact" -> (q73 _),
+    "q74_orc_roundtrip" -> (q74 _),
+    "q75_chained_stateful" -> (q75 _),
     "q66_bloom_decontaminate" -> (q66 _),
     "q67_jsonl_ingest" -> (q67 _),
     "q64_random_projection" -> (q64 _),
@@ -1432,6 +1634,14 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q68_partition_prune" -> q68Sql,
+    "q69_countmin" -> q69Sql,
+    "q70_inverted_index" -> q70Sql,
+    "q71_pmi_collocations" -> q71Sql,
+    "q72_int8_quantize" -> q72Sql,
+    "q73_stratified_exact" -> q73Sql,
+    "q74_orc_roundtrip" -> q74Sql,
+    "q75_chained_stateful" -> q75Sql,
     "q66_bloom_decontaminate" -> q66Sql,
     "q67_jsonl_ingest" -> q67Sql,
     "q64_random_projection" -> q64Sql,

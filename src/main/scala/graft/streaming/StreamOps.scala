@@ -194,6 +194,44 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** CHAINED stateful operators in one streaming query: watermarked
+    * dedup (dropDuplicatesWithinWatermark — state evicts as the
+    * watermark advances, the unbounded-stream requirement) feeding a
+    * tumbling-window aggregate, append-mode (complete mode cannot sit
+    * downstream of a dedup). Append emits a window only once the
+    * watermark passes its end, so a bounded replay would swallow the
+    * trailing window(s); callers append a SENTINEL row with an event
+    * time past the real data (and key `sentinelKey`, filtered from the
+    * result) to push the final watermark beyond the last real window —
+    * the sentinel's own window never fires, so it leaves no residue.
+    * The dedup key set must make duplicate classes co-arrive within the
+    * watermark of each other; the exact-replay fixture satisfies that
+    * trivially (copies carry identical event times).
+    */
+  def streamDedupThenWindow(spark: SparkSession, parquetPath: String,
+                            tsCol: String, keyCol: String,
+                            dedupCols: Seq[String], sentinelKey: Long,
+                            window: String = "1 hour",
+                            watermark: String = "1 hour",
+                            queryName: String = "stream_dedup_window")
+      : DataFrame = {
+    val agg = fileStream(spark, parquetPath)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(dedupCols)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+      .filter(col(keyCol) =!= sentinelKey)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionization: session_window with gap — batch twin. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes"): DataFrame =

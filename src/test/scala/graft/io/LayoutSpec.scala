@@ -53,4 +53,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(avgSpanA <= 32, s"a not clustered: $ra")
     assert(avgSpanB <= 32, s"b not clustered: $rb")
   }
+
+  test("partitionedWrite prunes directories at planning time") {
+    val dir = Files.createTempDirectory("layout_part").toString
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    Layout.partitionedWrite(df, "g", dir)
+    // one directory per partition value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("g=g0", "g=g1", "g=g2"))
+    val read = spark.read.parquet(dir).filter(col("g") === "g1")
+    val plan = read.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (planning-time directory
+    // skip), NOT in the data Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("g"), plan)
+    assert(read.count() == 100)
+    // files actually scanned: only the g=g1 directory's
+    val scanned = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("g=g1")),
+      scanned.mkString(","))
+  }
 }

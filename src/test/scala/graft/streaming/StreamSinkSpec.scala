@@ -42,4 +42,27 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).as[Long].collect().toSet ==
       (1L to 5000L).toSet)
   }
+
+  test("chained dedup -> window agg emits every real window exactly once") {
+    val src = Files.createTempDirectory("chain_src").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    // two users, three hours of events, EVERY row duplicated; sentinel
+    // at +5h releases the last real window under a 1h watermark
+    val rows = for {
+      u <- Seq(1L, 2L); m <- Seq(10L, 70L, 130L, 150L); _ <- 1 to 2
+    } yield (u, ts(m), 1.0)
+    val all = rows :+ ((-1L, ts(300L), 0.0))
+    all.toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(src)
+    val got = StreamOps.streamDedupThenWindow(spark, src, "ts", "user_id",
+        dedupCols = Seq("user_id", "ts", "value"), sentinelKey = -1L,
+        queryName = "chain_test")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // dedup collapses the doubles; hour 2 holds minutes 130 and 150
+    val want = Seq(1L, 2L).flatMap(u => Seq(
+      (ts(0), u, 1L), (ts(60), u, 1L), (ts(120), u, 2L))).toSet
+    assert(got == want)
+  }
 }
