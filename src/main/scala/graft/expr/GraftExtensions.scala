@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.IntegerType
   *     unmodified spark-submit/cluster deployment.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashes)
+    // plan-level: top-k-per-group operator + the window-idiom rewrite
+    ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GraftTopKRule)
+  }
 }
 
 object GraftExtensions {

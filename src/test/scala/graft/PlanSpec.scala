@@ -90,10 +90,19 @@ class PlanSpec extends AnyFunSuite {
       s"global single-partition window — packing would serialize:\n$plan")
   }
 
-  test("q31 per-group top-k stays a single window pass") {
+  test("q31 per-group top-k rewrites to the heap-based TopK operator") {
     val plan = planOf("q31_topk_per_group")
-    assert(plan.contains("Window"), "expected window exec")
-    // one shuffle for the window partitioning, nothing else
+    // GraftTopKRule replaces the window+filter idiom: partial heaps
+    // below the exchange (only survivors shuffle), final above, no
+    // window exec and no per-group sort anywhere
+    assert(plan.contains("TopKPerGroupFinal") &&
+      plan.contains("TopKPerGroupPartial"), s"expected TopK operator:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window survived:\n$plan")
+    val (iF, iE, iP) = (plan.indexOf("TopKPerGroupFinal"),
+      plan.indexOf("Exchange hashpartitioning"),
+      plan.indexOf("TopKPerGroupPartial"))
+    assert(iF >= 0 && iF < iE && iE < iP,
+      s"expected final > exchange > partial:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
       s"too many shuffles:\n$plan")
   }
