@@ -1513,7 +1513,148 @@ object ExtQueries {
       |FROM (SELECT DISTINCT user_id, ts, value FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** SCD type-2 dimension build (ops.Scd.type2): every event becomes a
+    * validity interval per user, latest open-ended. Raw timestamps are
+    * engine-portable here (all event times are whole microseconds).
+    */
+  def q76(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.type2(events(s, dir), "user_id", "ts", "event_id",
+      Seq("value"))
+  val q76Sql: String =
+    """SELECT user_id, event_id, ts AS valid_from, value,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Integer-scaled PageRank, 3 rounds (ops.Graph.pageRank) over the
+    * supplier<->part bipartite graph from lineitem. Integer arithmetic
+    * end to end, so the DuckDB replica (iterations unrolled as CTEs)
+    * hash-matches every rank.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + 1000000L).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.Graph.pageRank(edges, iterations = 3)
+  }
+  val q77Sql: String = {
+    def round(prev: String, i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS s
+         |  FROM edges e JOIN $prev r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    (SELECT 15 * 1000000000000 // 100 // n FROM params)
+         |      + 85 * coalesce(c.s, 0) // 100 AS rank
+         |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+    s"""WITH fwd AS (SELECT DISTINCT l_suppkey AS src,
+       |    1000000 + l_partkey AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM fwd
+       |          UNION SELECT dst, src FROM fwd),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM params) AS rank
+       |       FROM nodes),
+       |${round("r0", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)}
+       |SELECT node, rank FROM r3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q78
+  /** Hourly resample + forward fill (ops.Resample.hourlyFfill) of each
+    * user's value series: grid generated distributed per user,
+    * deterministic per-bucket representative, one ffill window.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.hourlyFfill(events(s, dir), "user_id", "ts", "value",
+      "event_id")
+  val q78Sql: String =
+    """WITH ev AS (SELECT user_id, ts, event_id, value FROM events
+      |            WHERE value IS NOT NULL),
+      |hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+      |    max_by(value, event_id) AS v FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT user_id, unnest(generate_series(
+      |    date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+      |    INTERVAL 1 HOUR)) AS h
+      |  FROM events GROUP BY user_id)
+      |SELECT g.user_id, g.h AS h,
+      |  last_value(hr.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |    ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS v_ff
+      |FROM grid g LEFT JOIN hourly hr
+      |  ON g.user_id = hr.user_id AND g.h = hr.h""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Semi-structured VARIANT path (Spark 4): props parsed once to a
+    * variant, typed `variant_get` extraction, grouped stats on the
+    * extracted field — the open-schema ingestion pattern (vs q30's
+    * per-path string extraction).
+    */
+  def q79(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+  val q79Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** approx_percentile certified against exact order statistics: the
+    * sketch's p50 must land between the exact values at ranks
+    * (0.499n)-ish — the accuracy-1000 guarantee, in integer rank
+    * arithmetic (float rank math rounds differently across engines).
+    * Output = per-type n + the exact bracket + the pass flag; the
+    * approximate value itself stays engine-side (t-digest internals
+    * aren't portable, its GUARANTEE is).
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("value"))).as("sorted"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"))
+      .select(col("event_type"), col("n"),
+        element_at(col("sorted"),
+          greatest(lit(1), expr("499 * n div 1000")).cast("int")).as("lo"),
+        element_at(col("sorted"),
+          least(col("n"), expr("501 * n div 1000 + 2")).cast("int")).as("hi"),
+        col("approx"))
+      // the REAL certificate: engine-side approx within the exact
+      // bracket; the oracle pins it by emitting constant true
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .as("p50_within_bounds"))
+  }
+  val q80Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events
+      |            WHERE value IS NOT NULL),
+      |g AS (SELECT event_type, count(*) AS n,
+      |        list_sort(list(value)) AS sorted FROM ev GROUP BY 1)
+      |SELECT event_type, n,
+      |  sorted[greatest(1, 499 * n // 1000)] AS lo,
+      |  sorted[least(n, 501 * n // 1000 + 2)] AS hi,
+      |  CAST(1 AS BOOLEAN) AS p50_within_bounds
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_scd2" -> (q76 _),
+    "q77_pagerank" -> (q77 _),
+    "q78_resample_ffill" -> (q78 _),
+    "q79_variant" -> (q79 _),
+    "q80_approx_percentile" -> (q80 _),
     "q68_partition_prune" -> (q68 _),
     "q69_countmin" -> (q69 _),
     "q70_inverted_index" -> (q70 _),
@@ -1634,6 +1775,11 @@ object ExtQueries {
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q76_scd2" -> q76Sql,
+    "q77_pagerank" -> q77Sql,
+    "q78_resample_ffill" -> q78Sql,
+    "q79_variant" -> q79Sql,
+    "q80_approx_percentile" -> q80Sql,
     "q68_partition_prune" -> q68Sql,
     "q69_countmin" -> q69Sql,
     "q70_inverted_index" -> q70Sql,
