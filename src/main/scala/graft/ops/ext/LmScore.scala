@@ -1,0 +1,58 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Unigram language-model scoring — the corpus-level perplexity filter
+  * of training-data pipelines (the CCNet/Wikipedia-LM quality gate,
+  * reduced to its order-0 form so the model is the corpus itself, not
+  * an external artifact): fit add-one-smoothed unigram probabilities
+  * over the corpus, then score every document by its mean token
+  * negative log-likelihood. High-NLL documents are the
+  * rare-token/garbled tail; low-NLL documents are stopword soup — both
+  * ends are the standard trim targets.
+  *
+  * Scale shape: one shuffle to build the frequency table (map-side
+  * partial counts on the token), one shuffle to join tokens back to
+  * their frequencies (AQE turns it into a broadcast join when the
+  * vocabulary is small; at web-corpus vocabulary sizes the shuffle join
+  * on the token is the right plan and Catalyst keeps it), one shuffle
+  * for the per-document rollup.
+  *
+  * Determinism: ln() terms are summed through DECIMAL(38,18) —
+  * order-independent, exact — and only divided/rounded at the very end,
+  * per the repo-wide cross-engine float contract. The smoothed
+  * probability is factored as ln(c+1) − ln(N+V) so every ln() input is
+  * an integer — both engines take ln of bit-identical doubles.
+  */
+object LmScore {
+
+  /** Corpus unigram frequency table: (token, c). */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").count().withColumnRenamed("count", "c")
+
+  /** Per-document mean negative log-likelihood under the corpus's own
+    * add-one-smoothed unigram model:
+    *   nll(d) = −(1/|d|) Σ_t ln((c_t+1)/(N+V))
+    *          = ln(N+V) − (1/|d|) Σ_t ln(c_t+1)
+    * Output: (id, n_tokens, nll) with nll rounded to 6 dp. Documents
+    * with no tokens are dropped (no likelihood to speak of).
+    */
+  def unigramNll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val freqs = unigramCounts(df, textCol)
+    val totals = freqs.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val perDoc = toks
+      .join(freqs, Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("c") + 1).cast(DecimalType(38, 18))).as("s"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("n") + col("v")) - col("s").cast("double") / col("n_tokens"), 6)
+          .as("nll"))
+  }
+}

@@ -34,7 +34,7 @@ object ExtQueries {
   }
 
   /** documents + mutated near-copies of every 10th doc. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
     val mutated = docs.filter(col("doc_id") % 10 === 0)
@@ -43,7 +43,7 @@ object ExtQueries {
           .as("text"))
     docs.unionByName(mutated)
   }
-  private val nearDupCorpusSql: String =
+  private[queries] val nearDupCorpusSql: String =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id,

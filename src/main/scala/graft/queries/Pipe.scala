@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.ops.Cdc
+import graft.ops.ext.{LmScore, Mixture, SemDedup, Sharding, SpanDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Round-3 pipeline query set (q81+): interchange formats beyond
+  * parquet/ORC/JSONL (Avro, XML), substring-level dedup, corpus-LM
+  * scoring, mixture rebalancing, semantic dedup, token-budget sharding,
+  * and changelog (CDC) application. Same contract as Core/Ext: every
+  * query paired with a DuckDB oracle, floats rounded to 6 dp, sums
+  * through DECIMAL, ranks tie-broken by id.
+  */
+object PipeQueries {
+  import CoreQueries.{T, sfName}
+  import ExtQueries.{nearDupCorpus, nearDupCorpusSql}
+
+  /** Spark's Avro source isn't service-registered in this distribution
+    * (jars-only layout), so address the provider class directly — the
+    * documented fallback for `Failed to find data source: avro`.
+    */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  // ---------------------------------------------------------------- q81
+  /** Avro source/sink round trip (row-major interchange): all-scalar
+    * schema, lossless; base table as oracle. Same construction as
+    * q74's ORC twin.
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q81_avro"
+    if (!Files.exists(Paths.get(s"$tmp/_SUCCESS")))
+      T(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").format(AvroFormat).save(tmp)
+    s.read.format(AvroFormat).load(tmp)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+  }
+  val q81Sql: String =
+    "SELECT doc_id, lang, source, n_chars, text FROM documents"
+
+  // ---------------------------------------------------------------- q82
+  /** XML ingest (Spark 4's built-in XML source): dump nation rows as
+    * XML records, read back with schema inference, join-shape check
+    * against the base table. XML infers integers as long — cast to the
+    * base types explicitly (the reader's documented widening).
+    */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q82_xml"
+    if (!Files.exists(Paths.get(s"$tmp/_SUCCESS")))
+      T(s, dir, "nation")
+        .write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(tmp)
+    s.read.option("rowTag", "nation").format("xml").load(tmp)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+  }
+  val q82Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  // ---------------------------------------------------------------- q83
+  /** Substring-level exact dedup (Lee et al. 2022 recipe, hashed
+    * sliding windows): per-doc duplicated-span stats over the
+    * mutated-copy corpus — the mutated copies share almost all their
+    * 20-token spans with their originals.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.spanStats(nearDupCorpus(s, dir), "text", "doc_id", w = 20)
+  val q83Sql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |tok AS (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks
+       |        FROM corpus),
+       |spans AS (SELECT doc_id,
+       |            unnest(list_distinct([array_to_string(toks[i:i+19],' ')
+       |              for i in range(1, greatest(len(toks)-19,1)+1)])) AS span
+       |          FROM tok),
+       |cnt AS (SELECT doc_id,
+       |          count(*) OVER (PARTITION BY span) AS docs
+       |        FROM spans)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  count(CASE WHEN docs > 1 THEN 1 END) AS n_dup_spans,
+       |  round(count(CASE WHEN docs > 1 THEN 1 END) / count(*), 6) AS dup_frac
+       |FROM cnt GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Corpus-LM quality scoring: add-one-smoothed unigram NLL per doc
+    * (the order-0 CCNet perplexity gate). ln() terms sum through
+    * DECIMAL(38,18); every ln() input is an integer, so both engines
+    * take ln of bit-identical doubles.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame =
+    LmScore.unigramNll(T(s, dir, "documents"), "text", "doc_id")
+  val q84Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |        unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                           t -> len(t)>0)) AS token
+      |      FROM documents),
+      |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM freq),
+      |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+      |          sum(CAST(ln(f.c + 1) AS DECIMAL(38,18))) AS s
+      |        FROM tok t JOIN freq f USING (token) GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(ln(n + v) - CAST(s AS DOUBLE) / n_tokens, 6) AS nll
+      |FROM agg, tot""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Mixture rebalancing: downsample to the largest corpus matching the
+    * target language mixture exactly (en 40% / de 25% / fr 20% /
+    * es 15%; zh dropped), deterministic md5-rank selection per stratum.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame =
+    Mixture.rebalance(T(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.40, "de" -> 0.25, "fr" -> 0.20, "es" -> 0.15))
+      .select("doc_id", "lang", "source")
+  val q85Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS cnt,
+      |    (CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.25
+      |               WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15 END)::DOUBLE AS w
+      |  FROM documents GROUP BY lang),
+      |budget AS (SELECT min(floor(cnt / w)) AS t FROM counts WHERE w IS NOT NULL),
+      |takes AS (SELECT lang, CAST(floor(w * t) AS BIGINT) AS take
+      |          FROM counts, budget WHERE w IS NOT NULL),
+      |ranked AS (SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5(doc_id::VARCHAR),1,8), doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.source
+      |FROM ranked r JOIN takes k USING (lang) WHERE r.rn <= k.take""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Semantic dedup (SemDeDup): IVF-style deterministic clusters, drop
+    * any vector with a lower-id cluster-mate at cosine > 0.9; output
+    * the kept ids with their cluster. The synthetic embeddings have no
+    * natural semantic dups (max in-cluster cosine ~0.45), so the corpus
+    * plants them: every 10th vector re-enters at id+1,000,000 with
+    * +0.05 on its first component (cosine to its original ~0.998) —
+    * the same planted-duplicate construction the text near-dup queries
+    * use.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val mutated = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("embedding"))
+    SemDedup.semDedup(base.unionByName(mutated), "embedding", "vec_id",
+      centroidEvery = 25, tau = 0.9)
+  }
+  val q86Sql: String =
+    """WITH base AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS vec FROM embeddings),
+      |v AS (SELECT vec_id, vec FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 1000000 AS vec_id,
+      |        [CASE WHEN i = 1 THEN vec[i] + 0.05 ELSE vec[i] END
+      |         for i in range(1, len(vec)+1)] AS vec
+      |      FROM base WHERE vec_id % 10 = 0),
+      |n AS (SELECT vec_id, vec,
+      |        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm
+      |      FROM v),
+      |cents AS (SELECT vec_id AS cent_id, vec AS centv, nrm AS centnorm
+      |          FROM n WHERE vec_id % 25 = 0),
+      |assign AS (
+      |  SELECT vec_id, cent_id, vec, nrm FROM (
+      |    SELECT n.vec_id, c.cent_id, n.vec, n.nrm,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(n.vec)+1), i -> n.vec[i]*c.centv[i]),
+      |                    (x,y) -> x+y) / (n.nrm*c.centnorm) DESC, c.cent_id) AS r
+      |    FROM n, cents c) WHERE r = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b
+      |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |  WHERE list_reduce(list_transform(range(1, len(a.vec)+1), i -> a.vec[i]*b.vec[i]),
+      |                    (x,y) -> x+y) / (a.nrm*b.nrm) > 0.9)
+      |SELECT vec_id, cent_id FROM assign
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** Token-budget sharding: md5 global order, cut every 20k tokens,
+    * emit the shard manifest. Two-level prefix sum (16 hash buckets in
+    * parallel + broadcast offsets) — integer-exact, window-parallel.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+    Sharding.shardManifest(docs, "doc_id", "n_tokens", budget = 20000L)
+  }
+  val q87Sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                    t -> len(t)>0))::BIGINT AS n_tokens,
+      |    substr(md5(doc_id::VARCHAR),1,8) AS key
+      |  FROM documents),
+      |cum AS (SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM docs)
+      |SELECT (c - n_tokens) // 20000 AS shard,
+      |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Changelog application (MERGE INTO semantics): orders snapshot +
+    * synthetic CDC log — every 7th key an upsert doubling the price at
+    * seq 1, every 11th key a delete at seq 2 (so keys divisible by 77
+    * are updated then deleted). Latest seq wins in one window pass.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val snap = T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val ups = snap.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val dels = snap.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    Cdc.applyChangelog(snap, ups.unionByName(dels),
+      "o_orderkey", "seq", "op")
+  }
+  val q88Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2)
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_avro_roundtrip" -> (q81 _),
+    "q82_xml_ingest" -> (q82 _),
+    "q83_span_dedup" -> (q83 _),
+    "q84_unigram_lm" -> (q84 _),
+    "q85_mixture" -> (q85 _),
+    "q86_semdedup" -> (q86 _),
+    "q87_shard_pack" -> (q87 _),
+    "q88_cdc_apply" -> (q88 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_avro_roundtrip" -> q81Sql,
+    "q82_xml_ingest" -> q82Sql,
+    "q83_span_dedup" -> q83Sql,
+    "q84_unigram_lm" -> q84Sql,
+    "q85_mixture" -> q85Sql,
+    "q86_semdedup" -> q86Sql,
+    "q87_shard_pack" -> q87Sql,
+    "q88_cdc_apply" -> q88Sql)
+}
