@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashes)
+    ext.injectFunction(GraftExtensions.vecDot)
     // plan-level: top-k-per-group operator + the window-idiom rewrite
     ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GraftTopKRule)
@@ -38,5 +39,23 @@ object GraftExtensions {
       case Seq(child) => ShingleHashes(child, 3)
       case _ => throw new IllegalArgumentException(
         "shingle_hashes(tokens array<string>, n int literal = 3)")
+    })
+
+  /** vec_dot(a array<double>, b array<double>) -> double (sequential
+    * fold; see VecDot).
+    */
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) =>
+        // widen any numeric array to array<double> (VecDot itself only
+        // type-checks — AbstractDataType is private[sql] in Spark 4)
+        val dbl = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        VecDot(org.apache.spark.sql.catalyst.expressions.Cast(a, dbl),
+          org.apache.spark.sql.catalyst.expressions.Cast(b, dbl))
+      case _ => throw new IllegalArgumentException(
+        "vec_dot(a array<double>, b array<double>)")
     })
 }

@@ -48,6 +48,24 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup — the corpus-append pattern: dedup a new
+    * `batch` internally (min-id winner, as exactByHash), then drop
+    * everything whose content already exists in `history`, and return
+    * history ∪ survivors. The anti-join keys on the content digest
+    * only, so the history side shuffles 32-byte digests, never text;
+    * at a 100 TB history the digest projection is the difference
+    * between re-shuffling the corpus and re-shuffling 0.03% of it
+    * (and a persisted digest table makes the history scan one column).
+    */
+  def incremental(history: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val seen = history.select(sha2(col(textCol), 256).as("__h")).distinct()
+    val fresh = exactByHash(batch, textCol, idCol)
+      .withColumn("__h", sha2(col(textCol), 256))
+      .join(seen, Seq("__h"), "left_anti").drop("__h")
+    history.unionByName(fresh)
+  }
+
   /** Word shingles of size n (lowercased, split on non-alphanumerics),
     * HASHED: each sliding window maps to one hash long instead of a
     * concatenated string — long arrays make array_distinct/intersect/
@@ -70,6 +88,44 @@ object Dedup {
     val toks = split(lower(text), "[^a-z0-9]+")
     GraftExpressionBridge.column(
       graft.expr.ShingleHashes(GraftExpressionBridge.expression(toks), n))
+  }
+
+  /** Containment near-dup pairs — the ASYMMETRIC dedup signal (doc A
+    * wholesale-included in doc B: quotes, mirrors, supersets — pairs
+    * jaccard misses when |B| ≫ |A|): (id_a, id_b, containment) with
+    * containment = |sh(A) ∩ sh(B)| / |sh(A)| ≥ tau, directional, a ≠ b.
+    *
+    * Candidates come from shingle co-occurrence (the inverted-index
+    * pattern: explode → self-join on the shingle hash), verified
+    * exactly on the full arrays. `maxDf` caps a shingle's document
+    * frequency before the self-join — the standard guard against the
+    * Σdf² blowup of stop-shingles. EXACTNESS CONTRACT: any true pair at
+    * tau > 0 shares ≥ 1 shingle, so with maxDf ≥ the corpus's max df
+    * the candidate set is complete and the result is exhaustive-exact
+    * (what the q92 oracle checks); a tighter cap at web scale trades
+    * only pairs ALL of whose shared shingles are stop-shingles.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, tau: Double = 0.9,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("h"))
+    val rare = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf).drop("df")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sha"), col("shb"))) / size(col("sha")))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6)
+        .as("containment"))
   }
 
   /** Exact pairwise Jaccard over two shingle-array columns. */

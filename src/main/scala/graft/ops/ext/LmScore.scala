@@ -55,4 +55,41 @@ object LmScore {
         round(log(col("n") + col("v")) - col("s").cast("double") / col("n_tokens"), 6)
           .as("nll"))
   }
+
+  /** Per-document mean NLL under the corpus's add-one-smoothed BIGRAM
+    * model: nll(d) = −(1/#pairs) Σ ln((c₁₂+1)/(c₁+V)), with c₁ the
+    * bigram-prefix count (Σ_w c₁w — self-consistent with the pair
+    * stream) and V the unigram vocabulary. Documents with fewer than 2
+    * tokens have no bigrams and drop out.
+    *
+    * Scale shape: the pair stream shuffles twice (bigram counts join,
+    * prefix counts join) plus the per-doc rollup — all keyed joins
+    * Catalyst can broadcast when the count tables allow. Both ln()
+    * terms are cast to DECIMAL(38,18) BEFORE the sum, so the rollup is
+    * order-independent and cross-engine exact; ln() inputs are
+    * integers, as in [[unigramNll]].
+    */
+  def bigramNll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col(idCol), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val big = pairs.groupBy("w1", "w2").count().withColumnRenamed("count", "c12")
+    val pre = pairs.groupBy(col("w1")).count().withColumnRenamed("count", "c1")
+    val vocab = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("v"))
+    val perDoc = pairs
+      .join(big, Seq("w1", "w2")).join(pre, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("c12") + 1).cast(DecimalType(38, 18))
+          - log(col("c1") + col("v")).cast(DecimalType(38, 18))).as("s"))
+    perDoc.select(col(idCol), col("n_bigrams"),
+      round(-col("s").cast("double") / col("n_bigrams"), 6).as("nll"))
+  }
 }

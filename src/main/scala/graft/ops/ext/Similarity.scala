@@ -20,12 +20,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double-array columns, as the
+    * native codegen'd [[graft.expr.VecDot]] expression — bit-identical
+    * to the composed `aggregate(zip_with(...))` fold (same add order;
+    * equivalence property-asserted in VecDotSpec) but a primitive loop
+    * in whole-stage codegen instead of two interpreted lambdas.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.expr.VecDot(
+      GraftExpressionBridge.expression(a.cast("array<double>")),
+      GraftExpressionBridge.expression(b.cast("array<double>"))))
+  }
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** sqrt of the self dot product — same fold order as the historical
+    * `aggregate(transform(a, x => x*x), ...)` form.
+    */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))

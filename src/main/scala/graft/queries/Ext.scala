@@ -53,7 +53,7 @@ object ExtQueries {
       |      FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** DuckDB 3-gram shingle expression over a `text` column. */
-  private val shinglesSql: String =
+  private[queries] val shinglesSql: String =
     """list_distinct([array_to_string(toks[i:i+2], ' ')
       |  for i in range(1, greatest(len(toks)-2, 1)+1)])""".stripMargin
 

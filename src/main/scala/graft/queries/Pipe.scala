@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
   */
 object PipeQueries {
   import CoreQueries.{T, sfName}
-  import ExtQueries.{nearDupCorpus, nearDupCorpusSql}
+  import ExtQueries.{nearDupCorpus, nearDupCorpusSql, shinglesSql}
 
   /** Spark's Avro source isn't service-registered in this distribution
     * (jars-only layout), so address the provider class directly — the
@@ -230,7 +230,114 @@ object PipeQueries {
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Bigram-LM quality scoring: mean NLL under the corpus's add-one
+    * bigram model — the order-1 deepening of q84's gate (a doc can be
+    * unigram-plausible but bigram-garbled; this is the signal
+    * perplexity filters actually use).
+    */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    LmScore.bigramNll(T(s, dir, "documents"), "text", "doc_id")
+  val q89Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                    t -> len(t)>0) AS toks
+      |      FROM documents),
+      |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |                FROM tok)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+      |pre AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+      |voc AS (SELECT count(DISTINCT token) AS v
+      |        FROM (SELECT unnest(toks) AS token FROM tok)),
+      |agg AS (SELECT p.doc_id, count(*) AS n_bigrams,
+      |          sum(CAST(ln(b.c12 + 1) AS DECIMAL(38,18))
+      |              - CAST(ln(pr.c1 + voc.v) AS DECIMAL(38,18))) AS s
+      |        FROM pairs p JOIN big b USING (w1, w2)
+      |        JOIN pre pr USING (w1), voc
+      |        GROUP BY p.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS nll FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Schema evolution across epochs: epoch 1 writes (doc_id, lang),
+    * epoch 2 adds (source, n_chars); a mergeSchema read presents the
+    * union schema with nulls backfilled and the epoch as a partition
+    * column — the lakehouse widening pattern.
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q90_epochs"
+    if (!Files.exists(Paths.get(s"$tmp/epoch=2/_SUCCESS"))) {
+      val docs = T(s, dir, "documents")
+      docs.select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+      docs.select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/epoch=2")
+    }
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .select("doc_id", "lang", "source", "n_chars", "epoch")
+  }
+  val q90Sql: String =
+    """SELECT doc_id, lang, NULL AS source, NULL::BIGINT AS n_chars,
+      |  1 AS epoch FROM documents
+      |UNION ALL
+      |SELECT doc_id, lang, source, n_chars, 2 AS epoch FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Incremental corpus append: history (docs with id % 3 <> 0) grows
+    * by a batch (id % 3 = 0) deduped internally and against history by
+    * content digest — only digests shuffle, never the history text.
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Dedup
+    val docs = T(s, dir, "documents")
+    Dedup.incremental(
+      history = docs.filter(col("doc_id") % 3 =!= 0),
+      batch = docs.filter(col("doc_id") % 3 === 0),
+      "text", "doc_id")
+  }
+  val q91Sql: String =
+    """WITH old AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      |neu AS (SELECT * FROM documents WHERE doc_id % 3 = 0)
+      |SELECT * FROM old
+      |UNION ALL
+      |SELECT * FROM neu
+      |WHERE text NOT IN (SELECT text FROM old)
+      |  AND doc_id IN (SELECT min(doc_id) FROM neu GROUP BY text)""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Containment (asymmetric) near-dup pairs over the mutated-copy
+    * corpus: the mutated copies (last 2 tokens dropped) are fully
+    * contained in their originals (containment 1.0 in that direction;
+    * the reverse direction passes only for long docs). maxDf left at
+    * its exhaustive-exact default — the corpus's shingle df is tiny;
+    * the cap is the documented web-scale knob.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Dedup
+    Dedup.containmentPairs(nearDupCorpus(s, dir), "text", "doc_id",
+      shingleSize = 3, tau = 0.9)
+  }
+  val q92Sql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id,
+       |         $shinglesSql AS shingles
+       |       FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                           t -> len(t)>0) AS toks
+       |             FROM corpus))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.shingles, b.shingles))
+       |        / len(a.shingles), 6) AS containment
+       |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles))
+       |      / len(a.shingles) >= 0.9""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_bigram_lm" -> (q89 _),
+    "q90_schema_evolution" -> (q90 _),
+    "q91_incremental_dedup" -> (q91 _),
+    "q92_containment" -> (q92 _),
     "q81_avro_roundtrip" -> (q81 _),
     "q82_xml_ingest" -> (q82 _),
     "q83_span_dedup" -> (q83 _),
@@ -241,6 +348,10 @@ object PipeQueries {
     "q88_cdc_apply" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
+    "q89_bigram_lm" -> q89Sql,
+    "q90_schema_evolution" -> q90Sql,
+    "q91_incremental_dedup" -> q91Sql,
+    "q92_containment" -> q92Sql,
     "q81_avro_roundtrip" -> q81Sql,
     "q82_xml_ingest" -> q82Sql,
     "q83_span_dedup" -> q83Sql,
