@@ -56,6 +56,30 @@ object LmScore {
           .as("nll"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * frequency-floored vocabulary (tokens with count >= minCount — the
+    * tokenizer-coverage signal: a doc whose tokens the vocabulary
+    * doesn't cover will fragment badly at tokenization time).
+    *
+    * Scale shape: one shuffle for the vocabulary counts, one join of
+    * the token stream against the (small, often broadcast) vocabulary,
+    * one per-doc rollup. Token-less docs drop out (no coverage to
+    * speak of), as in the NLL scorers.
+    */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val vocab = unigramCounts(df, textCol)
+      .filter(col("c") >= minCount).select("token")
+      .withColumn("__in_vocab", lit(1))
+    toks.join(vocab, Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Per-document mean NLL under the corpus's add-one-smoothed BIGRAM
     * model: nll(d) = −(1/#pairs) Σ ln((c₁₂+1)/(c₁+V)), with c₁ the
     * bigram-prefix count (Σ_w c₁w — self-consistent with the pair

@@ -74,6 +74,30 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4.0)) * 0.3, 6))
   }
 
+  /** Logistic quality classifier — the fastText-classifier stage of a
+    * curation pipeline reduced to its deterministic core: a fixed
+    * linear model over the quality features, squashed by a sigmoid.
+    * The weights are configuration (a real deployment drops in its
+    * trained coefficients); the default set rewards stopword density
+    * and length, penalizes punctuation soup — the same directions the
+    * transparent q19 gate uses, but as a calibrated probability.
+    *
+    * Pure per-row expressions (no shuffle); the sigmoid's exp() is the
+    * only transcendental, rounded to 6 dp at the boundary per the
+    * repo-wide cross-engine float contract.
+    */
+  def logisticQuality(df: DataFrame, textCol: String,
+      bias: Double = -1.0, wStop: Double = 4.0, wPunct: Double = -6.0,
+      wLen: Double = 0.5): DataFrame = {
+    val feats = qualityFeatures(df, textCol)
+    val z = lit(bias) + col("stopword_ratio") * wStop +
+      col("punct_ratio") * wPunct + log(col("n_tokens") + 1) * wLen
+    feats.withColumn("p_keep", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("keep", col("p_keep") > 0.5)
+      .drop("n_chars_m", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality_score")
+  }
+
   /** Intra-document repetition signals (the RefinedWeb-style quality
     * gates): distinct-token ratio and duplicated n-gram ratios. A
     * templated/spammy doc repeats its n-grams, so

@@ -333,7 +333,80 @@ object PipeQueries {
        |WHERE len(list_intersect(a.shingles, b.shingles))
        |      / len(a.shingles) >= 0.9""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Logistic quality classifier: fixed-coefficient sigmoid over the
+    * q19 feature set — the deterministic core of the fastText-style
+    * keep/drop gate.
+    */
+  def q93(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.TextAnalysis.logisticQuality(
+      T(s, dir, "documents"), "text")
+      .select("doc_id", "p_keep", "keep")
+  val q93Sql: String = {
+    val stop = graft.ops.ext.TextAnalysis.StopwordSets("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(toks)::DOUBLE AS nt,
+       |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END AS sr
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks,
+       |          length(text)::DOUBLE AS nc,
+       |          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS np
+       |        FROM documents)),
+       |sc AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(-1.0 + sr * 4.0 + pr * (-6.0)
+       |                             + ln(nt + 1) * 0.5))), 6) AS p_keep
+       |  FROM f)
+       |SELECT doc_id, p_keep, p_keep > 0.5 AS keep FROM sc""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q94
+  /** Tokenizer-coverage signal: per-doc OOV rate against the corpus's
+    * own count>=5 vocabulary.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame =
+    LmScore.oovRate(T(s, dir, "documents"), "text", "doc_id", minCount = 5L)
+  val q94Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |        unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                           t -> len(t)>0)) AS token
+      |      FROM documents),
+      |voc AS (SELECT token FROM
+      |          (SELECT token, count(*) AS c FROM tok GROUP BY token)
+      |        WHERE c >= 5)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+      |  round(count(CASE WHEN v.token IS NULL THEN 1 END) / count(*), 6)
+      |    AS oov_rate
+      |FROM tok t LEFT JOIN voc v ON t.token = v.token
+      |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** Dataset card: per (lang, source) doc counts, token totals and the
+    * exact median length — the summary block a corpus release ships.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.ext.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+  val q95Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                      t -> len(t)>0))) AS n_tokens,
+      |  quantile_cont(n_chars, 0.5) AS median_chars
+      |FROM documents GROUP BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_quality_classifier" -> (q93 _),
+    "q94_oov_rate" -> (q94 _),
+    "q95_dataset_card" -> (q95 _),
     "q89_bigram_lm" -> (q89 _),
     "q90_schema_evolution" -> (q90 _),
     "q91_incremental_dedup" -> (q91 _),
@@ -348,6 +421,9 @@ object PipeQueries {
     "q88_cdc_apply" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
+    "q93_quality_classifier" -> q93Sql,
+    "q94_oov_rate" -> q94Sql,
+    "q95_dataset_card" -> q95Sql,
     "q89_bigram_lm" -> q89Sql,
     "q90_schema_evolution" -> q90Sql,
     "q91_incremental_dedup" -> q91Sql,
