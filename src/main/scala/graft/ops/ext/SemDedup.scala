@@ -52,7 +52,11 @@ object SemDedup {
     */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
       centroidEvery: Int, tau: Double): DataFrame = {
-    val assigned = assign(df, vecCol, idCol, centroidEvery)
+    // the assignment feeds three consumers (both self-join sides + the
+    // final anti-join left); without a stage persist the centroid
+    // broadcast + assignment window recomputes once per consumer —
+    // same stage-boundary rule as Curation.curate
+    val assigned = assign(df, vecCol, idCol, centroidEvery).persist()
     val dropped = assigned.as("b")
       .join(assigned.as("a"),
         col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))

@@ -137,4 +137,67 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"),
       s"expected small-side salt replication via explode:\n$plan")
   }
+
+  test("q83 span dedup shuffles only (id, hash) — never the span text") {
+    val plan = planOf("q83_span_dedup")
+    // both exchanges (window on hash, rollup on doc) carry 2 columns
+    // at most; a `span` attribute crossing an exchange means the
+    // 100+-byte window strings are being shuffled
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hash"))
+    exchanges.foreach { e =>
+      assert(!e.contains("span"), s"span text crosses an exchange:\n$plan")
+    }
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"span dedup is two shuffles (hash window + doc rollup):\n$plan")
+  }
+
+  test("q86 semantic dedup broadcasts centroids; cluster join stays equi") {
+    val df = SparkEntry.queries("q86_semdedup")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cluster self-join must not be cartesian:\n$plan")
+    // the assignment stage feeds 3 consumers and must be persisted —
+    // its centroid broadcast (the one deliberate nested-loop join)
+    // then lives ONLY inside the cached relation, computed once
+    assert(plan.contains("InMemoryTableScan"),
+      s"assignment stage must be persisted (3 consumers):\n$plan")
+    val live = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!live.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join outside the cached assignment stage:\n$live")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"per-cluster prune join must be an equi-join:\n$plan")
+  }
+
+  test("q87 sharding: the corpus window is bucket-partitioned, not global") {
+    val df = SparkEntry.queries("q87_shard_pack")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the big-side window must partition by __bucket; the only
+    // SinglePartition window allowed is the 16-row offsets frame
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.exists(_.contains("__bucket")),
+      s"expected the per-bucket prefix-sum window:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back, not shuffle the corpus:\n$plan")
+  }
+
+  test("q85 mixture broadcasts the per-stratum takes onto the corpus") {
+    val df = SparkEntry.queries("q85_mixture")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"takes join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in mixture plan:\n$plan")
+  }
+
+  test("VecDot powers the ANN queries inside codegen (no fallback)") {
+    val df = SparkEntry.queries("q16_cosine_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot"), s"expected vec_dot in plan:\n$plan")
+    val starred = """\*\(\d+\) [^\n]*vec_dot""".r
+    assert(starred.findFirstIn(plan).isDefined,
+      s"vec_dot operator not codegen'd:\n$plan")
+  }
 }
