@@ -403,7 +403,31 @@ object PipeQueries {
       |  quantile_cont(n_chars, 0.5) AS median_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Rank-function depth (§2.5): length deciles per language via ntile,
+    * percent_rank and cume_dist over a total (id-tie-broken) order —
+    * the curriculum-bucketing shape (route short docs early, long docs
+    * late).
+    */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+  val q96Sql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  ntile(10) OVER w AS decile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_rank_deciles" -> (q96 _),
     "q93_quality_classifier" -> (q93 _),
     "q94_oov_rate" -> (q94 _),
     "q95_dataset_card" -> (q95 _),
@@ -421,6 +445,7 @@ object PipeQueries {
     "q88_cdc_apply" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
+    "q96_rank_deciles" -> q96Sql,
     "q93_quality_classifier" -> q93Sql,
     "q94_oov_rate" -> q94Sql,
     "q95_dataset_card" -> q95Sql,
