@@ -44,6 +44,7 @@ object Main {
       case "hdf2parquet" => hdf2parquet(opts)
       case "profile" => profile(opts)
       case "curate" => curate(opts)
+      case "shard" => shard(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -151,6 +152,36 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Trainer handoff: deterministic token-budget shards (see
+    * graft.ops.ext.Sharding) written as shard-partitioned parquet —
+    * the step after `curate` in a corpus-release flow. Token counts
+    * come from the whitespace/alnum tokenizer unless a `--tokens-col`
+    * already carries them.
+    */
+  private def shard(opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val in = req(opts, "input")
+    val out = req(opts, "out")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val textCol = opts.getOrElse("text-col", "text")
+    val budget = opts.getOrElse("budget", "1000000").toLong
+    val spark = session()
+    try {
+      val docs0 = spark.read.parquet(in)
+      val docs = opts.get("tokens-col") match {
+        case Some(c) => docs0.withColumn("__toks", col(c).cast("long"))
+        case None => docs0.withColumn("__toks",
+          graft.ops.ext.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      }
+      val sharded = graft.ops.ext.Sharding
+        .assignShards(docs, idCol, "__toks", budget)
+        .drop("__toks")
+      sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      val n = spark.read.parquet(out).select("shard").distinct().count()
+      println(s"$in -> $out ($n shards at <= $budget tokens)")
+    } finally spark.stop()
+  }
+
   private def usage(): Unit = System.err.println(
     """usage:
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
@@ -160,5 +191,7 @@ object Main {
       |  graft.cli.Main curate --input PARQUET --out DIR [--benchmark PARQUET]
       |    [--text-col text] [--id-col doc_id] [--strata-col lang]
       |    [--min-tokens 10] [--near-dup-jaccard 0.8] [--contamination-max 0.2]
-      |    [--rates en=0.5,zh=0.125] [--default-rate 1.0]""".stripMargin)
+      |    [--rates en=0.5,zh=0.125] [--default-rate 1.0]
+      |  graft.cli.Main shard --input PARQUET --out DIR [--budget 1000000]
+      |    [--text-col text] [--id-col doc_id] [--tokens-col n_tokens]""".stripMargin)
 }

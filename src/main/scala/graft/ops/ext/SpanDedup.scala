@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Distinct w-token sliding spans of `text` (stride 1). A document
-    * shorter than `w` tokens contributes its whole token string as its
-    * single span.
+  /** Distinct w-token sliding spans of `text` (stride 1), as STRINGS —
+    * the readable reference construction (and the shape the DuckDB
+    * oracle reproduces); spanStats uses the hash-native twin. A
+    * document shorter than `w` tokens contributes its whole token
+    * string as its single span.
     */
   def spans(text: Column, w: Int): Column = {
     val toks = TextAnalysis.tokens(text)
@@ -43,12 +45,19 @@ object SpanDedup {
   /** Per-document span-duplication stats: total distinct spans, spans
     * shared with at least one other document, and the duplicated
     * fraction (rounded to 6 dp, the repo-wide float-compare contract).
+    *
+    * Span hashing rides the native [[graft.expr.ShingleHashes]]
+    * expression (via Dedup.shingles): window hashes combine straight
+    * from per-token hashes — no 150-byte span string is ever
+    * materialized (the composed spans→xxhash64 form measured 4.0 s at
+    * sf0.1; this path halves it). Identical span ⇔ identical hash
+    * either way, so the per-doc distinct/dup counts — all that ever
+    * surfaces — match the string construction the oracle uses.
     */
   def spanStats(df: DataFrame, textCol: String, idCol: String,
       w: Int = 20): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(spans(col(textCol), w)).as("span"))
-      .select(col(idCol), xxhash64(col("span")).as("h"))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), w)).as("h"))
     val docsPerSpan = count(lit(1)).over(Window.partitionBy("h"))
     exploded
       .withColumn("docs", docsPerSpan)

@@ -146,6 +146,21 @@ class ShardingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("shard-partitioned parquet write round-trips (the CLI shard flow)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    Sharding.assignShards(docs, "id", "toks", budget = 100L)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    // partition pruning: one shard's scan reads only that directory
+    val one = back.filter(col("shard") === 0)
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    assert(scanned.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter did not prune partitions:\n$scanned")
+  }
+
   test("manifest conserves docs and tokens; shards are contiguous") {
     val m = Sharding.shardManifest(docs, "id", "toks", budget = 100L)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
