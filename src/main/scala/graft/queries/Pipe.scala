@@ -426,7 +426,49 @@ object PipeQueries {
       |FROM documents
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Deterministic Lloyd k-means, 2 rounds over the embeddings (see
+    * KMeans.lloyd for the reproducibility construction). Output = the
+    * final per-(cluster, dimension) component table, so the oracle
+    * checks the actual centroids, not a summary.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.KMeans.lloyd(T(s, dir, "embeddings"), "embedding",
+      "vec_id", centroidEvery = 25, iters = 2)
+  val q97Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+    val rounds = 2
+    val parts = new StringBuilder
+    parts ++= s"""WITH v AS (SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec
+                 |          FROM embeddings),
+                 |vx AS (SELECT id, vec, ${dot("vec", "vec")} AS xx FROM v),
+                 |cents0 AS (SELECT id AS cid, vec AS centv FROM v WHERE id % 25 = 0)""".stripMargin
+    for (r <- 1 to rounds) {
+      parts ++= s""",
+        |cc${r - 1} AS (SELECT cid, centv, ${dot("centv", "centv")} AS cc
+        |        FROM cents${r - 1}),
+        |a$r AS (SELECT id, cid, vec FROM (
+        |    SELECT t.id, c.cid, t.vec,
+        |      row_number() OVER (PARTITION BY t.id ORDER BY
+        |        t.xx - 2 * ${dot("t.vec", "c.centv")} + c.cc ASC, c.cid) AS rn
+        |    FROM vx t, cc${r - 1} c) WHERE rn = 1),
+        |comps$r AS (SELECT cid, CAST(o - 1 AS BIGINT) AS dim, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS o
+        |        FROM a$r)
+        |  GROUP BY cid, dim)""".stripMargin
+      if (r < rounds) parts ++= s""",
+        |cents$r AS (SELECT cid, list(m ORDER BY dim) AS centv
+        |        FROM comps$r GROUP BY cid)""".stripMargin
+    }
+    parts ++= s"""
+      |SELECT cid, dim, n, round(m, 6) AS centroid FROM comps$rounds""".stripMargin
+    parts.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_kmeans" -> (q97 _),
     "q96_rank_deciles" -> (q96 _),
     "q93_quality_classifier" -> (q93 _),
     "q94_oov_rate" -> (q94 _),
@@ -445,6 +487,7 @@ object PipeQueries {
     "q88_cdc_apply" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
+    "q97_kmeans" -> q97Sql,
     "q96_rank_deciles" -> q96Sql,
     "q93_quality_classifier" -> q93Sql,
     "q94_oov_rate" -> q94Sql,
