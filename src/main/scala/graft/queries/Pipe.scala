@@ -467,7 +467,122 @@ object PipeQueries {
     parts.toString
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Curation at ingest: the deterministic md5-threshold sample as a
+    * STATELESS streaming filter (StreamOps.streamHashSample) — the
+    * kept set is independent of micro-batch slicing and re-delivery,
+    * so the batch rule is the oracle.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.streamHashSample(s,
+      s"$dir/documents.parquet", "doc_id", rate = 0.35,
+      queryName = "q98_stream_sample")
+      .select("doc_id", "lang", "source")
+  val q98Sql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+       |  '${graft.ops.ext.Sampling.thresholdHex(0.35)}'""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** Federated multi-format union: the same table served from parquet,
+    * ORC, Avro and JSONL unioned in ONE plan — the mixed-lake shape
+    * (per-format source provenance kept as a column).
+    */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q99_federated"
+    val base = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    if (!Files.exists(Paths.get(s"$tmp/jsonl/_SUCCESS"))) {
+      base.write.mode("overwrite").orc(s"$tmp/orc")
+      base.write.mode("overwrite").format(AvroFormat).save(s"$tmp/avro")
+      base.write.mode("overwrite").json(s"$tmp/jsonl")
+    }
+    val frames = Seq(
+      base.withColumn("fmt", lit("parquet")),
+      s.read.orc(s"$tmp/orc").withColumn("fmt", lit("orc")),
+      s.read.format(AvroFormat).load(s"$tmp/avro")
+        .withColumn("fmt", lit("avro")),
+      s.read.schema(base.schema).json(s"$tmp/jsonl")
+        .withColumn("fmt", lit("jsonl")))
+    frames.reduce(_.unionByName(_))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+  val q99Sql: String =
+    """SELECT fmt, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM (SELECT doc_id, n_chars, unnest(['parquet','orc','avro','jsonl']) AS fmt
+      |      FROM documents)
+      |GROUP BY fmt""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** The corpus-release pipeline, end to end in ONE declarative plan:
+    * logistic quality gate → exact dedup → mixture rebalance → token-
+    * budget shard manifest. Each stage is a round-3 operator; composing
+    * them keeps Catalyst free to pipeline the narrow stages — the same
+    * single-plan philosophy as q44's curation composite.
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.{Dedup, TextAnalysis}
+    val docs = T(s, dir, "documents")
+    val kept = TextAnalysis.logisticQuality(docs, "text")
+      .filter(col("keep")).drop("p_keep", "keep")
+    val ded = Dedup.exactByHash(kept, "text", "doc_id")
+    val mixed = Mixture.rebalance(ded, "doc_id", "lang",
+      Map("en" -> 0.40, "de" -> 0.25, "fr" -> 0.20, "es" -> 0.15))
+    val withToks = mixed.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sharding.shardManifest(withToks, "doc_id", "n_tokens", budget = 5000L)
+  }
+  val q100Sql: String = {
+    val stop = graft.ops.ext.TextAnalysis.StopwordSets("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(toks)::DOUBLE AS nt,
+       |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END AS sr
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks,
+       |          length(text)::DOUBLE AS nc,
+       |          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS np
+       |        FROM documents)),
+       |kept AS (SELECT d.* FROM documents d JOIN f ON d.doc_id = f.doc_id
+       |  WHERE round(1.0 / (1.0 + exp(-(-1.0 + sr * 4.0 + pr * (-6.0)
+       |                                 + ln(nt + 1) * 0.5))), 6) > 0.5),
+       |ded AS (SELECT * FROM kept
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)),
+       |counts AS (SELECT lang, count(*) AS cnt,
+       |    (CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.25
+       |               WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15 END)::DOUBLE AS w
+       |  FROM ded GROUP BY lang),
+       |budget AS (SELECT min(floor(cnt / w)) AS t FROM counts WHERE w IS NOT NULL),
+       |takes AS (SELECT lang, CAST(floor(w * t) AS BIGINT) AS take
+       |          FROM counts, budget WHERE w IS NOT NULL),
+       |ranked AS (SELECT doc_id, lang, text,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY substr(md5(doc_id::VARCHAR),1,8), doc_id) AS rn
+       |  FROM ded),
+       |mixed AS (SELECT r.doc_id, r.text
+       |  FROM ranked r JOIN takes k USING (lang) WHERE r.rn <= k.take),
+       |toks AS (SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                    t -> len(t)>0))::BIGINT AS n_tokens,
+       |    substr(md5(doc_id::VARCHAR),1,8) AS key
+       |  FROM mixed),
+       |cum AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM toks)
+       |SELECT (c - n_tokens) // 5000 AS shard,
+       |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+       |FROM cum GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_stream_sample" -> (q98 _),
+    "q99_federated_union" -> (q99 _),
+    "q100_release_pipeline" -> (q100 _),
     "q97_kmeans" -> (q97 _),
     "q96_rank_deciles" -> (q96 _),
     "q93_quality_classifier" -> (q93 _),
@@ -487,6 +602,9 @@ object PipeQueries {
     "q88_cdc_apply" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
+    "q98_stream_sample" -> q98Sql,
+    "q99_federated_union" -> q99Sql,
+    "q100_release_pipeline" -> q100Sql,
     "q97_kmeans" -> q97Sql,
     "q96_rank_deciles" -> q96Sql,
     "q93_quality_classifier" -> q93Sql,

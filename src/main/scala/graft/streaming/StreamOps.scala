@@ -93,6 +93,30 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming deterministic hash-sample — data curation applied AT
+    * INGEST: the same md5-threshold keep/drop rule Sampling.sample
+    * uses, as a stateless streaming filter. Statelessness is the
+    * point: the kept set is a pure function of each row, so the result
+    * is independent of micro-batch slicing, restarts and re-deliveries
+    * (an at-least-once source re-delivering a row makes the same
+    * decision twice) — which is also what makes it oracle-checkable
+    * against the batch twin.
+    */
+  def streamHashSample(spark: SparkSession, parquetPath: String,
+                       keyCol: String, rate: Double,
+                       queryName: String = "stream_sample")
+      : DataFrame = {
+    val sampled = graft.ops.ext.Sampling.sample(
+      fileStream(spark, parquetPath), keyCol, rate)
+    val q = sampled.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-static enrichment: join a stream to a STATIC dimension
     * (Spark plans it as a broadcast per micro-batch — the canonical
     * enrich-then-aggregate shape), then tumbling-window aggregate on a
