@@ -170,6 +170,33 @@ class ShardingSpec extends AnyFunSuite {
   }
 }
 
+class PipeArgContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq((1L, "x", "en")).toDF("id", "text", "lang")
+
+  test("bad arguments fail fast with named errors, not downstream NPEs") {
+    val e1 = intercept[IllegalArgumentException] {
+      Mixture.rebalance(df, "id", "lang", Map.empty)
+    }
+    assert(e1.getMessage.contains("weights"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mixture.rebalance(df, "id", "lang", Map("en" -> 0.0))
+    }
+    assert(e2.getMessage.contains("positive"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sharding.assignShards(df.withColumn("t", lit(1L)), "id", "t", 0L)
+    }
+    assert(e3.getMessage.contains("budget"))
+    val e4 = intercept[IllegalArgumentException] {
+      KMeans.lloyd(Seq((1L, Seq(1.0))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", 1, 0)
+    }
+    assert(e4.getMessage.contains("round"))
+  }
+}
+
 class CdcSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
