@@ -140,22 +140,20 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** Deterministic hyperplane component for (plane p, dim d): a salted
-    * 64-bit hash scaled to [-1, 1]. Stable across runs — no RNG.
+  /** Sign-bucket key from hyperplanes [fromPlane, toPlane), as the
+    * native codegen'd [[graft.expr.SignLsh]] expression — bit-exact
+    * twin of the composed per-plane fold (same hash-derived
+    * hyperplanes, same fold order, same sign test; equivalence
+    * property-asserted in SignLshSpec), with the component matrix
+    * computed once per shape instead of (planes × dims) string hashes
+    * per row.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (xxhash64(concat(lit(s"plane$p#"), d.cast("string"))).cast("double")
-      / lit(Long.MaxValue.toDouble))
-
-  /** Sign-bucket key from hyperplanes [fromPlane, toPlane). */
-  def lshBucketRange(vec: Column, fromPlane: Int, toPlane: Int): Column =
-    (fromPlane until toPlane).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p - fromPlane)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+  def lshBucketRange(vec: Column, fromPlane: Int, toPlane: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.expr.SignLsh(
+      GraftExpressionBridge.expression(vec.cast("array<double>")),
+      fromPlane, toPlane))
+  }
 
   /** Sign-bucket key from `bits` random hyperplanes. */
   def lshBucket(vec: Column, bits: Int): Column = lshBucketRange(vec, 0, bits)
