@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-level: top-k-per-group operator + the window-idiom rewrite
     ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GraftTopKRule)
+    // expression-level: composed dot-product idiom -> native VecDot
+    ext.injectOptimizerRule(_ => graft.plans.GraftVecDotRule)
   }
 }
 
