@@ -20,6 +20,23 @@ object Quantize {
   private def asDouble(vec: Column): Column =
     transform(vec, _.cast("double"))
 
+  /** All three quantization outputs in ONE native pass:
+    * struct(scale, q_checksum, max_err) via [[graft.expr.Int8Stats]] —
+    * bit-exact twin of the three composed functions below (asserted in
+    * Int8StatsSpec), without re-deriving scale and codes per output
+    * column through interpreted lambdas. The composed forms remain the
+    * readable reference (and the shape the q72 oracle reproduces).
+    */
+  def int8Stats(vec: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    // array-level cast, NOT the per-element transform the composed
+    // forms use: ArrayTransform is CodegenFallback and would push the
+    // enclosing Project out of whole-stage codegen (same values —
+    // both widen each element float -> double)
+    GraftExpressionBridge.column(graft.expr.Int8Stats(
+      GraftExpressionBridge.expression(vec.cast("array<double>"))))
+  }
+
   /** max|v_i| / 127 (0.0 for an all-zero or empty vector). */
   def int8Scale(vec: Column): Column =
     coalesce(array_max(transform(asDouble(vec), abs(_))), lit(0.0)) / 127.0

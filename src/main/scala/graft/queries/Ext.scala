@@ -1426,12 +1426,15 @@ object ExtQueries {
     */
   def q72(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.Quantize
-    val v = col("embedding")
-    T(s, dir, "embeddings").select(col("vec_id"),
-      round(Quantize.int8Scale(v), 6).as("scale_r"),
-      Quantize.int8Checksum(v).as("q_checksum"),
-      (Quantize.int8MaxError(v) <= Quantize.int8Scale(v) * 0.5000001)
-        .as("err_bounded"))
+    // one native pass (Int8Stats) instead of four composed lambda
+    // pipelines re-deriving scale/codes per output column
+    val st = Quantize.int8Stats(col("embedding"))
+    T(s, dir, "embeddings").select(col("vec_id"), st.as("st"))
+      .select(col("vec_id"),
+        round(col("st.scale"), 6).as("scale_r"),
+        col("st.q_checksum").as("q_checksum"),
+        (col("st.max_err") <= col("st.scale") * 0.5000001)
+          .as("err_bounded"))
   }
   val q72Sql: String =
     """WITH v AS (SELECT vec_id,
