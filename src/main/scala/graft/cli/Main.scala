@@ -45,6 +45,7 @@ object Main {
       case "profile" => profile(opts)
       case "curate" => curate(opts)
       case "shard" => shard(opts)
+      case "score" => score(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -152,6 +153,34 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Scoring pass: annotate every document with the quality and
+    * corpus-LM signals (logistic keep probability, unigram NLL, OOV
+    * rate) so downstream gates filter on plain columns — the
+    * score → curate → shard release flow.
+    */
+  private def score(opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val in = req(opts, "input")
+    val out = req(opts, "out")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val textCol = opts.getOrElse("text-col", "text")
+    val minCount = opts.getOrElse("vocab-min-count", "5").toLong
+    val spark = session()
+    try {
+      val docs = spark.read.parquet(in)
+      val quality = graft.ops.ext.TextAnalysis
+        .logisticQuality(docs, textCol)
+      val nll = graft.ops.ext.LmScore.unigramNll(docs, textCol, idCol)
+        .withColumnRenamed("n_tokens", "n_tokens_lm")
+      val oov = graft.ops.ext.LmScore.oovRate(docs, textCol, idCol, minCount)
+        .select(col(idCol), col("oov_rate"))
+      quality.join(nll, Seq(idCol), "left").join(oov, Seq(idCol), "left")
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"$in -> $out ($n scored rows)")
+    } finally spark.stop()
+  }
+
   /** Trainer handoff: deterministic token-budget shards (see
     * graft.ops.ext.Sharding) written as shard-partitioned parquet —
     * the step after `curate` in a corpus-release flow. Token counts
@@ -193,5 +222,7 @@ object Main {
       |    [--min-tokens 10] [--near-dup-jaccard 0.8] [--contamination-max 0.2]
       |    [--rates en=0.5,zh=0.125] [--default-rate 1.0]
       |  graft.cli.Main shard --input PARQUET --out DIR [--budget 1000000]
-      |    [--text-col text] [--id-col doc_id] [--tokens-col n_tokens]""".stripMargin)
+      |    [--text-col text] [--id-col doc_id] [--tokens-col n_tokens]
+      |  graft.cli.Main score --input PARQUET --out DIR
+      |    [--text-col text] [--id-col doc_id] [--vocab-min-count 5]""".stripMargin)
 }
