@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, ExtQueries, PipeQueries}
+import graft.queries.{CoreQueries, ExtQueries, PipeQueries, Wave4Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.{CoreQueries, ExtQueries}; operator
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries ++
+      Wave4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query is oracle-checked (the two
@@ -21,5 +22,6 @@ object SparkEntry {
     * results; see q14/q17 scaladoc).
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles
+    CoreQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles ++
+      Wave4Queries.oracles
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics per group: the profiling aggregates that
+  * approx sketches (q80's certified percentile, q52's HLL) trade away,
+  * for when the group count is modest and exactness is the point.
+  *
+  * - exact median via Spark's `percentile` (linear interpolation on
+  *   even counts — the SQL-standard continuous percentile, identical
+  *   in DuckDB's `median`);
+  * - deterministic mode: value counts + a (count desc, value asc)
+  *   rank, so ties always resolve to the smallest value — unlike the
+  *   built-in `mode()` whose tie winner is accumulation-order luck.
+  *
+  * Scale shape: one shuffle on (group, value) for the mode counts, one
+  * on group for the median; both are plain hash aggregations with
+  * map-side partials. The mode's rank window partitions by group —
+  * parallel across groups, never global.
+  */
+object GroupStats {
+
+  def medianMode(df: DataFrame, groupCol: String, medianCol: String,
+                 modeCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(medianCol), lit(0.5)).as("median_val"),
+        count(lit(1)).as("n"))
+    val counts = df.groupBy(col(groupCol), col(modeCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(modeCol))
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(groupCol), col(modeCol).as("mode_val"),
+        col("cnt").as("mode_count"))
+    med.join(mode, Seq(groupCol))
+  }
+}

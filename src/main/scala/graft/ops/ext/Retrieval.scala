@@ -1,0 +1,76 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** BM25 ranked retrieval over a document corpus — the scoring half of
+  * the inverted-index story (the index itself is `ops/ext` q70): given
+  * a bag of query terms, rank documents by Okapi BM25.
+  *
+  * Scale shape: the corpus is tokenized ONCE; postings are filtered to
+  * the query's terms BEFORE the (doc, term) aggregation, so the only
+  * shuffle carries query-term postings — |Q| terms × matching docs, not
+  * the corpus vocabulary. Document frequencies for |Q| terms are a
+  * tiny aggregate joined back by broadcast; corpus stats (N, avgdl)
+  * reduce to one row. No full-vocabulary state anywhere, so the plan
+  * is unchanged at 100 TB — it reads the corpus once and shuffles only
+  * postings that can match.
+  *
+  * Determinism contract (cross-engine oracle): avgdl is computed as
+  * exact integer sum / count divided once in double; each per-term
+  * score is rounded to 6 dp, summed through DECIMAL (order-free), and
+  * the final score re-rounded; ranks tie-break by doc id.
+  */
+object Retrieval {
+
+  /** BM25 scores for `query` terms; one row per (doc, rank<=k). */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = TextAnalysis.tokens(col(textCol))
+    val withLen = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    // one-row corpus stats: exact integer sum/count, single double division
+    val stats = withLen.agg(
+      sum(col("dl").cast("long")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+
+    // postings restricted to the query terms BEFORE the shuffle
+    val tf = withLen
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(query))).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // |query|-row document frequencies — broadcast back onto postings
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))), 6))
+
+    val perDoc = scored.groupBy("doc_id")
+      .agg(round(sum(col("term_score").cast(DecimalType(28, 6)))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+
+    // global top-k via TakeOrderedAndProject (per-partition heads +
+    // driver merge — never a full sort); rank assigned AFTER the limit
+    // so the window only ever sees k rows
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "score", "n_terms")
+  }
+}

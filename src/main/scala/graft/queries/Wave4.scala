@@ -1,0 +1,360 @@
+package graft.queries
+
+import graft.ops.{Diff, GroupStats}
+import graft.ops.ext.{CorpusClean, Retrieval, TrainOrder, WebUrl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 query set (q101+): ranked retrieval (BM25), URL
+  * canonicalization, corpus-structural cleaning (paragraph dedup,
+  * boilerplate strip), deterministic training order, exact group order
+  * statistics, snapshot diff, and equi-depth length bucketing. Same
+  * contract as Core/Ext/Pipe: every query paired with a DuckDB oracle,
+  * floats rounded to 6 dp, sums through DECIMAL, ranks tie-broken by
+  * id.
+  */
+object Wave4Queries {
+  import CoreQueries.T
+
+  /** Shared DuckDB token expression (the TextAnalysis.tokens twin). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0)"
+
+  // ---------------------------------------------------------------- q101
+  /** BM25 ranked retrieval: top-20 documents for a 3-term query.
+    * Postings are filtered to the query terms BEFORE the shuffle —
+    * the plan reads the corpus once and aggregates |Q|-term postings
+    * only (see Retrieval scaladoc for the 100 TB shape).
+    */
+  val Bm25Query = Seq("spark", "query", "window")
+
+  def q101(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(T(s, dir, "documents").select("doc_id", "text"),
+      "text", "doc_id", Bm25Query, k = 20)
+  val q101Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |stats AS (SELECT sum(len(toks)) AS sum_dl, count(*) AS n_docs FROM tok),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |         SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |       WHERE term IN ('spark','query','window')
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+       |scored AS (
+       |  -- e0 suffixes force DOUBLE literals (DuckDB defaults 2.2 to
+       |  -- DECIMAL, which would change the arithmetic vs Spark)
+       |  SELECT doc_id,
+       |    round(ln(1.0e0 + (n_docs - dfreq + 0.5e0) / (dfreq + 0.5e0))
+       |          * (tf * 2.2e0)
+       |          / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl
+       |                           / (sum_dl::DOUBLE / n_docs))), 6)
+       |      AS term_score
+       |  FROM tf, dfreq, stats WHERE tf.term = dfreq.term),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6)
+       |      AS score,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY doc_id)
+       |SELECT rank, doc_id, score, n_terms FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM per_doc)
+       |WHERE rank <= 20""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** URL canonicalization: synthesize a messy-but-deterministic URL per
+    * document (mixed case, www, default port, tracking params, unsorted
+    * query, fragment, trailing slash), normalize it, extract the
+    * registrable domain. Narrow per-row expression chain — no shuffle.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.COM:443/"), col("lang"), lit("/doc/"), col("doc_id"),
+      lit("/?utm_source=feed&b=2&ref="), col("lang"), lit("&a=1#frag"))
+    val norm = WebUrl.normalize(url)
+    T(s, dir, "documents")
+      .select(col("doc_id"), norm.as("url_norm"),
+        WebUrl.domain(norm).as("domain"))
+  }
+  val q102Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
+      |    '/doc/' || doc_id || '/?utm_source=feed&b=2&ref=' || lang ||
+      |    '&a=1#frag' AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''),
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS query
+      |  FROM raw),
+      |norm AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+      |                   '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(path0, '/$', '') AS path,
+      |    list_sort(list_filter(string_split(query, '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)=')
+      |           AND len(p) > 0)) AS params
+      |  FROM parts),
+      |built AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' THEN ''
+      |          WHEN scheme = 'http'  AND port = '80'  THEN ''
+      |          WHEN scheme = 'https' AND port = '443' THEN ''
+      |          ELSE ':' || port END) ||
+      |    path ||
+      |    (CASE WHEN len(params) > 0
+      |          THEN '?' || array_to_string(params, '&') ELSE '' END)
+      |      AS url_norm,
+      |    host
+      |  FROM norm)
+      |SELECT doc_id, url_norm,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM built""".stripMargin
+
+  // -------------------------------------------------- paragraph fixture
+  /** Paragraph corpus for q103/q104: each doc re-laid-out as a
+    * per-source boilerplate header plus 8-token paragraphs; every 10th
+    * doc also appears as a partial copy (its first two paragraphs) —
+    * the duplicated-paragraph population. Built identically in the SQL
+    * oracle.
+    */
+  private[queries] def paraCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select("doc_id", "source", "text")
+    val toks = graft.ops.ext.TextAnalysis.tokens(col("text"))
+    val nChunks = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    val header = concat(lit("shared header "), col("source"))
+    val withChunks = docs.select(col("doc_id"), header.as("header"),
+      chunks.as("chunks"))
+    val base = withChunks.select(col("doc_id"),
+      concat(col("header"), lit("\n"), array_join(col("chunks"), "\n"))
+        .as("text"))
+    val copies = withChunks.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("header"), lit("\n"),
+          array_join(slice(col("chunks"), 1, 2), "\n")).as("text"))
+    base.unionByName(copies)
+  }
+
+  private val paraCorpusSql: String =
+    s"""chunked AS (
+       |  SELECT doc_id, 'shared header ' || source AS header,
+       |    [array_to_string(toks[i*8+1:i*8+8], ' ')
+       |     for i in range(0, greatest(CAST(ceil(len(toks)/8.0) AS INT), 1))]
+       |      AS chunks
+       |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+       |corpus AS (
+       |  SELECT doc_id, header || chr(10) || array_to_string(chunks, chr(10))
+       |           AS text
+       |  FROM chunked
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    header || chr(10) || array_to_string(chunks[1:2], chr(10))
+       |  FROM chunked WHERE doc_id % 10 = 0),
+       |splits AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM corpus),
+       |paras AS (
+       |  SELECT doc_id, pos, lst[pos] AS para FROM (
+       |    SELECT doc_id, unnest(range(1, len(lst)+1)) AS pos, lst FROM splits)
+       |  WHERE len(trim(lst[pos])) > 0)""".stripMargin
+
+  /** Oracle twin of CorpusClean.rebuild over a `kept(doc_id,pos,para,keep)`
+    * CTE: kept-paragraph reassembly + counts, empty-doc preserving.
+    */
+  private val rebuildSql: String =
+    """agg AS (
+      |  SELECT doc_id,
+      |    array_to_string(list(para ORDER BY pos) FILTER (WHERE keep),
+      |                    chr(10)) AS text_clean,
+      |    count(*) FILTER (WHERE keep) AS n_kept,
+      |    count(*) FILTER (WHERE NOT keep) AS n_removed
+      |  FROM kept GROUP BY doc_id),
+      |ids AS (SELECT DISTINCT doc_id FROM corpus)
+      |SELECT ids.doc_id,
+      |  coalesce(text_clean, '') AS text_clean,
+      |  coalesce(n_kept, 0) AS n_kept,
+      |  coalesce(n_removed, 0) AS n_removed
+      |FROM ids LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** Corpus-wide exact paragraph dedup (CCNet stage): global first
+    * occurrence (doc_id, pos) keeps each paragraph; every later copy is
+    * removed and documents are reassembled order-exact.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    CorpusClean.paragraphDedup(paraCorpus(s, dir), "text", "doc_id")
+  val q103Sql: String =
+    s"""WITH $paraCorpusSql,
+       |kept AS (
+       |  SELECT doc_id, pos, para,
+       |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+       |      AS keep
+       |  FROM paras),
+       |$rebuildSql""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** Boilerplate-line strip: a line present in ≥10 distinct documents
+    * (here: the per-source headers, each in ~25 docs) is template
+    * chrome — removed from every document.
+    */
+  def q104(s: SparkSession, dir: String): DataFrame =
+    CorpusClean.boilerplateStrip(paraCorpus(s, dir), "text", "doc_id",
+      minDocs = 10)
+  val q104Sql: String =
+    s"""WITH $paraCorpusSql,
+       |freq AS (SELECT para, count(DISTINCT doc_id) AS n_docs
+       |         FROM paras GROUP BY para),
+       |kept AS (
+       |  SELECT p.doc_id, p.pos, p.para, f.n_docs < 10 AS keep
+       |  FROM paras p JOIN freq f USING (para)),
+       |$rebuildSql""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** Deterministic global training order: seeded LCG sort key, 8-way
+    * shard assignment, within-shard positions — the reproducible
+    * "shuffle the corpus for this epoch" primitive.
+    */
+  def q105(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.shuffled(T(s, dir, "documents").select("doc_id"), "doc_id")
+  val q105Sql: String =
+    """WITH ordd AS (
+      |  SELECT doc_id,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS ord
+      |  FROM documents)
+      |SELECT doc_id, ord, ord % 8 AS shard,
+      |  row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id)
+      |    AS position
+      |FROM ordd""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  /** Exact per-group order statistics: median (continuous percentile)
+    * of quantity and deterministic mode (count desc, value asc) of the
+    * line number, per return flag.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame =
+    GroupStats.medianMode(T(s, dir, "lineitem"), "l_returnflag",
+      "l_quantity", "l_linenumber")
+      .select(col("l_returnflag"), round(col("median_val"), 6).as("median_val"),
+        col("n"), col("mode_val"), col("mode_count"))
+  val q106Sql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, round(median(l_quantity), 6) AS median_val,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag),
+      |cnts AS (
+      |  SELECT l_returnflag, l_linenumber, count(*) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, l_linenumber),
+      |modes AS (
+      |  SELECT l_returnflag, l_linenumber AS mode_val, cnt AS mode_count
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY cnt DESC, l_linenumber) AS rn FROM cnts)
+      |  WHERE rn = 1)
+      |SELECT l_returnflag, median_val, n, mode_val, mode_count
+      |FROM med JOIN modes USING (l_returnflag)""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+  /** Snapshot diff: v2 = orders with deterministic deletes (%11),
+    * status+price mutations (%7), and inserts (%13 re-keyed) — classify
+    * every key as added / removed / changed in one full-outer join.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val v1 = T(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val k = col("o_orderkey")
+    val v2 = v1.filter(k % 11 =!= 0)
+      .select(k,
+        when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(k % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(v1.filter(k % 13 === 0)
+        .select((k + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    Diff.snapshots(v1, v2, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
+  val q107Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0e0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM v1 WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', 1.0e0
+      |  FROM v1 WHERE o_orderkey % 13 = 0),
+      |j AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS key,
+      |    a.o_orderstatus AS old_o_orderstatus,
+      |    a.o_totalprice AS old_o_totalprice,
+      |    b.o_orderstatus AS new_o_orderstatus,
+      |    b.o_totalprice AS new_o_totalprice,
+      |    a.o_orderkey IS NOT NULL AS in_old,
+      |    b.o_orderkey IS NOT NULL AS in_new
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+      |SELECT key, old_o_orderstatus, old_o_totalprice, new_o_orderstatus,
+      |  new_o_totalprice,
+      |  CASE WHEN NOT in_old THEN 'added'
+      |       WHEN NOT in_new THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM j
+      |WHERE NOT in_old OR NOT in_new
+      |   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+      |   OR old_o_totalprice IS DISTINCT FROM new_o_totalprice""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  /** Equi-depth length bucketing (curriculum/batching prep): decile of
+    * n_chars within each language, bucket boundary stats. Windows
+    * partition by language — parallel across groups; at web scale the
+    * same layout comes from approx-quantile boundaries instead.
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    T(s, dir, "documents")
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+  val q108Sql: String =
+    """SELECT lang, bucket, count(*) AS n, min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars
+      |FROM (SELECT lang, doc_id, n_chars,
+      |        ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |          AS bucket
+      |      FROM documents)
+      |GROUP BY lang, bucket""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bm25" -> (q101 _),
+    "q102_url_normalize" -> (q102 _),
+    "q103_paragraph_dedup" -> (q103 _),
+    "q104_boilerplate_strip" -> (q104 _),
+    "q105_train_order" -> (q105 _),
+    "q106_median_mode" -> (q106 _),
+    "q107_snapshot_diff" -> (q107 _),
+    "q108_length_buckets" -> (q108 _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_bm25" -> q101Sql,
+    "q102_url_normalize" -> q102Sql,
+    "q103_paragraph_dedup" -> q103Sql,
+    "q104_boilerplate_strip" -> q104Sql,
+    "q105_train_order" -> q105Sql,
+    "q106_median_mode" -> q106Sql,
+    "q107_snapshot_diff" -> q107Sql,
+    "q108_length_buckets" -> q108Sql)
+}

@@ -1,0 +1,136 @@
+package graft.ops.ext
+
+import graft.TestSpark
+import graft.ops.{Diff, GroupStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Wave4OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BM25
+  test("bm25TopK ranks the term-dense doc first and skips no-hit docs") {
+    val docs = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark appears once here in a much longer document with many words"),
+      (3L, "nothing relevant at all"),
+      (4L, "query spark")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("spark", "query"), k = 10).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 4L)) // doc 3 absent
+    val byId = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byId(4L) > byId(2L)) // two query terms beat one long-doc hit
+    assert(out.head.getLong(0) == 1L) // rank column starts at 1
+  }
+
+  test("bm25TopK idf penalizes a term present in every doc") {
+    val docs = Seq(
+      (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"),
+      (4L, "rare delta")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("common", "rare"), k = 10).collect()
+    val byId = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byId(4L) > byId(1L)) // rare-term doc outranks common-term docs
+  }
+
+  // ------------------------------------------------------ WebUrl
+  test("normalize canonicalizes case, www, default port, params, fragment") {
+    val cases = Seq(
+      "HTTPS://WWW.Site.COM:443/Path/?utm_source=x&b=2&a=1#frag" ->
+        "https://site.com/Path?a=1&b=2",
+      "http://example.org:80/" -> "http://example.org",
+      "http://example.org:8080/x" -> "http://example.org:8080/x",
+      "https://www.a.b.co/p?ref=z&gclid=1&fbclid=2" -> "https://a.b.co/p",
+      "https://plain.net/path" -> "https://plain.net/path")
+    val out = cases.map(_._1).toDF("url")
+      .select(WebUrl.normalize(col("url"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want)
+    }
+  }
+
+  test("domain extracts last two labels of the canonical host") {
+    val out = Seq("HTTPS://WWW.deep.sub.Site.COM/x").toDF("url")
+      .select(WebUrl.domain(WebUrl.normalize(col("url")))).as[String].head()
+    assert(out == "site.com")
+  }
+
+  // ------------------------------------------------ CorpusClean
+  val paraDocs = Seq(
+    (1L, "header\nunique one\nshared para"),
+    (2L, "header\nshared para\nunique two"),
+    (3L, "header\nunique three"),
+    (4L, "shared para")).toDF("doc_id", "text")
+
+  test("paragraphDedup keeps only the global first occurrence") {
+    val out = CorpusClean.paragraphDedup(paraDocs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("header\nunique one\nshared para", 3L, 0L)))
+    assert(out(2L) == (("unique two", 1L, 2L))) // header + shared removed
+    assert(out(3L) == (("unique three", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L))) // fully deduped doc survives, empty
+  }
+
+  test("boilerplateStrip removes lines in >= minDocs distinct docs") {
+    val out = CorpusClean.boilerplateStrip(paraDocs, "text", "doc_id",
+      minDocs = 3).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "header" (docs 1,2,3) and "shared para" (docs 1,2,4) both hit
+    // the 3-doc threshold -> removed everywhere
+    assert(out(1L) == "unique one")
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "unique three")
+    assert(out(4L) == "")
+  }
+
+  // ------------------------------------------------ TrainOrder
+  test("shuffled is a deterministic permutation with per-shard positions") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = TrainOrder.shuffled(df, "id", seed = 7L, nShards = 4)
+    val b = TrainOrder.shuffled(df, "id", seed = 7L, nShards = 4)
+    assert(a.collect().toSet == b.collect().toSet) // reproducible
+    assert(a.select("id").distinct().count() == 1000) // permutation
+    // positions are 1..n_shard contiguous within each shard
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("position").as("mx"),
+        min("position").as("mn")).collect()
+    perShard.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1))
+    }
+    // a different seed reorders
+    val c = TrainOrder.shuffled(df, "id", seed = 8L, nShards = 4)
+    assert(c.collect().toSet != a.collect().toSet)
+  }
+
+  // ------------------------------------------------ Diff
+  test("snapshots classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val v2 = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0))
+      .toDF("k", "s", "v")
+    val out = Diff.snapshots(v1, v2, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshots treats null -> value as changed (null-safe compare)") {
+    val v1 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "s")
+    val v2 = Seq((1L, Some("now")), (2L, Some("x"))).toDF("k", "s")
+    val out = Diff.snapshots(v1, v2, "k", Seq("s")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+
+  // ------------------------------------------------ GroupStats
+  test("medianMode interpolates even-count median and tie-breaks mode low") {
+    val df = Seq(
+      ("g", 1.0, 5), ("g", 2.0, 7), ("g", 3.0, 7), ("g", 10.0, 5),
+      ("h", 4.0, 9)).toDF("grp", "x", "m")
+    val out = GroupStats.medianMode(df, "grp", "x", "m")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getInt(3), r.getLong(4)))).toMap
+    assert(out("g") == ((2.5, 5, 2L))) // (2+3)/2; mode tie 5 vs 7 -> 5
+    assert(out("h") == ((4.0, 9, 1L)))
+  }
+}
