@@ -1,0 +1,75 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse TF-IDF cosine similarity join (the all-pairs / ssjoin
+  * primitive): find every document pair whose TF-IDF cosine ≥ t —
+  * lexical near-dup detection that, unlike MinHash (set jaccard) or
+  * SimHash (hamming), weighs RARE shared vocabulary: two docs sharing
+  * distinctive terms score high even when their boilerplate differs.
+  *
+  * Scale shape: cosine over sparse vectors decomposes per shared term,
+  * so the join is an inverted-index join — candidates meet only on
+  * terms they share, pair partials aggregate in one shuffle keyed on
+  * (id_a, id_b). The document-frequency cap (`maxDf`) drops
+  * stop-terms, whose Σdf² pair blowup would otherwise dominate at
+  * corpus scale while contributing ~0 weight (idf ≈ 0) — the same
+  * web-scale knob as the containment join. No all-pairs product
+  * anywhere; with the cap, work is Σ_term df² over RARE terms only.
+  *
+  * Determinism: weights and norms round to 6 dp, pair dot products sum
+  * through DECIMAL, final cosine re-rounds — ln/sqrt sub-ulp engine
+  * differences cannot flip a pair across the threshold boundary.
+  */
+object SparseSim {
+
+  /** Pairs (id_a < id_b) with TF-IDF cosine ≥ threshold. `ngram` > 1
+    * uses count-preserving token n-grams as the vocabulary — on small
+    * vocabularies unigram vectors saturate (every doc shares every
+    * word) while n-grams keep the space sparse.
+    */
+  def cosineJoin(docs: DataFrame, textCol: String, idCol: String,
+                 threshold: Double, maxDf: Long = 100000L,
+                 ngram: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val terms = if (ngram == 1) toks else
+      when(size(toks) >= ngram,
+        transform(sequence(lit(1), size(toks) - (ngram - 1)),
+          i => array_join(slice(toks, i, lit(ngram)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+    val nDocs = docs.count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf)
+
+    // idf-weighted term weights, rounded so both engines agree bit-wise
+    val weights = tf.join(dfreq, "term")
+      .withColumn("w", round(col("tf").cast("double") *
+        log(lit(nDocs + 1.0) / (col("dfreq") + lit(1.0))), 6))
+
+    // per-doc L2 norm over the SAME capped vocabulary, decimal-summed
+    val norms = weights.groupBy("id")
+      .agg(round(sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12)))
+        .cast("double")), 6).as("nrm"))
+
+    val a = weights.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
+    val b = weights.select(col("term"), col("id").as("id_b"), col("w").as("wb"))
+    val pairDot = a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum((round(col("wa") * col("wb"), 6))
+        .cast(DecimalType(28, 6))).cast("double").as("dot"))
+
+    pairDot
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.ops.{Diff, GroupStats}
-import graft.ops.ext.{CorpusClean, Retrieval, TrainOrder, WebUrl}
+import graft.ops.{Diff, GroupStats, Winsorize}
+import graft.ops.ext.{CorpusClean, Retrieval, SparseSim, TrainOrder, WebUrl}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -337,6 +337,72 @@ object Wave4Queries {
       |      FROM documents)
       |GROUP BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Sparse TF-IDF cosine similarity join (all-pairs ssjoin) on bigram
+    * vectors over the mutated-copy corpus: copies share nearly all
+    * bigrams (cosine ≈ 1), unrelated docs nearly none. The inverted-
+    * index join + df cap is the scale story (see SparseSim scaladoc).
+    */
+  def q109(s: SparkSession, dir: String): DataFrame =
+    SparseSim.cosineJoin(ExtQueries.nearDupCorpus(s, dir), "text", "doc_id",
+      threshold = 0.8)
+  val q109Sql: String =
+    s"""WITH corpus AS (${ExtQueries.nearDupCorpusSql}),
+       |tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |grams AS (
+       |  SELECT doc_id AS id,
+       |    unnest([toks[i] || ' ' || toks[i+1]
+       |            for i in range(1, greatest(len(toks), 1))]) AS term
+       |  FROM tok),
+       |tf AS (SELECT id, term, count(*) AS tf FROM grams GROUP BY id, term),
+       |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+       |          HAVING count(*) <= 100000),
+       |weights AS (
+       |  SELECT id, term,
+       |    round(tf::DOUBLE * ln(((SELECT count(*) FROM corpus) + 1.0e0)
+       |                          / (dfreq + 1.0e0)), 6) AS w
+       |  FROM tf JOIN dfreq USING (term)),
+       |norms AS (
+       |  SELECT id,
+       |    round(sqrt(CAST(sum(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)), 6)
+       |      AS nrm
+       |  FROM weights GROUP BY id),
+       |dots AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(sum(CAST(round(a.w * b.w, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS dot
+       |  FROM weights a JOIN weights b USING (term)
+       |  WHERE a.id < b.id GROUP BY a.id, b.id)
+       |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON dots.id_a = na.id
+       |JOIN norms nb ON dots.id_b = nb.id
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8e0""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Winsorized robust group stats: exact p05/p95 clip bounds per
+    * return flag, clipped mean through DECIMAL, clip counts.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame =
+    Winsorize.stats(T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+  val q110Sql: String =
+    """WITH bounds AS (
+      |  SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      |  FROM lineitem GROUP BY l_returnflag),
+      |c AS (
+      |  SELECT l.l_returnflag, lo, hi, l_extendedprice,
+      |    least(greatest(l_extendedprice, lo), hi) AS v
+      |  FROM lineitem l JOIN bounds USING (l_returnflag))
+      |SELECT l_returnflag, lo, hi,
+      |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+      |    AS winsor_mean,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE l_extendedprice < lo OR l_extendedprice > hi)
+      |    AS n_clipped
+      |FROM c GROUP BY l_returnflag, lo, hi""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -346,7 +412,9 @@ object Wave4Queries {
     "q105_train_order" -> (q105 _),
     "q106_median_mode" -> (q106 _),
     "q107_snapshot_diff" -> (q107 _),
-    "q108_length_buckets" -> (q108 _))
+    "q108_length_buckets" -> (q108 _),
+    "q109_sparse_cosine" -> (q109 _),
+    "q110_winsorize" -> (q110 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -356,5 +424,7 @@ object Wave4Queries {
     "q105_train_order" -> q105Sql,
     "q106_median_mode" -> q106Sql,
     "q107_snapshot_diff" -> q107Sql,
-    "q108_length_buckets" -> q108Sql)
+    "q108_length_buckets" -> q108Sql,
+    "q109_sparse_cosine" -> q109Sql,
+    "q110_winsorize" -> q110Sql)
 }

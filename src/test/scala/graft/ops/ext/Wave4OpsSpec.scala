@@ -1,7 +1,7 @@
 package graft.ops.ext
 
 import graft.TestSpark
-import graft.ops.{Diff, GroupStats}
+import graft.ops.{Diff, GroupStats, Winsorize}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -122,7 +122,47 @@ class Wave4OpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getLong(0) == 1L)
   }
 
-  // ------------------------------------------------ GroupStats
+  // ------------------------------------------------ SparseSim
+  test("cosineJoin finds near-identical docs and skips unrelated ones") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token off
+      (3L, "one two three four five six seven eight"),
+      (4L, "alpha beta unrelated mixture of other words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = SparseSim.cosineJoin(docs, "text", "doc_id",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.6) // 6/7 shared bigrams, idf-weighted
+  }
+
+  test("cosineJoin df cap drops saturated terms from the index") {
+    // "common common" bigram is in every doc; with maxDf=2 it cannot
+    // generate candidates, so no pair survives
+    val docs = Seq(
+      (1L, "common common distinct1 words1"),
+      (2L, "common common distinct2 words2"),
+      (3L, "common common distinct3 words3")).toDF("doc_id", "text")
+    val out = SparseSim.cosineJoin(docs, "text", "doc_id",
+      threshold = 0.1, maxDf = 2L)
+    assert(out.count() == 0)
+  }
+
+  // ------------------------------------------------ Winsorize
+  test("winsorize clips at exact percentiles and reports clip counts") {
+    // group g: values 1..20 plus an outlier 1000
+    val df = ((1 to 20).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("grp", "v")
+    val r = Winsorize.stats(df, "grp", "v").collect().head
+    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+    assert(lo > 1.0 && lo < 3.0)   // p05 of 21 values
+    assert(hi < 1000.0)            // p95 clips the outlier
+    assert(r.getLong(4) == 21L)    // n
+    assert(r.getLong(5) >= 2L)     // at least one clip each side
+    assert(r.getDouble(3) < 100.0) // clipped mean not outlier-dominated
+  }
   test("medianMode interpolates even-count median and tie-breaks mode low") {
     val df = Seq(
       ("g", 1.0, 5), ("g", 2.0, 7), ("g", 3.0, 7), ("g", 10.0, 5),
