@@ -484,10 +484,12 @@ object ExtQueries {
       .select(col("user_id"), col("value"))
       .filter(col("value").isNotNull)
       .as[Stateful.Event]
-    val q = Stateful.runningUserStats(s, src)
-      .writeStream.outputMode("update")
-      .format("memory").queryName("q33_state").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamOps.withStatePartitions(s, 8) {
+      val q = Stateful.runningUserStats(s, src)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("q33_state").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("q33_state")
       .select(col("user_id"), col("n_events"), col("max_value"))
   }
@@ -833,10 +835,12 @@ object ExtQueries {
       .select(col("user_id"), col("value"))
       .filter(col("value").isNotNull)
       .as[Stateful.Event]
-    val q = StatefulTws.runningUserStats(s, src)
-      .writeStream.outputMode("update")
-      .format("memory").queryName("q51_state").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamOps.withStatePartitions(s, 8) {
+      val q = StatefulTws.runningUserStats(s, src)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("q51_state").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("q51_state")
       .select(col("user_id"), col("n_events"), col("max_value"))
   }

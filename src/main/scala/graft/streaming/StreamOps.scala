@@ -19,6 +19,23 @@ object StreamOps {
     df.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** State sizing for bounded smokes: the state-store INSTANCE count is
+    * the shuffle-partition setting at stream start, and every instance
+    * pays a fixed maintenance cost per micro-batch (snapshot, purge,
+    * commit-log round trip) regardless of how little state it holds —
+    * measured locally, q60's join drops 13 s -> 3 s going 32 -> 8
+    * instances over the same data. A bounded local run therefore wants
+    * a handful; a cluster deployment passes its real parallelism so
+    * state SCALES OUT. Wraps `f` with the given shuffle-partition
+    * setting and restores the previous value.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** File-stream source over a parquet path, schema from a batch peek.
     * The file-stream source requires a directory; a single-file path is
     * rewritten to parent dir + pathGlobFilter.
@@ -46,7 +63,8 @@ object StreamOps {
                            window: String = "1 hour",
                            watermark: String = "1 hour",
                            queryName: String = "stream_counts",
-                           prepare: DataFrame => DataFrame = identity)
+                           prepare: DataFrame => DataFrame = identity,
+                           statePartitions: Int = 8)
       : DataFrame = {
     val src = prepare(fileStream(spark, parquetPath))
     val agg = src
@@ -58,12 +76,14 @@ object StreamOps {
           .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -79,17 +99,20 @@ object StreamOps {
     */
   def streamDistinctDigests(spark: SparkSession, parquetPath: String,
                             textCol: String,
-                            queryName: String = "stream_dedup")
+                            queryName: String = "stream_dedup",
+                            statePartitions: Int = 8)
       : DataFrame = {
     val distinct = fileStream(spark, parquetPath)
       .select(md5(col(textCol)).as("digest"))
       .dropDuplicates("digest")
-    val q = distinct.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = distinct.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -131,7 +154,8 @@ object StreamOps {
                          window: String = "1 hour",
                          watermark: String = "1 hour",
                          queryName: String = "stream_enrich",
-                         prepare: DataFrame => DataFrame = identity)
+                         prepare: DataFrame => DataFrame = identity,
+                         statePartitions: Int = 8)
       : DataFrame = {
     val enriched = prepare(fileStream(spark, parquetPath))
       .join(broadcast(dim), keyCol)
@@ -144,12 +168,14 @@ object StreamOps {
           .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col(segCol),
         col("n"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -193,7 +219,8 @@ object StreamOps {
                        within: String = "30 minutes",
                        watermark: String = "1 hour",
                        queryName: String = "stream_join",
-                       prepare: DataFrame => DataFrame = identity)
+                       prepare: DataFrame => DataFrame = identity,
+                       statePartitions: Int = 8)
       : DataFrame = {
     val src = prepare(fileStream(spark, parquetPath))
     val left = src.filter(col(typeCol) === leftType)
@@ -209,12 +236,14 @@ object StreamOps {
                right_ts >= left_ts AND
                right_ts <= left_ts + interval $within"""))
       .select(col("l_key").as(keyCol), col("left_id"), col("right_id"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -237,7 +266,8 @@ object StreamOps {
                             dedupCols: Seq[String], sentinelKey: Long,
                             window: String = "1 hour",
                             watermark: String = "1 hour",
-                            queryName: String = "stream_dedup_window")
+                            queryName: String = "stream_dedup_window",
+                            statePartitions: Int = 8)
       : DataFrame = {
     val agg = fileStream(spark, parquetPath)
       .withWatermark(tsCol, watermark)
@@ -247,12 +277,14 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
       .filter(col(keyCol) =!= sentinelKey)
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
