@@ -53,4 +53,12 @@ run curate --input "$SF/documents.parquet" --out "$WORK/curated" \
 run shard --input "$WORK/curated" --out "$WORK/shards" --budget 5000
 test -n "$(find "$WORK/shards" -name 'shard=*' | head -1)"
 
+# 5. round-4 stages: structural clean, version diff, training order
+run clean --input "$SF/documents.parquet" --out "$WORK/cleaned" \
+  --mode boilerplate --min-docs 10
+run diff --old "$SF/documents.parquet" --new "$WORK/curated" \
+  --key doc_id --cols lang,source --out "$WORK/diffed"
+run trainorder --input "$WORK/curated" --out "$WORK/ordered" --shards 4
+test -n "$(find "$WORK/ordered" -name 'shard=*' | head -1)"
+
 echo "CLI smoke OK ($WORK)"

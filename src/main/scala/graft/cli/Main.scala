@@ -46,6 +46,9 @@ object Main {
       case "curate" => curate(opts)
       case "shard" => shard(opts)
       case "score" => score(opts)
+      case "clean" => clean(opts)
+      case "diff" => diff(opts)
+      case "trainorder" => trainorder(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -211,6 +214,81 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Structural corpus cleaning: corpus-wide duplicate-paragraph
+    * removal and/or boilerplate-line strip (lines in ≥ --min-docs
+    * documents), rejoined onto the input columns as text_clean.
+    */
+  private def clean(opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val in = req(opts, "input")
+    val out = req(opts, "out")
+    val textCol = opts.getOrElse("text-col", "text")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val mode = opts.getOrElse("mode", "paragraphs")
+    val minDocs = opts.getOrElse("min-docs", "10").toInt
+    val spark = session()
+    try {
+      val docs = spark.read.parquet(in)
+      val cleaned = mode match {
+        case "paragraphs" =>
+          graft.ops.ext.CorpusClean.paragraphDedup(docs, textCol, idCol)
+        case "boilerplate" =>
+          graft.ops.ext.CorpusClean.boilerplateStrip(docs, textCol, idCol,
+            minDocs)
+        case other =>
+          System.err.println(s"unknown --mode $other"); sys.exit(2)
+      }
+      docs.drop(textCol)
+        .join(cleaned.withColumnRenamed("doc_id", idCol), Seq(idCol))
+        .write.mode("overwrite").parquet(out)
+      val kept = spark.read.parquet(out)
+        .agg(org.apache.spark.sql.functions.sum(col("n_removed"))).head.getLong(0)
+      println(s"$in -> $out ($kept paragraphs removed)")
+    } finally spark.stop()
+  }
+
+  /** Snapshot diff: classify every key as added/removed/changed between
+    * two dataset versions (unchanged rows drop out).
+    */
+  private def diff(opts: Map[String, String]): Unit = {
+    val oldP = req(opts, "old")
+    val newP = req(opts, "new")
+    val out = req(opts, "out")
+    val key = req(opts, "key")
+    val spark = session()
+    try {
+      val o = spark.read.parquet(oldP)
+      val n = spark.read.parquet(newP)
+      val cols = opts.get("cols").map(_.split(",").toSeq)
+        .getOrElse(o.columns.filterNot(_ == key).toSeq)
+      val d = graft.ops.Diff.snapshots(o, n, key, cols)
+      d.write.mode("overwrite").parquet(out)
+      val byType = spark.read.parquet(out).groupBy("change_type").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+      println(s"$oldP vs $newP -> $out (${byType.mkString(", ")})")
+    } finally spark.stop()
+  }
+
+  /** Deterministic training order: seeded permutation + shard
+    * assignment, written shard-partitioned so each data-loader rank
+    * streams its own ordered files.
+    */
+  private def trainorder(opts: Map[String, String]): Unit = {
+    val in = req(opts, "input")
+    val out = req(opts, "out")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val seed = opts.getOrElse("seed", "12345").toLong
+    val shards = opts.getOrElse("shards", "8").toInt
+    val spark = session()
+    try {
+      val docs = spark.read.parquet(in)
+      graft.ops.ext.TrainOrder.shuffled(docs, idCol, seed, shards)
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(out)
+      println(s"$in -> $out ($shards shards, seed $seed)")
+    } finally spark.stop()
+  }
+
   private def usage(): Unit = System.err.println(
     """usage:
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
@@ -224,5 +302,12 @@ object Main {
       |  graft.cli.Main shard --input PARQUET --out DIR [--budget 1000000]
       |    [--text-col text] [--id-col doc_id] [--tokens-col n_tokens]
       |  graft.cli.Main score --input PARQUET --out DIR
-      |    [--text-col text] [--id-col doc_id] [--vocab-min-count 5]""".stripMargin)
+      |    [--text-col text] [--id-col doc_id] [--vocab-min-count 5]
+      |  graft.cli.Main clean --input PARQUET --out DIR
+      |    [--mode paragraphs|boilerplate] [--min-docs 10]
+      |    [--text-col text] [--id-col doc_id]
+      |  graft.cli.Main diff --old PARQUET --new PARQUET --out DIR --key k
+      |    [--cols a,b,c]
+      |  graft.cli.Main trainorder --input PARQUET --out DIR
+      |    [--seed 12345] [--shards 8] [--id-col doc_id]""".stripMargin)
 }
