@@ -27,39 +27,57 @@ object SparseSim {
 
   /** Pairs (id_a < id_b) with TF-IDF cosine ≥ threshold. `ngram` > 1
     * uses count-preserving token n-grams as the vocabulary — on small
-    * vocabularies unigram vectors saturate (every doc shares every
-    * word) while n-grams keep the space sparse.
+    * vocabularies low-order grams saturate (every doc shares every
+    * word, Σdf² explodes), so the default is trigrams: the index
+    * stays sparse and the candidate join touches only genuinely
+    * shared phrases. The `maxDf` cap is the belt to that suspender at
+    * corpus scale.
     */
   def cosineJoin(docs: DataFrame, textCol: String, idCol: String,
                  threshold: Double, maxDf: Long = 100000L,
-                 ngram: Int = 2): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val terms = if (ngram == 1) toks else
+                 ngram: Int = 3): DataFrame = {
+    // tokens materialize ONCE per row behind a projection boundary —
+    // referencing the tokenizer expression inside the window lambda
+    // would re-run split+filter per element_at (measured: the whole
+    // tf stage was ~7 s of q109's 8.6 s at sf0.1 from exactly that)
+    val withToks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
+    // the term IDENTITY is a per-window xxhash64 over the n tokens as
+    // separate hash fields — no window string is ever built, token
+    // boundaries stay exact (each token hashes with its own length),
+    // and every downstream shuffle keys on 8 bytes. A cross-term
+    // collision is ~2^-64 per vocabulary pair — the same trade the
+    // MinHash path makes for its shingle hashes.
+    val terms = if (ngram == 1) transform(toks, t => xxhash64(t)) else
       when(size(toks) >= ngram,
         transform(sequence(lit(1), size(toks) - (ngram - 1)),
-          i => array_join(slice(toks, i, lit(ngram)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val tf = docs
-      .select(col(idCol).as("id"), explode(terms).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+          i => xxhash64((0 until ngram).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<long>"))
+    val tf = withToks
+      .select(col("id"), explode(terms).as("th"))
+      .groupBy("id", "th").agg(count(lit(1)).as("tf"))
 
     val nDocs = docs.count()
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDf)
 
-    // idf-weighted term weights, rounded so both engines agree bit-wise
-    val weights = tf.join(dfreq, "term")
+    // idf-weighted term weights, rounded so both engines agree bit-wise;
+    // persisted — the norms aggregate and BOTH sides of the pair join
+    // read it (3 consumers)
+    val weights = tf.join(dfreq, "th")
       .withColumn("w", round(col("tf").cast("double") *
         log(lit(nDocs + 1.0) / (col("dfreq") + lit(1.0))), 6))
+      .persist()
 
     // per-doc L2 norm over the SAME capped vocabulary, decimal-summed
     val norms = weights.groupBy("id")
       .agg(round(sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12)))
         .cast("double")), 6).as("nrm"))
 
-    val a = weights.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
-    val b = weights.select(col("term"), col("id").as("id_b"), col("w").as("wb"))
-    val pairDot = a.join(b, Seq("term"))
+    val a = weights.select(col("th"), col("id").as("id_a"), col("w").as("wa"))
+    val b = weights.select(col("th"), col("id").as("id_b"), col("w").as("wb"))
+    val pairDot = a.join(b, Seq("th"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(sum((round(col("wa") * col("wb"), 6))

@@ -338,10 +338,13 @@ object Wave4Queries {
       |GROUP BY lang, bucket""".stripMargin
 
   // ---------------------------------------------------------------- q109
-  /** Sparse TF-IDF cosine similarity join (all-pairs ssjoin) on bigram
+  /** Sparse TF-IDF cosine similarity join (all-pairs ssjoin) on trigram
     * vectors over the mutated-copy corpus: copies share nearly all
-    * bigrams (cosine ≈ 1), unrelated docs nearly none. The inverted-
-    * index join + df cap is the scale story (see SparseSim scaladoc).
+    * trigrams (cosine ≈ 1), unrelated docs nearly none. The inverted-
+    * index join + df cap is the scale story (see SparseSim scaladoc);
+    * trigrams keep the index sparse on this small-vocabulary corpus
+    * (bigrams saturate: every bigram becomes a stop-term and Σdf²
+    * explodes — measured 98 s vs ~2 s at sf0.1).
     */
   def q109(s: SparkSession, dir: String): DataFrame =
     SparseSim.cosineJoin(ExtQueries.nearDupCorpus(s, dir), "text", "doc_id",
@@ -351,8 +354,8 @@ object Wave4Queries {
        |tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
        |grams AS (
        |  SELECT doc_id AS id,
-       |    unnest([toks[i] || ' ' || toks[i+1]
-       |            for i in range(1, greatest(len(toks), 1))]) AS term
+       |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |            for i in range(1, greatest(len(toks) - 1, 1))]) AS term
        |  FROM tok),
        |tf AS (SELECT id, term, count(*) AS tf FROM grams GROUP BY id, term),
        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term

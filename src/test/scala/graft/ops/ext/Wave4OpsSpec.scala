@@ -139,15 +139,21 @@ class Wave4OpsSpec extends AnyFunSuite {
   }
 
   test("cosineJoin df cap drops saturated terms from the index") {
-    // "common common" bigram is in every doc; with maxDf=2 it cannot
-    // generate candidates, so no pair survives
+    // the "common common common" trigram is in every doc; with maxDf=2
+    // it cannot generate candidates, so no pair survives — with the
+    // default cap the shared-trigram pairs DO form
+    // 4th doc keeps the shared trigram's idf nonzero (df < n)
     val docs = Seq(
-      (1L, "common common distinct1 words1"),
-      (2L, "common common distinct2 words2"),
-      (3L, "common common distinct3 words3")).toDF("doc_id", "text")
-    val out = SparseSim.cosineJoin(docs, "text", "doc_id",
-      threshold = 0.1, maxDf = 2L)
-    assert(out.count() == 0)
+      (1L, "common common common distinct1"),
+      (2L, "common common common distinct2"),
+      (3L, "common common common distinct3"),
+      (4L, "totally different words here")).toDF("doc_id", "text")
+    val capped = SparseSim.cosineJoin(docs, "text", "doc_id",
+      threshold = 0.05, maxDf = 2L)
+    assert(capped.count() == 0)
+    val uncapped = SparseSim.cosineJoin(docs, "text", "doc_id",
+      threshold = 0.05)
+    assert(uncapped.count() > 0)
   }
 
   // ------------------------------------------------ Winsorize
