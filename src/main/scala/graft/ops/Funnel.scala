@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention —
+  * the two queries every event warehouse runs daily.
+  *
+  * Scale shape: everything keys on the user id — per-stage minima are
+  * hash aggregations with map-side partials, stage joins are keyed
+  * equi-joins AQE can broadcast as the funnel narrows (each stage's
+  * user set only shrinks). Retention's (user, day) distinct is one
+  * shuffle; the cohort rollup reuses the same key. No windows over the
+  * full event stream, no driver state.
+  */
+object Funnel {
+
+  /** Strictly-ordered funnel: a user counts for stage k only with an
+    * event of type k strictly after their stage-(k-1) time (earliest
+    * occurrence chosen at every stage). Output: (stage, n_users), with
+    * stages numbered so the order survives lexicographic sorts.
+    */
+  def stages(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, funnel: Seq[String]): DataFrame = {
+    val perStage = funnel.scanLeft(Option.empty[DataFrame]) {
+      case (prev, evType) =>
+        val typed = events.filter(col(typeCol) === evType)
+        val scoped = prev match {
+          case None => typed
+          case Some(p) => typed.join(p, userCol)
+            .filter(col(tsCol) > col("__t"))
+        }
+        Some(scoped.groupBy(col(userCol))
+          .agg(min(col(tsCol)).as("__t")))
+    }.flatten
+    perStage.zip(funnel).zipWithIndex.map { case ((df, evType), i) =>
+      df.groupBy().agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(s"${i + 1}_$evType"))
+    }.reduce(_.unionByName(_)).select("stage", "n_users")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day. Output: (cohort_day, day_offset, n_users).
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val cohort = events.groupBy(col(userCol))
+      .agg(date_trunc("day", min(col(tsCol))).as("cohort_day"))
+    val active = events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    active.join(cohort, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked edit-distance join (record linkage): match dirty strings to
+  * a reference list within a Levenshtein budget — the entity-resolution
+  * primitive behind "same product/author/address, typo'd".
+  *
+  * Scale shape: candidates form ONLY inside a block (shared prefix) and
+  * within a length tolerance — the classic blocking strategy that turns
+  * the quadratic all-pairs distance matrix into Σ_block |L_b|×|R_b|.
+  * The expensive levenshtein runs on candidates alone, via Spark's
+  * thresholded variant (early-exits the DP once the budget is blown, so
+  * the common non-match costs O(len·maxDist), not O(len²)). Skewed
+  * blocks (one hot prefix) are the operator's known hazard — pick
+  * blockPrefix so blocks stay bounded, or salt the hot block (see
+  * ops/Skew).
+  *
+  * Determinism: unit-cost Levenshtein is engine-universal; every output
+  * carries (query_id, match_id, dist) — exact, no floats.
+  */
+object FuzzyJoin {
+
+  def join(left: DataFrame, right: DataFrame,
+           leftId: String, leftCol: String,
+           rightId: String, rightCol: String,
+           maxDist: Int = 1, blockPrefix: Int = 4): DataFrame = {
+    val l = left.select(col(leftId).as("query_id"),
+      col(leftCol).as("q_name"),
+      substring(col(leftCol), 1, blockPrefix).as("blk"),
+      length(col(leftCol)).as("q_len"))
+    val r = right.select(col(rightId).as("match_id"),
+      col(rightCol).as("m_name"),
+      substring(col(rightCol), 1, blockPrefix).as("blk"),
+      length(col(rightCol)).as("m_len"))
+    l.join(r, Seq("blk"))
+      .filter(abs(col("q_len") - col("m_len")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("q_name"), col("m_name"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("query_id", "match_id", "q_name", "m_name", "dist")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Diff, GroupStats, Winsorize}
+import graft.ops.{Diff, Funnel, FuzzyJoin, GroupStats, Winsorize}
 import graft.ops.ext.{CorpusClean, Retrieval, SparseSim, TrainOrder, WebUrl}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -406,6 +406,86 @@ object Wave4Queries {
       |    AS n_clipped
       |FROM c GROUP BY l_returnflag, lo, hi""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Blocked fuzzy (Levenshtein) join: typo'd entity names resolved
+    * back to the reference list — prefix blocking + length tolerance
+    * generate candidates, the thresholded edit distance verifies, best
+    * match (dist, id tie-break) wins per query.
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id").as("match_id"),
+        concat(col("source"), lit("-"), col("lang"), lit("-"), col("doc_id"))
+          .as("m_name"))
+    // typo corpus: every 10th name with its 7th character dropped
+    val queries = base.filter(col("match_id") % 10 === 0)
+      .select((col("match_id") + 1000000L).as("query_id"),
+        concat(substring(col("m_name"), 1, 6), substring(col("m_name"), 8, 100))
+          .as("q_name"))
+    val matches = FuzzyJoin.join(queries, base, "query_id", "q_name",
+      "match_id", "m_name", maxDist = 1, blockPrefix = 4)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("match_id"))
+    matches.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("query_id", "match_id", "q_name", "m_name", "dist")
+  }
+  val q111Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS match_id,
+      |    source || '-' || lang || '-' || doc_id AS m_name
+      |  FROM documents),
+      |q AS (
+      |  SELECT match_id + 1000000 AS query_id,
+      |    substr(m_name, 1, 6) || substr(m_name, 8) AS q_name
+      |  FROM base WHERE match_id % 10 = 0),
+      |cand AS (
+      |  SELECT query_id, match_id, q_name, m_name,
+      |    CAST(levenshtein(q_name, m_name) AS BIGINT) AS dist
+      |  FROM q JOIN base
+      |    ON substr(q_name, 1, 4) = substr(m_name, 1, 4)
+      |   AND abs(len(q_name) - len(m_name)) <= 1)
+      |SELECT query_id, match_id, q_name, m_name, dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist, match_id) AS rn
+      |  FROM cand WHERE dist <= 1)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+  /** Strictly-ordered funnel over the event stream: view -> click ->
+    * purchase, earliest qualifying event per stage per user.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame =
+    Funnel.stages(ExtQueries.events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+  val q112Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Cohort retention: users bucketed by first-seen day, counted per
+    * later active day (distinct user-days).
+    */
+  def q113(s: SparkSession, dir: String): DataFrame =
+    Funnel.cohortRetention(ExtQueries.events(s, dir), "user_id", "ts")
+  val q113Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+      |  date_diff('day', cohort_day, day) AS day_offset,
+      |  count(*) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -417,7 +497,10 @@ object Wave4Queries {
     "q107_snapshot_diff" -> (q107 _),
     "q108_length_buckets" -> (q108 _),
     "q109_sparse_cosine" -> (q109 _),
-    "q110_winsorize" -> (q110 _))
+    "q110_winsorize" -> (q110 _),
+    "q111_fuzzy_join" -> (q111 _),
+    "q112_funnel" -> (q112 _),
+    "q113_cohorts" -> (q113 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -429,5 +512,8 @@ object Wave4Queries {
     "q107_snapshot_diff" -> q107Sql,
     "q108_length_buckets" -> q108Sql,
     "q109_sparse_cosine" -> q109Sql,
-    "q110_winsorize" -> q110Sql)
+    "q110_winsorize" -> q110Sql,
+    "q111_fuzzy_join" -> q111Sql,
+    "q112_funnel" -> q112Sql,
+    "q113_cohorts" -> q113Sql)
 }

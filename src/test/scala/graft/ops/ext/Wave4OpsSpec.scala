@@ -1,7 +1,7 @@
 package graft.ops.ext
 
 import graft.TestSpark
-import graft.ops.{Diff, GroupStats, Winsorize}
+import graft.ops.{Diff, Funnel, FuzzyJoin, GroupStats, Winsorize}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -120,6 +120,60 @@ class Wave4OpsSpec extends AnyFunSuite {
     val v2 = Seq((1L, Some("now")), (2L, Some("x"))).toDF("k", "s")
     val out = Diff.snapshots(v1, v2, "k", Seq("s")).collect()
     assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+
+  // ------------------------------------------------ FuzzyJoin
+  test("fuzzy join matches within distance budget, blocks by prefix") {
+    val ref = Seq((1L, "alpha-widget"), (2L, "alpha-wadget"),
+      (3L, "betas-widget")).toDF("id", "name")
+    val dirty = Seq((10L, "alpha-widgee"), (11L, "gamma-widget"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.join(dirty, ref, "id", "name", "id", "name",
+      maxDist = 1, blockPrefix = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 matches 1 (dist 1); 2 is dist 2 -> out; 11's block "gamma" empty
+    assert(out == Set((10L, 1L)))
+  }
+
+  test("fuzzy join thresholded distance never returns negative dist") {
+    val ref = Seq((1L, "aaaa-bbbb")).toDF("id", "name")
+    val dirty = Seq((2L, "aaaa-cccc")).toDF("id", "name") // dist 4 > 1
+    assert(FuzzyJoin.join(dirty, ref, "id", "name", "id", "name",
+      maxDist = 1, blockPrefix = 4).count() == 0)
+  }
+
+  // ------------------------------------------------ Funnel
+  val ev = Seq(
+    // user 1 completes view -> click -> purchase in order
+    (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+    // user 2 clicks BEFORE viewing -> stuck at view stage
+    (2L, "click", 5L), (2L, "view", 10L),
+    // user 3 views and clicks, never purchases
+    (3L, "view", 1L), (3L, "click", 2L),
+    // user 4 purchases with no view -> not in the funnel at all
+    (4L, "purchase", 7L))
+    .toDF("user_id", "event_type", "tsl")
+    .withColumn("ts", timestamp_seconds(col("tsl")))
+
+  test("funnel counts strictly-ordered stage completion") {
+    val out = Funnel.stages(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("cohort retention buckets by first-seen day with day offsets") {
+    val e2 = Seq(
+      (1L, 0L), (1L, 86400L), (2L, 0L), (2L, 0L + 3600), (3L, 86400L))
+      .toDF("user_id", "tsl")
+      .withColumn("ts", timestamp_seconds(col("tsl")))
+    val out = Funnel.cohortRetention(e2, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+        r.getLong(1), r.getLong(2))).toSet
+    // day-0 cohort: users 1,2 on day 0; user 1 again on day 1
+    // day-1 cohort: user 3
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (86400L, 0L, 1L)))
   }
 
   // ------------------------------------------------ SparseSim
