@@ -102,6 +102,9 @@ object LmScore {
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
       .select(col(idCol), col("p").getField("0").as("w1"),
         col("p").getField("1").as("w2"))
+      // persisted: the count tables AND the per-doc join all read this
+      // frame — without it the tokenize+zip+explode runs three times
+      .persist()
     val big = pairs.groupBy("w1", "w2").count().withColumnRenamed("count", "c12")
     val pre = pairs.groupBy(col("w1")).count().withColumnRenamed("count", "c1")
     val vocab = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time the QS env-var query list at sf0.1. */
+object DevQTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.expr.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = sys.env.getOrElse("QS", "q89_bigram_lm").split(",").toSeq
+    for (name <- qs; rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name rep=$rep n=$n time=$dt%.2f s")
+    }
+    spark.stop()
+  }
+}
