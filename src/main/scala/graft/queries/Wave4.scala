@@ -76,15 +76,13 @@ object Wave4Queries {
       .select(col("doc_id"), norm.as("url_norm"),
         WebUrl.domain(norm).as("domain"))
   }
-  val q102Sql: String =
-    """WITH raw AS (
-      |  SELECT doc_id,
-      |    'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
-      |    '/doc/' || doc_id || '/?utm_source=feed&b=2&ref=' || lang ||
-      |    '&a=1#frag' AS url
-      |  FROM documents),
-      |parts AS (
-      |  SELECT doc_id,
+  /** DuckDB twin of WebUrl.normalize over a `raw(id, url)` CTE —
+    * produces parts/norm/built CTEs ending in `built(id, url_norm,
+    * host)`. Shared by q102 and the crawl-dedup composite.
+    */
+  private val urlNormSql: String =
+    """parts AS (
+      |  SELECT id,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
       |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
@@ -93,7 +91,7 @@ object Wave4Queries {
       |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS query
       |  FROM raw),
       |norm AS (
-      |  SELECT doc_id, scheme,
+      |  SELECT id, scheme,
       |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
       |                   '^www\.', '') AS host,
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
@@ -103,7 +101,7 @@ object Wave4Queries {
       |           AND len(p) > 0)) AS params
       |  FROM parts),
       |built AS (
-      |  SELECT doc_id,
+      |  SELECT id,
       |    scheme || '://' || host ||
       |    (CASE WHEN port = '' THEN ''
       |          WHEN scheme = 'http'  AND port = '80'  THEN ''
@@ -114,10 +112,19 @@ object Wave4Queries {
       |          THEN '?' || array_to_string(params, '&') ELSE '' END)
       |      AS url_norm,
       |    host
-      |  FROM norm)
-      |SELECT doc_id, url_norm,
-      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
-      |FROM built""".stripMargin
+      |  FROM norm)""".stripMargin
+
+  val q102Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id AS id,
+       |    'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
+       |    '/doc/' || doc_id || '/?utm_source=feed&b=2&ref=' || lang ||
+       |    '&a=1#frag' AS url
+       |  FROM documents),
+       |$urlNormSql
+       |SELECT id AS doc_id, url_norm,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |FROM built""".stripMargin
 
   // -------------------------------------------------- paragraph fixture
   /** Paragraph corpus for q103/q104: each doc re-laid-out as a
@@ -486,6 +493,107 @@ object Wave4Queries {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Crawl dedup composite: two deterministic fetches of every 5th
+    * page differ in case/www/port/param order/tracking/fragment — the
+    * canonical URL collapses them. One narrow normalization pass, one
+    * groupBy on the canonical key.
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = docs.select(col("doc_id").as("fetch_id"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
+        col("lang"), lit("/doc/"), col("doc_id"),
+        lit("/?utm_source=feed&b=2&ref="), col("lang"), lit("&a=1#frag"))
+        .as("url"))
+    val recrawl = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("fetch_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?b=2&a=1&utm_campaign=x#top")).as("url"))
+    base.unionByName(recrawl)
+      .withColumn("url_norm", WebUrl.normalize(col("url")))
+      .groupBy("url_norm")
+      .agg(count(lit(1)).as("n_fetches"), min("fetch_id").as("first_fetch"))
+  }
+  val q114Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id AS id,
+       |    'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
+       |    '/doc/' || doc_id || '/?utm_source=feed&b=2&ref=' || lang ||
+       |    '&a=1#frag' AS url
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    'https://' || source || '.example.com/' || lang ||
+       |    '/doc/' || doc_id || '?b=2&a=1&utm_campaign=x#top'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |$urlNormSql
+       |SELECT url_norm, count(*) AS n_fetches, min(id) AS first_fetch
+       |FROM built GROUP BY url_norm""".stripMargin
+
+  // ---------------------------------------------------------------- q115
+  /** Interval union (gaps-and-islands): each event opens a 5-minute
+    * activity interval; merged per user into islands — active session
+    * count and total covered wall-clock in micros.
+    */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val iv = ExtQueries.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + 300000000L)
+    graft.ops.Intervals.unionPerKey(iv, "user_id", "s", "e")
+  }
+  val q115Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+      |         THEN 1 ELSE 0 END AS ni
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS island
+      |  FROM m),
+      |g AS (SELECT user_id, island, min(s) AS ms, max(e) AS me
+      |      FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(me - ms) AS BIGINT) AS covered
+      |FROM g GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Data-quality expectations: three single-pass row checks plus a
+    * referential orphan count — the promote-gate validation report.
+    */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    graft.ops.Expectations.check(li, Seq(
+      "null_quantity" -> col("l_quantity").isNull,
+      "qty_gt_30" -> (col("l_quantity") > 30.0),
+      "price_le_0" -> (col("l_extendedprice") <= 0.0)))
+      .unionByName(graft.ops.Expectations.orphans(li, T(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", "orphan_lineitem"))
+  }
+  val q116Sql: String =
+    """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+      |SELECT 'null_quantity' AS check_name,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+      |    AS n_violations, n_rows FROM n
+      |UNION ALL SELECT 'qty_gt_30',
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity > 30.0), n_rows FROM n
+      |UNION ALL SELECT 'price_le_0',
+      |  (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0.0),
+      |  n_rows FROM n
+      |UNION ALL SELECT 'orphan_lineitem',
+      |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+      |  n_rows FROM n""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -500,7 +608,10 @@ object Wave4Queries {
     "q110_winsorize" -> (q110 _),
     "q111_fuzzy_join" -> (q111 _),
     "q112_funnel" -> (q112 _),
-    "q113_cohorts" -> (q113 _))
+    "q113_cohorts" -> (q113 _),
+    "q114_crawl_dedup" -> (q114 _),
+    "q115_interval_union" -> (q115 _),
+    "q116_expectations" -> (q116 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -515,5 +626,8 @@ object Wave4Queries {
     "q110_winsorize" -> q110Sql,
     "q111_fuzzy_join" -> q111Sql,
     "q112_funnel" -> q112Sql,
-    "q113_cohorts" -> q113Sql)
+    "q113_cohorts" -> q113Sql,
+    "q114_crawl_dedup" -> q114Sql,
+    "q115_interval_union" -> q115Sql,
+    "q116_expectations" -> q116Sql)
 }

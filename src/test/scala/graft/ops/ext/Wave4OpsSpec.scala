@@ -1,7 +1,8 @@
 package graft.ops.ext
 
 import graft.TestSpark
-import graft.ops.{Diff, Funnel, FuzzyJoin, GroupStats, Winsorize}
+import graft.ops.{Diff, Expectations, Funnel, FuzzyJoin, GroupStats,
+  Intervals, Winsorize}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -174,6 +175,48 @@ class Wave4OpsSpec extends AnyFunSuite {
     // day-0 cohort: users 1,2 on day 0; user 1 again on day 1
     // day-1 cohort: user 3
     assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (86400L, 0L, 1L)))
+  }
+
+  // ------------------------------------------------ Intervals
+  test("interval union merges overlapping and touching intervals") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap -> island grows to [0,15)
+      (1L, 15L, 20L),                 // half-open touch -> SAME island
+      (1L, 30L, 40L),                 // gap -> second island
+      (2L, 0L, 5L)).toDF("k", "s", "e")
+    val out = Intervals.unionPerKey(iv, "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((2L, 30L))) // [0,20) + [30,40) = 20 + 10 covered
+    assert(out(2L) == ((1L, 5L)))
+  }
+
+  test("interval union: contained interval does not split the island") {
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 50L, 150L))
+      .toDF("k", "s", "e")
+    val out = Intervals.unionPerKey(iv, "k", "s", "e").collect().head
+    assert(out.getLong(1) == 1L && out.getLong(2) == 150L)
+  }
+
+  // ------------------------------------------------ Expectations
+  test("expectations fold all checks into one pass with exact counts") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)))
+      .toDF("id", "v")
+    val out = Expectations.check(df, Seq(
+      "null_v" -> col("v").isNull,
+      "neg_v" -> (col("v") < 0.0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("null_v" -> ((1L, 3L)), "neg_v" -> ((1L, 3L))))
+  }
+
+  test("orphans counts child keys missing from the parent") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("fk", "x")
+    val parent = Seq((1L, "p"), (2L, "p")).toDF("pk", "y")
+    val r = Expectations.orphans(child, parent, "fk", "pk", "orphan")
+      .collect().head
+    assert(r.getString(0) == "orphan" && r.getLong(1) == 1L &&
+      r.getLong(2) == 3L)
   }
 
   // ------------------------------------------------ SparseSim
