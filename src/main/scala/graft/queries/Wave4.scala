@@ -355,7 +355,7 @@ object Wave4Queries {
     */
   def q109(s: SparkSession, dir: String): DataFrame =
     SparseSim.cosineJoin(ExtQueries.nearDupCorpus(s, dir), "text", "doc_id",
-      threshold = 0.8)
+      threshold = 0.8, maxDf = 500L)
   val q109Sql: String =
     s"""WITH corpus AS (${ExtQueries.nearDupCorpusSql}),
        |tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
@@ -366,7 +366,7 @@ object Wave4Queries {
        |  FROM tok),
        |tf AS (SELECT id, term, count(*) AS tf FROM grams GROUP BY id, term),
        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term
-       |          HAVING count(*) <= 100000),
+       |          HAVING count(*) <= 500),
        |weights AS (
        |  SELECT id, term,
        |    round(tf::DOUBLE * ln(((SELECT count(*) FROM corpus) + 1.0e0)
