@@ -26,6 +26,8 @@ object FuzzyJoin {
            leftId: String, leftCol: String,
            rightId: String, rightCol: String,
            maxDist: Int = 1, blockPrefix: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1 (got $blockPrefix)")
     val l = left.select(col(leftId).as("query_id"),
       col(leftCol).as("q_name"),
       substring(col(leftCol), 1, blockPrefix).as("blk"),

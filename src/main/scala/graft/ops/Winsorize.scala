@@ -25,6 +25,8 @@ object Winsorize {
 
   def stats(df: DataFrame, groupCol: String, valCol: String,
             pLow: Double = 0.05, pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1 (got $pLow, $pHigh)")
     val bounds = df.groupBy(col(groupCol))
       .agg(round(percentile(col(valCol), lit(pLow)), 6).as("lo"),
         round(percentile(col(valCol), lit(pHigh)), 6).as("hi"))

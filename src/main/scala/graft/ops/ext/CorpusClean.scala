@@ -50,6 +50,8 @@ object CorpusClean {
     */
   def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
                        minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs) - " +
+      "1 would strip every line")
     val paras = exploded(docs, textCol, idCol, sep)
     // line -> distinct-doc frequency: far smaller than the corpus, and
     // AQE broadcasts it back when it fits

@@ -28,6 +28,8 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                query: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
     val s = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
 

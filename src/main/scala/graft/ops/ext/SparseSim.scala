@@ -36,6 +36,10 @@ object SparseSim {
   def cosineJoin(docs: DataFrame, textCol: String, idCol: String,
                  threshold: Double, maxDf: Long = 100000L,
                  ngram: Int = 3): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
     // tokens materialize ONCE per row behind a projection boundary —
     // referencing the tokenizer expression inside the window lambda
     // would re-run split+filter per element_at (measured: the whole

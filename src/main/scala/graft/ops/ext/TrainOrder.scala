@@ -26,6 +26,7 @@ object TrainOrder {
     */
   def shuffled(df: DataFrame, idCol: String, seed: Long = 12345L,
                nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
     val ord = pmod(col(idCol).cast("long") * lit(1103515245L) + lit(seed),
       lit(2147483648L))
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col(idCol))

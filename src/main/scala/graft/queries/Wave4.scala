@@ -594,6 +594,36 @@ object Wave4Queries {
       |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
       |  n_rows FROM n""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Mergeable-sketch profiling (the re-aggregatable pattern 100 TB
+    * rollups need): per-(lang, source) DataSketches HLL partials union
+    * into per-lang estimates WITHOUT re-scanning the data. Checked by
+    * the q52 invariant-oracle pattern: the merged estimate must equal
+    * the single-pass estimate (sketch merge is lossless for identical
+    * lgK) and land within a generous error bound of the exact count
+    * the oracle computes.
+    */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val partials = docs.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+    val merged = partials.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val single = docs.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est_single"),
+        countDistinct(col("doc_id")).as("exact_docs"))
+    single.join(merged, "lang")
+      .select(col("lang"), col("exact_docs"),
+        (col("est_merged") === col("est_single")).as("merge_lossless"),
+        (abs(col("est_merged") - col("exact_docs")) <=
+          col("exact_docs") * 0.1).as("within_bound"))
+  }
+  val q117Sql: String =
+    """SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+      |  CAST(1 AS BOOLEAN) AS merge_lossless,
+      |  CAST(1 AS BOOLEAN) AS within_bound
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -611,7 +641,8 @@ object Wave4Queries {
     "q113_cohorts" -> (q113 _),
     "q114_crawl_dedup" -> (q114 _),
     "q115_interval_union" -> (q115 _),
-    "q116_expectations" -> (q116 _))
+    "q116_expectations" -> (q116 _),
+    "q117_sketch_merge" -> (q117 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -629,5 +660,6 @@ object Wave4Queries {
     "q113_cohorts" -> q113Sql,
     "q114_crawl_dedup" -> q114Sql,
     "q115_interval_union" -> q115Sql,
-    "q116_expectations" -> q116Sql)
+    "q116_expectations" -> q116Sql,
+    "q117_sketch_merge" -> q117Sql)
 }
