@@ -242,7 +242,7 @@ object Main {
         .join(cleaned.withColumnRenamed("doc_id", idCol), Seq(idCol))
         .write.mode("overwrite").parquet(out)
       val kept = spark.read.parquet(out)
-        .agg(org.apache.spark.sql.functions.sum(col("n_removed"))).head.getLong(0)
+        .agg(org.apache.spark.sql.functions.sum(col("n_removed"))).head().getLong(0)
       println(s"$in -> $out ($kept paragraphs removed)")
     } finally spark.stop()
   }

@@ -29,7 +29,7 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                ts: String, rightCols: Seq[String],
                suffix: String = "_right"): DataFrame = {
-    val lPayload = struct(left.columns.map(col): _*)
+    val lPayload = struct(left.columns.toIndexedSeq.map(col): _*)
     val rPayload = struct(rightCols.map(col): _*)
     val lType = left.select(lPayload).schema.head.dataType
     val rType = right.select(rPayload).schema.head.dataType

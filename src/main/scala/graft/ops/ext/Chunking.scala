@@ -67,7 +67,7 @@ object Chunking {
     val nChunks = lit(1) +
       ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride)
         .cast("int")
-    val keep = df.columns.filter(_ != textCol).map(col)
+    val keep = df.columns.toIndexedSeq.filter(_ != textCol).map(col)
     df.select(keep :+ toks.as("__toks") :+
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"): _*)
       .select(keep :+ col("chunk_id") :+

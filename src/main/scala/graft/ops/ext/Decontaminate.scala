@@ -63,7 +63,7 @@ object Decontaminate {
         Literal(numBits / 16), Literal(numBits)).toAggregateExpression())
     // driver-side build artifact (like collecting a broadcast build
     // side): one aggregate, numBits/8 bytes
-    val bytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bytes = bench.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val mightContain = (g: Column) => GraftExpressionBridge.column(
       BloomFilterMightContain(Literal(bytes, BinaryType),
         GraftExpressionBridge.expression(g)))

@@ -338,7 +338,7 @@ object Dedup {
     // Decimal sum: at extreme id x node counts a long sum could wrap.
     // null sum = zero nodes (empty pair graph): already converged
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
