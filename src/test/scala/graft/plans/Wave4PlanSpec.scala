@@ -56,6 +56,31 @@ class Wave4PlanSpec extends AnyFunSuite {
       s"bounds join must not shuffle the fact side twice:\n$plan")
   }
 
+  test("q111 fuzzy join is a blocked equi-join, never nested-loop") {
+    val plan = planOf("q111_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the join equi:\n$plan")
+  }
+
+  test("q115 interval union: one exchange, per-key window sort only") {
+    val plan = planOf("q115_interval_union")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"no global sort allowed:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("q116 expectations folds all row checks into one aggregate pass") {
+    val plan = planOf("q116_expectations")
+    // row-check branch: one scan of lineitem feeding one HashAggregate
+    // pair (partial+final); orphan branch adds its own scan + anti join
+    assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      s"expected exactly one anti join:\n$plan")
+  }
+
   test("q107 snapshot diff is one outer join, no extra exchanges") {
     val plan = planOf("q107_snapshot_diff")
     assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
