@@ -32,7 +32,7 @@ object Wave4Queries {
   def q101(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(T(s, dir, "documents").select("doc_id", "text"),
       "text", "doc_id", Bm25Query, k = 20)
-  val q101Sql: String =
+  private def bm25Sql(k: Int): String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |stats AS (SELECT sum(len(toks)) AS sum_dl, count(*) AS n_docs FROM tok),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
@@ -59,7 +59,8 @@ object Wave4Queries {
        |SELECT rank, doc_id, score, n_terms FROM (
        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |  FROM per_doc)
-       |WHERE rank <= 20""".stripMargin
+       |WHERE rank <= $k""".stripMargin
+  val q101Sql: String = bm25Sql(20)
 
   // ---------------------------------------------------------------- q102
   /** URL canonicalization: synthesize a messy-but-deterministic URL per
@@ -624,6 +625,52 @@ object Wave4Queries {
       |  CAST(1 AS BOOLEAN) AS within_bound
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Reciprocal-rank fusion: the standard way to combine heterogeneous
+    * rankings (here BM25 relevance ⊕ quality prior) without score
+    * calibration — score = Σ 1/(60 + rank) over the lists a doc
+    * appears in. Both candidate lists are top-50 TakeOrdered heads
+    * (never a global sort); the fusion is a keyed full-outer join of
+    * two 50-row frames.
+    */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bm = Retrieval.bm25TopK(docs.select("doc_id", "text"),
+      "text", "doc_id", Bm25Query, k = 50)
+      .select(col("doc_id"), col("rank").as("r_bm"))
+    val wq = Window.orderBy(col("p_keep").desc, col("doc_id"))
+    val qtop = graft.ops.ext.TextAnalysis.logisticQuality(docs, "text")
+      .select("doc_id", "p_keep")
+      .orderBy(col("p_keep").desc, col("doc_id")).limit(50)
+      .withColumn("r_q", row_number().over(wq).cast("long"))
+      .select("doc_id", "r_q")
+    val fused = bm.join(qtop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60L) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("r_q")), lit(0.0)), 6))
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .select("rank", "doc_id", "rrf")
+  }
+  val q118Sql: String =
+    s"""WITH bm AS (
+       |  SELECT doc_id, rank AS r_bm FROM (${bm25Sql(50)}) t),
+       |ql AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY p_keep DESC, doc_id) AS r_q
+       |  FROM (SELECT * FROM (${PipeQueries.q93Sql}) s
+       |        ORDER BY p_keep DESC, doc_id LIMIT 50) u),
+       |fused AS (
+       |  SELECT coalesce(bm.doc_id, ql.doc_id) AS doc_id,
+       |    round(coalesce(1.0e0 / (60 + r_bm), 0.0e0) +
+       |          coalesce(1.0e0 / (60 + r_q), 0.0e0), 6) AS rrf
+       |  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id)
+       |SELECT rank, doc_id, rrf FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -642,7 +689,8 @@ object Wave4Queries {
     "q114_crawl_dedup" -> (q114 _),
     "q115_interval_union" -> (q115 _),
     "q116_expectations" -> (q116 _),
-    "q117_sketch_merge" -> (q117 _))
+    "q117_sketch_merge" -> (q117 _),
+    "q118_rrf_fusion" -> (q118 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -661,5 +709,6 @@ object Wave4Queries {
     "q114_crawl_dedup" -> q114Sql,
     "q115_interval_union" -> q115Sql,
     "q116_expectations" -> q116Sql,
-    "q117_sketch_merge" -> q117Sql)
+    "q117_sketch_merge" -> q117Sql,
+    "q118_rrf_fusion" -> q118Sql)
 }
