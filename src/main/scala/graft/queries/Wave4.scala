@@ -671,6 +671,32 @@ object Wave4Queries {
        |  FROM fused)
        |WHERE rank <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Streaming crawl-frontier dedup: canonical URLs deduped AT INGEST
+    * (the crawl-frontier "have we fetched this page" check) — messy
+    * per-doc index-page URLs collapse to one canonical per
+    * (source, lang). Key-only output keeps the result independent of
+    * micro-batch slicing; dropDuplicates state holds one row per
+    * canonical URL (watermark-evictable in an unbounded deployment).
+    */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    StreamOps.streamDistinct(s, s"$dir/documents.parquet", df =>
+      df.select(WebUrl.normalize(
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
+          col("lang"), lit("/index/?utm_source=feed&b=2&ref="), col("lang"),
+          lit("&a=1#frag"))).as("url_norm")),
+      "q119_stream_urls")
+  }
+  val q119Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id AS id,
+       |    'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
+       |    '/index/?utm_source=feed&b=2&ref=' || lang || '&a=1#frag' AS url
+       |  FROM documents),
+       |$urlNormSql
+       |SELECT DISTINCT url_norm FROM built""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -690,7 +716,8 @@ object Wave4Queries {
     "q115_interval_union" -> (q115 _),
     "q116_expectations" -> (q116 _),
     "q117_sketch_merge" -> (q117 _),
-    "q118_rrf_fusion" -> (q118 _))
+    "q118_rrf_fusion" -> (q118 _),
+    "q119_stream_urls" -> (q119 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -710,5 +737,6 @@ object Wave4Queries {
     "q115_interval_union" -> q115Sql,
     "q116_expectations" -> q116Sql,
     "q117_sketch_merge" -> q117Sql,
-    "q118_rrf_fusion" -> q118Sql)
+    "q118_rrf_fusion" -> q118Sql,
+    "q119_stream_urls" -> q119Sql)
 }

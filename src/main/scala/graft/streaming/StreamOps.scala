@@ -116,6 +116,29 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming distinct over ARBITRARY derived keys (the generalized
+    * form of [[streamDistinctDigests]]): `keyed` projects the stream to
+    * the content-derived key columns, dropDuplicates keeps state per
+    * distinct key. Output carries only the keys, so the result is
+    * independent of micro-batch slicing — oracle-checkable against the
+    * batch distinct. Same watermark/eviction story as the digest form.
+    */
+  def streamDistinct(spark: SparkSession, parquetPath: String,
+                     keyed: DataFrame => DataFrame,
+                     queryName: String = "stream_distinct",
+                     statePartitions: Int = 8): DataFrame = {
+    val distinct = keyed(fileStream(spark, parquetPath)).dropDuplicates()
+    withStatePartitions(spark, statePartitions) {
+      val q = distinct.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming deterministic hash-sample — data curation applied AT
     * INGEST: the same md5-threshold keep/drop rule Sampling.sample
     * uses, as a stateless streaming filter. Statelessness is the
