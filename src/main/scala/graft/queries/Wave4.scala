@@ -599,10 +599,12 @@ object Wave4Queries {
   /** Mergeable-sketch profiling (the re-aggregatable pattern 100 TB
     * rollups need): per-(lang, source) DataSketches HLL partials union
     * into per-lang estimates WITHOUT re-scanning the data. Checked by
-    * the q52 invariant-oracle pattern: the merged estimate must equal
-    * the single-pass estimate (sketch merge is lossless for identical
-    * lgK) and land within a generous error bound of the exact count
-    * the oracle computes.
+    * the q52 invariant-oracle pattern: the merged estimate must track
+    * the single-pass estimate within 3% of the exact count (identical
+    * at small cardinality, but once sketches leave sparse mode the
+    * union's register state can differ slightly from a single-pass
+    * build — measured ≤1.3% at sf0.1) and land within a generous
+    * error bound of the exact count the oracle computes.
     */
   def q117(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -615,13 +617,15 @@ object Wave4Queries {
         countDistinct(col("doc_id")).as("exact_docs"))
     single.join(merged, "lang")
       .select(col("lang"), col("exact_docs"),
-        (col("est_merged") === col("est_single")).as("merge_lossless"),
+        (abs(col("est_merged") - col("est_single")) <=
+          greatest(lit(1L), (col("exact_docs") * 0.03).cast("long")))
+          .as("merge_consistent"),
         (abs(col("est_merged") - col("exact_docs")) <=
           col("exact_docs") * 0.1).as("within_bound"))
   }
   val q117Sql: String =
     """SELECT lang, count(DISTINCT doc_id) AS exact_docs,
-      |  CAST(1 AS BOOLEAN) AS merge_lossless,
+      |  CAST(1 AS BOOLEAN) AS merge_consistent,
       |  CAST(1 AS BOOLEAN) AS within_bound
       |FROM documents GROUP BY lang""".stripMargin
 
