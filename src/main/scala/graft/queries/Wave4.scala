@@ -701,6 +701,31 @@ object Wave4Queries {
        |$urlNormSql
        |SELECT DISTINCT url_norm FROM built""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** GROUPING SETS — the general form completing the cube (q62) /
+    * rollup (q39) family: two one-dimension slices plus the grand
+    * total in ONE pass (Expand feeds a single hash aggregation —
+    * never N scans), with grouping_id disambiguating the all-null
+    * rows. Decimal sums keep the totals merge-order exact.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+          .as("total_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "total_qty")
+  val q120Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -721,7 +746,8 @@ object Wave4Queries {
     "q116_expectations" -> (q116 _),
     "q117_sketch_merge" -> (q117 _),
     "q118_rrf_fusion" -> (q118 _),
-    "q119_stream_urls" -> (q119 _))
+    "q119_stream_urls" -> (q119 _),
+    "q120_grouping_sets" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -742,5 +768,6 @@ object Wave4Queries {
     "q116_expectations" -> q116Sql,
     "q117_sketch_merge" -> q117Sql,
     "q118_rrf_fusion" -> q118Sql,
-    "q119_stream_urls" -> q119Sql)
+    "q119_stream_urls" -> q119Sql,
+    "q120_grouping_sets" -> q120Sql)
 }
