@@ -52,7 +52,9 @@ object CorpusClean {
                        minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs) - " +
       "1 would strip every line")
-    val paras = exploded(docs, textCol, idCol, sep)
+    // persisted: the frequency aggregate AND the keep-join both read
+    // the exploded frame — without it the split+explode runs twice
+    val paras = exploded(docs, textCol, idCol, sep).persist()
     // line -> distinct-doc frequency: far smaller than the corpus, and
     // AQE broadcasts it back when it fits
     val freq = paras.groupBy("para")
