@@ -39,6 +39,25 @@ object Funnel {
     }.reduce(_.unionByName(_)).select("stage", "n_users")
   }
 
+  /** Consecutive event-type transitions per key (the empirical Markov
+    * matrix the funnel is a slice of): lead() over each user's ordered
+    * stream, then a transition rollup. One shuffle for the per-user
+    * window, one for the count — ordering totals on (ts, tieCol) so
+    * the matrix is reproducible at any parallelism.
+    * Output: (from_type, to_type, n).
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention: users grouped by first-seen day, counted on each
     * later active day. Output: (cohort_day, day_offset, n_users).
     */

@@ -726,6 +726,24 @@ object Wave4Queries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Event-transition matrix: counts of consecutive event-type pairs
+    * per user stream — the empirical Markov matrix behind the q112
+    * funnel.
+    */
+  def q121(s: SparkSession, dir: String): DataFrame =
+    Funnel.transitions(ExtQueries.events(s, dir), "user_id", "event_type",
+      "ts", "event_id")
+  val q121Sql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM p WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101 _),
@@ -747,7 +765,8 @@ object Wave4Queries {
     "q117_sketch_merge" -> (q117 _),
     "q118_rrf_fusion" -> (q118 _),
     "q119_stream_urls" -> (q119 _),
-    "q120_grouping_sets" -> (q120 _))
+    "q120_grouping_sets" -> (q120 _),
+    "q121_event_paths" -> (q121 _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
@@ -769,5 +788,6 @@ object Wave4Queries {
     "q117_sketch_merge" -> q117Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_stream_urls" -> q119Sql,
-    "q120_grouping_sets" -> q120Sql)
+    "q120_grouping_sets" -> q120Sql,
+    "q121_event_paths" -> q121Sql)
 }

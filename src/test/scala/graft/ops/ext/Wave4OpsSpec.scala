@@ -163,6 +163,18 @@ class Wave4OpsSpec extends AnyFunSuite {
     assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("transitions counts consecutive pairs per user in ts order") {
+    val out = Funnel.transitions(
+      ev.withColumn("event_id", col("tsl")), "user_id", "event_type",
+      "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // user1: view->click, click->purchase; user2: click->view;
+    // user3: view->click; user4: no pair
+    assert(out == Map(("view", "click") -> 2L,
+      ("click", "purchase") -> 1L, ("click", "view") -> 1L))
+  }
+
   test("cohort retention buckets by first-seen day with day offsets") {
     val e2 = Seq(
       (1L, 0L), (1L, 86400L), (2L, 0L), (2L, 0L + 3600), (3L, 86400L))
