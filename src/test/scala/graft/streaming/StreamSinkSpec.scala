@@ -27,6 +27,18 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == want.size)
   }
 
+  test("streamDistinct over derived keys matches the batch distinct") {
+    val src = Files.createTempDirectory("sd_src").toString
+    (1L to 300L).map(i => (i, s"k${i % 40}")).toDF("id", "raw")
+      .write.mode("overwrite").parquet(src)
+    val got = StreamOps.streamDistinct(spark, src,
+      df => df.select(upper(col("raw")).as("key")), "sd_test")
+      .as[String].collect().toSet
+    assert(got == (0 until 40).map(i => s"K$i").toSet)
+    // session shuffle partitions restored after the bounded run
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("compact resizes a many-file table without changing its rows") {
     val in = Files.createTempDirectory("compact_in").toString + "/t"
     val out = Files.createTempDirectory("compact_out").toString + "/t"
