@@ -93,4 +93,43 @@ object Layout {
       : Unit =
     df.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(outPath)
+
+  /** Pruning estimator: how many of `files` parquet files a range
+    * predicate `[lo, hi]` on `valueCol` would have to OPEN under (a)
+    * arrival-order layout (file = id mod files — what a naive ingest
+    * produces) vs (b) value-sorted layout (what [[sortedWrite]]
+    * produces). Emulates per-file min/max footer stats by bucketing
+    * rows into their would-be files and intersecting each file's
+    * range with the predicate. Output: one row per layout with
+    * files_total / files_overlap.
+    *
+    * The sorted emulation ranks globally (row_number over an
+    * unpartitioned window) — fine for the planning-aid use on a table
+    * SAMPLE or on existing footer metadata; the real 100 TB layout
+    * decision reads actual parquet footers (driver-side listing) and
+    * never ranks data. The estimator exists to QUANTIFY the layout
+    * win before paying the [[sortedWrite]] shuffle.
+    */
+  def pruneEstimate(df: DataFrame, idCol: String, valueCol: String,
+                    files: Int, lo: Double, hi: Double): DataFrame = {
+    require(files > 0)
+    val v = col(valueCol).cast("double")
+    val n = df.count()
+    val chunk = math.max(1L, math.ceil(n.toDouble / files).toLong)
+    val arrival = df.select(pmod(col(idCol), lit(files.toLong)).as("file"),
+      v.as("v")).withColumn("layout", lit("arrival"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col(idCol))
+    val sorted = df.select(v.as("v"), col(idCol))
+      .withColumn("file", ((row_number().over(w) - 1) / chunk).cast("long"))
+      .select(col("file"), col("v"))
+      .withColumn("layout", lit("sorted"))
+    arrival.unionByName(sorted)
+      .groupBy(col("layout"), col("file"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("mn") <= lit(hi) && col("mx") >= lit(lo), 1L)
+          .otherwise(0L)).as("files_overlap"))
+  }
 }

@@ -37,4 +37,33 @@ object GroupStats {
         col("cnt").as("mode_count"))
     med.join(mode, Seq(groupCol))
   }
+
+  /** Robust per-group outlier screen: median/MAD with the normal
+    * consistency constant (1.4826), flagging |x - med| > k·1.4826·MAD.
+    * Three grouped passes (median, MAD, flag-count), each joined back
+    * by BROADCAST — the group-stats frames are one row per group, so
+    * the big frame never shuffles after its grouped aggregations.
+    * Exact `percentile` holds a group's values in memory; at 100 TB
+    * swap both medians for `approx_percentile` (same shape, sketched
+    * state) — the outlier verdict tolerates percentile error far
+    * smaller than k·MAD.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val g = col(groupCol)
+    val x = graft.Cols.ref(valueCol).cast("double")
+    val med = df.groupBy(g).agg(percentile(x, lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .select(g, x.as("x"), col("med"),
+        abs(x - col("med")).as("adev"))
+    val mad = dev.groupBy(g)
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(col("adev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

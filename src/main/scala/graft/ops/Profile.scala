@@ -49,4 +49,132 @@ object Profile {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Candidate-key discovery: per column, distinct count, null count,
+    * and the key verdict (`n_distinct == n_rows` — `countDistinct`
+    * ignores nulls, so equality simultaneously proves uniqueness AND
+    * no-null). The reference profiles columns one-by-one in pandas
+    * (`run_annotate.py:26-27` nunique); here ALL columns resolve in ONE
+    * aggregation pass (map-side partials, a single shuffle of one
+    * partial row per column), then a driver-free `explode` reshapes the
+    * 1×2N row to long form. At 100 TB swap `countDistinct` for HLL
+    * exactly as [[distinctCounts]] does — the verdict only needs
+    * equality fidelity near n_rows, where HLL's error bound is known.
+    */
+  def keyCandidates(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap {
+      c => Seq(
+        countDistinct(graft.Cols.ref(c)).as(s"__nd__$c"),
+        count(graft.Cols.ref(c)).as(s"__nn__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"),
+        graft.Cols.ref(s"__nd__$c").as("n_distinct"),
+        (col("__n") - graft.Cols.ref(s"__nn__$c")).as("n_nulls"),
+        (graft.Cols.ref(s"__nd__$c") === col("__n")).as("is_key"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** Pearson correlation for every pair of `cols`, one aggregation
+    * pass. Determinism contract (the repo's oracle rule): the five
+    * moment sums go through DECIMAL(30,8) — per-row products are
+    * computed in IEEE double (bit-identical in any engine), the
+    * order-sensitive SUM is exact decimal, and only the final closed
+    * form returns to double. Shared moments (sum, sum-of-squares per
+    * column) are computed once regardless of how many pairs use them.
+    * One shuffle of a single partial row — scale-free in n.
+    */
+  def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    def d(c: Column) = c.cast("double")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+        cols.flatMap { c => Seq(
+          sum(d(graft.Cols.ref(c)).cast("decimal(30,8)"))
+            .cast("double").as(s"__s__$c"),
+          sum((d(graft.Cols.ref(c)) * d(graft.Cols.ref(c)))
+            .cast("decimal(30,8)")).cast("double").as(s"__ss__$c"))
+        } ++
+        pairs.map { case (a, b) =>
+          sum((d(graft.Cols.ref(a)) * d(graft.Cols.ref(b)))
+            .cast("decimal(30,8)")).cast("double").as(s"__sp__${a}__${b}")
+        }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val sx = graft.Cols.ref(s"__s__$a"); val sy = graft.Cols.ref(s"__s__$b")
+      val sxx = graft.Cols.ref(s"__ss__$a"); val syy = graft.Cols.ref(s"__ss__$b")
+      val sxy = graft.Cols.ref(s"__sp__${a}__${b}")
+      val corr = (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(corr, 6).as("corr"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** Equi-width histogram: two jobs — a min/max pass (one partial row),
+    * then bucket-assign + count. The 1-row bounds frame is broadcast,
+    * so the big side streams through codegen'd arithmetic and shuffles
+    * only (bucket → count) partials. `x == max` lands in the last
+    * bucket via `least` (the SQL-standard width_bucket edge rule).
+    * Bucket edges are derived from the same doubles on both engine and
+    * oracle sides — floor/least on IEEE doubles is bit-deterministic.
+    */
+  def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val x = graft.Cols.ref(c).cast("double")
+    val mm = df.agg(min(x).as("__mn"), max(x).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    df.select(x.as("__x"))
+      .crossJoin(broadcast(mm))
+      .select(col("__x"),
+        least(floor((col("__x") - col("__mn")) / width),
+          lit((buckets - 1).toDouble)).cast("long").as("bucket"),
+        col("__mn"), width.as("__w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(first(col("__mn")) + col("bucket") * first(col("__w")), 6)
+          .as("lo"),
+        round(first(col("__mn")) + (col("bucket") + 1) * first(col("__w")), 6)
+          .as("hi"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
+  }
+
+  /** Categorical distribution drift between two frames (e.g. two
+    * snapshots or two sources of a corpus): add-one-smoothed
+    * probabilities per category and both directed KL contributions.
+    * The grouped counts are the only shuffles over data; everything
+    * after operates on the bounded category set (full-outer-joined so
+    * a category present in only one side still drifts, smoothing keeps
+    * log finite). Totals ride along via a broadcast 1-row cross join —
+    * no global window.
+    */
+  def categoryDrift(left: DataFrame, right: DataFrame, c: String)
+      : DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.groupBy(graft.Cols.ref(c).as("category"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(left, "cnt_l")
+      .join(counts(right, "cnt_r"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("cnt_l"), lit(0L)).as("cnt_l"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+    val tot = joined.agg(sum(col("cnt_l")).as("__tl"),
+      sum(col("cnt_r")).as("__tr"), count(lit(1)).as("__k"))
+    val p = (col("cnt_l") + 1).cast("double") /
+      (col("__tl") + col("__k")).cast("double")
+    val q = (col("cnt_r") + 1).cast("double") /
+      (col("__tr") + col("__k")).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(col("category"), col("cnt_l"), col("cnt_r"),
+        round(p, 6).as("p"), round(q, 6).as("q"),
+        round(p * log(p / q), 6).as("kl_pq"),
+        round(q * log(q / p), 6).as("kl_qp"))
+  }
 }

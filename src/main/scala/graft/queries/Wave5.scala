@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.io.Layout
+import graft.ops.{GroupStats, Profile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 "wave 5" query set (q122+): table profiling and physical-
+  * layout analytics — the planning half of a 100 TB pipeline. Z-order
+  * locality rectangles, candidate-key discovery, a one-pass Pearson
+  * correlation matrix, equi-width histograms, categorical drift
+  * between corpus slices, a layout pruning estimator, and robust
+  * (median/MAD) outlier screens. Same contract as the other waves:
+  * every query has a DuckDB oracle, doubles round to 6 dp,
+  * order-sensitive sums go through DECIMAL, output orders tie-break
+  * deterministically.
+  */
+object Wave5Queries {
+  import CoreQueries.T
+
+  // ---------------------------------------------------------------- q122
+  /** Z-order locality audit: interleave 8-bit bucketizations of
+    * (l_extendedprice, l_quantity) with [[Layout.zorderKey]], group
+    * rows into 64-key z-runs (the would-be files of a
+    * [[Layout.zorderWrite]]), and report each run's bounding rectangle.
+    * The min/max spans demonstrate WHY z-order prunes on either
+    * column: each run covers a small rectangle of the 2-D space, so a
+    * parquet reader's footer stats exclude it for most predicates.
+    * One hash aggregation on the derived key — the key arithmetic is
+    * pure codegen'd bit ops.
+    */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val pa = least(floor(col("l_extendedprice") / lit(1000.0)), lit(255.0))
+      .cast("long")
+    val qb = least(floor(col("l_quantity")), lit(255.0)).cast("long")
+    val base = T(s, dir, "lineitem").select(pa.as("pa"), qb.as("qb"))
+    val z = Layout.zorderKey(col("pa"), col("qb"), bits = 8)
+    base.select(shiftright(z, 10).as("zfile"), col("pa"), col("qb"))
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("pa_min"), max(col("pa")).as("pa_max"),
+        min(col("qb")).as("qb_min"), max(col("qb")).as("qb_max"))
+      .orderBy(col("zfile"))
+  }
+  val q122Sql: String = {
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"(((pa >> $i) & 1) * ${1L << (2 * i)})",
+        s"(((qb >> $i) & 1) * ${1L << (2 * i + 1)})")
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT CAST(least(floor(l_extendedprice / 1000.0e0), 255.0e0) AS BIGINT) AS pa,
+       |         CAST(least(floor(l_quantity), 255.0e0) AS BIGINT) AS qb
+       |  FROM lineitem),
+       |z AS (SELECT pa, qb, ($terms) AS zkey FROM m)
+       |SELECT zkey >> 10 AS zfile, count(*) AS n_rows,
+       |       min(pa) AS pa_min, max(pa) AS pa_max,
+       |       min(qb) AS qb_min, max(qb) AS qb_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q123
+  /** Candidate-key discovery over `customer` — one aggregation pass
+    * for every column's distinct/null counts ([[Profile.keyCandidates]]).
+    */
+  def q123(s: SparkSession, dir: String): DataFrame =
+    Profile.keyCandidates(T(s, dir, "customer")).orderBy(col("column"))
+  val q123Sql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(DISTINCT $c) AS n_distinct,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) = count(*) AS is_key FROM customer""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  // ---------------------------------------------------------------- q124
+  /** Pearson correlation matrix over the four lineitem measures —
+    * ONE pass computes all shared moments; per-row products in IEEE
+    * double, sums through DECIMAL(30,8) (order-independent), closed
+    * form back in double ([[Profile.correlationPairs]]).
+    */
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def q124(s: SparkSession, dir: String): DataFrame =
+    Profile.correlationPairs(T(s, dir, "lineitem"), CorrCols)
+      .orderBy(col("col_a"), col("col_b"))
+  val q124Sql: String = {
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val pairs = for {
+      i <- CorrCols.indices; j <- i + 1 until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    val moments =
+      CorrCols.flatMap { c =>
+        val sc = short(c)
+        Seq(
+          s"CAST(sum(CAST($c AS DECIMAL(30,8))) AS DOUBLE) AS s_$sc",
+          s"CAST(sum(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE) AS ss_$sc")
+      } ++ pairs.map { case (a, b) =>
+        s"CAST(sum(CAST($a * $b AS DECIMAL(30,8))) AS DOUBLE) AS sp_${short(a)}${short(b)}"
+      }
+    val rows = pairs.map { case (a, b) =>
+      val (sa, sb) = (short(a), short(b))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round((n * sp_$sa$sb - s_$sa * s_$sb) /
+         |        sqrt((n * ss_$sa - s_$sa * s_$sa) * (n * ss_$sb - s_$sb * s_$sb)), 6)
+         |    AS corr FROM m""".stripMargin
+    }
+    s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  ${moments.mkString(",\n  ")}
+       |FROM lineitem)
+       |${rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q125
+  /** Equi-width histogram of l_extendedprice, 20 buckets
+    * ([[Profile.histogram]]): broadcast 1-row bounds, codegen'd bucket
+    * arithmetic, one (bucket → count) shuffle.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(T(s, dir, "lineitem"), "l_extendedprice", 20)
+      .orderBy(col("bucket"))
+  val q125Sql: String =
+    """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      |            FROM lineitem),
+      |b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0e0)),
+      |                        19.0e0) AS BIGINT) AS bucket,
+      |             mn, (mx - mn) / 20.0e0 AS w
+      |      FROM lineitem, mm)
+      |SELECT bucket, round(mn + bucket * w, 6) AS lo,
+      |       round(mn + (bucket + 1) * w, 6) AS hi, count(*) AS n_rows
+      |FROM b GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Language-distribution drift between the even- and odd-numbered
+    * document sources ([[Profile.categoryDrift]]): add-one-smoothed
+    * probabilities + both directed KL contributions per category.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    Profile.categoryDrift(
+      docs.filter(srcNum % 2 === 0), docs.filter(srcNum % 2 === 1), "lang")
+      .orderBy(col("category"))
+  }
+  val q126Sql: String =
+    """WITH l AS (SELECT lang AS category, count(*) AS cnt_l FROM documents
+      |           WHERE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+      |           GROUP BY 1),
+      |r AS (SELECT lang AS category, count(*) AS cnt_r FROM documents
+      |      WHERE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 1
+      |      GROUP BY 1),
+      |j AS (SELECT coalesce(l.category, r.category) AS category,
+      |             coalesce(cnt_l, 0) AS cnt_l, coalesce(cnt_r, 0) AS cnt_r
+      |      FROM l FULL OUTER JOIN r ON l.category = r.category),
+      |t AS (SELECT sum(cnt_l) AS tl, sum(cnt_r) AS tr, count(*) AS k FROM j),
+      |e AS (SELECT category, cnt_l, cnt_r,
+      |        CAST(cnt_l + 1 AS DOUBLE) / CAST(tl + k AS DOUBLE) AS p0,
+      |        CAST(cnt_r + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE) AS q0
+      |      FROM j, t)
+      |SELECT category, cnt_l, cnt_r, round(p0, 6) AS p, round(q0, 6) AS q,
+      |       round(p0 * ln(p0 / q0), 6) AS kl_pq,
+      |       round(q0 * ln(q0 / p0), 6) AS kl_qp
+      |FROM e ORDER BY category""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** Layout pruning estimator ([[Layout.pruneEstimate]]): files a
+    * range predicate on o_totalprice must open under arrival-order vs
+    * value-sorted layout, 32 would-be files. Quantifies the
+    * [[Layout.sortedWrite]] win before paying its shuffle.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame =
+    Layout.pruneEstimate(T(s, dir, "orders"), "o_orderkey", "o_totalprice",
+      files = 32, lo = 50000.0, hi = 60000.0).orderBy(col("layout"))
+  val q127Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM orders),
+      |a AS (SELECT 'arrival' AS layout, o_orderkey % 32 AS file,
+      |             CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+      |s0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+      |              row_number() OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+      |                                 o_orderkey) AS rn
+      |       FROM orders),
+      |s AS (SELECT 'sorted' AS layout,
+      |             CAST(floor((rn - 1) / greatest(1.0e0, ceil(n / 32.0e0))) AS BIGINT) AS file,
+      |             v FROM s0, nn),
+      |u AS (SELECT * FROM a UNION ALL SELECT * FROM s),
+      |f AS (SELECT layout, file, min(v) AS mn, max(v) AS mx
+      |      FROM u GROUP BY layout, file)
+      |SELECT layout, count(*) AS files_total,
+      |       sum(CASE WHEN mn <= 60000.0e0 AND mx >= 50000.0e0
+      |                THEN 1 ELSE 0 END) AS files_overlap
+      |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  /** Robust outlier screen: per-language median/MAD over document
+    * lengths, counting docs beyond 3·1.4826·MAD
+    * ([[GroupStats.madOutliers]]).
+    */
+  def q128(s: SparkSession, dir: String): DataFrame =
+    GroupStats.madOutliers(T(s, dir, "documents"), "lang", "n_chars", k = 3.0)
+      .orderBy(col("lang"))
+  val q128Sql: String =
+    """WITH med AS (SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+      |             FROM documents GROUP BY lang),
+      |dev AS (SELECT d.lang, med,
+      |               abs(CAST(d.n_chars AS DOUBLE) - med) AS adev
+      |        FROM documents d JOIN med ON d.lang = med.lang),
+      |mad AS (SELECT lang, median(adev) AS mad FROM dev GROUP BY lang)
+      |SELECT dev.lang AS lang, count(*) AS n,
+      |       round(any_value(dev.med), 6) AS med,
+      |       round(any_value(mad.mad), 6) AS mad,
+      |       sum(CASE WHEN adev > 3.0e0 * 1.4826e0 * mad.mad
+      |                THEN 1 ELSE 0 END) AS n_outliers
+      |FROM dev JOIN mad ON dev.lang = mad.lang
+      |GROUP BY dev.lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_zorder" -> (q122 _),
+    "q123_key_discovery" -> (q123 _),
+    "q124_correlation" -> (q124 _),
+    "q125_histogram" -> (q125 _),
+    "q126_drift" -> (q126 _),
+    "q127_prune_estimate" -> (q127 _),
+    "q128_mad_outliers" -> (q128 _))
+
+  val oracles: Map[String, String] = Map(
+    "q122_zorder" -> q122Sql,
+    "q123_key_discovery" -> q123Sql,
+    "q124_correlation" -> q124Sql,
+    "q125_histogram" -> q125Sql,
+    "q126_drift" -> q126Sql,
+    "q127_prune_estimate" -> q127Sql,
+    "q128_mad_outliers" -> q128Sql)
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.io.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit suite for the wave-5 profiling/layout operators: z-order key
+  * bit math, key discovery, correlation, histogram edges, drift
+  * smoothing, prune estimation, MAD outliers.
+  */
+class Wave5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zorderKey interleaves bits (a even positions, b odd)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("a", "b")
+    val got = df.select(Layout.zorderKey(col("a"), col("b"), 8).as("z"))
+      .as[Long].collect().toSeq
+    def morton(a: Long, b: Long): Long =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i)) |
+        (((b >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .map((morton _).tupled)
+    assert(got == want)
+    assert(want(1) == 1L && want(2) == 2L) // a → even bit, b → odd bit
+    assert(want(4) == 65535L)              // 8+8 bits fully set
+  }
+
+  test("keyCandidates: unique no-null column is a key, others are not") {
+    val df = Seq((1L, Some("x"), "a"), (2L, None, "a"), (3L, Some("y"), "b"))
+      .toDF("id", "opt", "grp")
+    val rows = Profile.keyCandidates(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(rows("id") == ((3L, 0L, true)))
+    assert(rows("opt") == ((2L, 1L, false))) // null breaks the key
+    assert(rows("grp") == ((2L, 0L, false)))
+  }
+
+  test("correlationPairs matches a hand-computed Pearson") {
+    // y = 2x exactly → corr 1; z anti-monotone in x → corr -1
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = Profile.correlationPairs(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("x", "y")) == 1.0)
+    assert(got(("x", "z")) == -1.0)
+    assert(got(("y", "z")) == -1.0)
+  }
+
+  test("histogram: max lands in last bucket, counts sum to n") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val h = Profile.histogram(df, "v", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h.keys.max == 9L && h.keys.min == 0L)
+    assert(h.values.sum == 100L)
+    // 99.0 (the max) is in bucket 9 via the least() edge rule, so the
+    // last bucket holds [89.1, 99.0] → 10 values; interior buckets 10
+    assert(h(9L) == 10L)
+  }
+
+  test("categoryDrift: identical distributions have zero KL, one-sided category drifts") {
+    val l = Seq("a", "a", "b", "c").toDF("cat")
+    val r = Seq("a", "a", "b", "b").toDF("cat")
+    val rows = Profile.categoryDrift(l, r, "cat").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // category c present only left: cnt_r coalesces to 0, KL finite
+    assert(rows("c").getLong(2) == 0L)
+    assert(rows("c").getDouble(5) > 0.0) // kl_pq positive for over-represented
+    val same = Profile.categoryDrift(l, l, "cat").collect()
+    assert(same.forall(r => r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0))
+  }
+
+  test("pruneEstimate: sorted layout opens ~1 file for a narrow range, arrival opens all") {
+    val df = (0 until 320)
+      .map(i => (i.toLong, ((i * 7919) % 320).toDouble)).toDF("id", "v")
+    val rows = Layout.pruneEstimate(df, "id", "v", files = 8,
+      lo = 100.0, hi = 110.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("sorted")._1 == 8L && rows("arrival")._1 == 8L)
+    assert(rows("sorted")._2 <= 2L)   // 11 of 320 values, 40-row files
+    assert(rows("arrival")._2 == 8L)  // scattered values hit every file
+  }
+
+  test("madOutliers flags only the planted extreme value") {
+    // 20 values near 100 plus one at 10000 → MAD small, one outlier
+    val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
+    val df = vals.toDF("grp", "v")
+    val r = GroupStats.madOutliers(df, "grp", "v", k = 3.0).collect().head
+    assert(r.getLong(1) == 21L)
+    assert(r.getLong(4) == 1L)
+    // a constant group has MAD 0 and no outliers (strict > keeps it clean)
+    val c = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("grp", "v")
+    val rc = GroupStats.madOutliers(c, "grp", "v").collect().head
+    assert(rc.getDouble(3) == 0.0 && rc.getLong(4) == 0L)
+  }
+}
