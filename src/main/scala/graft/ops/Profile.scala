@@ -79,37 +79,59 @@ object Profile {
   }
 
   /** Pearson correlation for every pair of `cols`, one aggregation
-    * pass. Determinism contract (the repo's oracle rule): the five
-    * moment sums go through DECIMAL(30,8) — per-row products are
-    * computed in IEEE double (bit-identical in any engine), the
-    * order-sensitive SUM is exact decimal, and only the final closed
-    * form returns to double. Shared moments (sum, sum-of-squares per
-    * column) are computed once regardless of how many pairs use them.
-    * One shuffle of a single partial row — scale-free in n.
+    * pass, exact order-independent moment sums at NATIVE LONG speed.
+    *
+    * Determinism contract (the repo's oracle rule) without the wide-
+    * decimal aggregation buffer, which benchmarked 20× slower than
+    * long sums (Spark keeps >18-digit decimals as BigDecimal in the
+    * agg buffer; `round()` on double is also a BigDecimal path):
+    *
+    *  1. quantize each per-row moment to a scaled long,
+    *     `v = floor(x·10^scale + 0.5)` — pure IEEE double arithmetic,
+    *     bit-identical in any engine (== round-half-up for x ≥ 0);
+    *  2. split v and sum the halves separately: Σ(v >> 20) and
+    *     Σ(v & 0xFFFFF). Both stay far from long overflow (v ≤ 10^14
+    *     at scale 4 ⇒ hi ≤ 10^8.2, so Σhi fits to ~10^10 rows — the
+    *     100 TB regime — where a direct Σv would wrap at ~10^4.9 rows'
+    *     worth of headroom less);
+    *  3. recombine exactly ONCE on the 1-row result in DECIMAL(38,0)
+    *     ((Σhi)·2^20 + Σlo = Σv, the shift/mask identity), cast to
+    *     double, unscale, and evaluate the closed form in double.
+    *
+    * Shared moments (sum, sum-of-squares per column) are computed once
+    * regardless of how many pairs use them. One shuffle of a single
+    * partial row — scale-free in n. `scale` trades per-row rounding
+    * error (10^-scale, identical on both engines) for overflow
+    * headroom; moments must be non-negative (the oracle's `>>` on
+    * negatives is engine-defined).
     */
-  def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationPairs(df: DataFrame, cols: Seq[String],
+                       scale: Int = 4): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (cols(i), cols(j))
-    def d(c: Column) = c.cast("double")
+    val quantum = math.pow(10.0, scale)
+    def d(c: String) = graft.Cols.ref(c).cast("double")
+    def v(c: Column) = floor(c * lit(quantum) + lit(0.5)).cast("long")
+    val moments: Seq[(String, Column)] =
+      cols.flatMap { c => Seq(
+        (s"__s__$c", v(d(c))), (s"__ss__$c", v(d(c) * d(c)))) } ++
+        pairs.map { case (a, b) => (s"__sp__${a}__${b}", v(d(a) * d(b))) }
     val aggs: Seq[Column] =
-      Seq(count(lit(1)).cast("double").as("__n")) ++
-        cols.flatMap { c => Seq(
-          sum(d(graft.Cols.ref(c)).cast("decimal(30,8)"))
-            .cast("double").as(s"__s__$c"),
-          sum((d(graft.Cols.ref(c)) * d(graft.Cols.ref(c)))
-            .cast("decimal(30,8)")).cast("double").as(s"__ss__$c"))
-        } ++
-        pairs.map { case (a, b) =>
-          sum((d(graft.Cols.ref(a)) * d(graft.Cols.ref(b)))
-            .cast("decimal(30,8)")).cast("double").as(s"__sp__${a}__${b}")
-        }
+      Seq(count(lit(1)).cast("double").as("__n")) ++ moments.flatMap {
+        case (nm, vc) => Seq(
+          sum(shiftright(vc, 20)).as(s"${nm}__hi"),
+          sum(vc.bitwiseAND(lit(1048575L))).as(s"${nm}__lo"))
+      }
     val row = df.agg(aggs.head, aggs.tail: _*)
+    def m(nm: String): Column =
+      ((graft.Cols.ref(s"${nm}__hi").cast("decimal(38,0)") * lit(1048576L) +
+        graft.Cols.ref(s"${nm}__lo")).cast("double")) / lit(quantum)
     val entries = pairs.map { case (a, b) =>
       val n = col("__n")
-      val sx = graft.Cols.ref(s"__s__$a"); val sy = graft.Cols.ref(s"__s__$b")
-      val sxx = graft.Cols.ref(s"__ss__$a"); val syy = graft.Cols.ref(s"__ss__$b")
-      val sxy = graft.Cols.ref(s"__sp__${a}__${b}")
+      val sx = m(s"__s__$a"); val sy = m(s"__s__$b")
+      val sxx = m(s"__ss__$a"); val syy = m(s"__ss__$b")
+      val sxy = m(s"__sp__${a}__${b}")
       val corr = (n * sxy - sx * sy) /
         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),

@@ -91,25 +91,36 @@ object Wave5Queries {
     val pairs = for {
       i <- CorrCols.indices; j <- i + 1 until CorrCols.size
     } yield (CorrCols(i), CorrCols(j))
-    val moments =
+    // split-long exact sums — the DuckDB twin of
+    // Profile.correlationPairs (scale 4): quantize each per-row moment
+    // to floor(x*1e4 + 0.5) as BIGINT, sum hi/lo halves separately
+    // (DuckDB sums BIGINT into HUGEINT — recombination is exact), cast
+    // to double and unscale once per moment
+    def vq(expr: String) =
+      s"CAST(floor(($expr) * 10000.0e0 + 0.5e0) AS BIGINT)"
+    val momentExprs: Seq[(String, String)] =
       CorrCols.flatMap { c =>
         val sc = short(c)
-        Seq(
-          s"CAST(sum(CAST($c AS DECIMAL(30,8))) AS DOUBLE) AS s_$sc",
-          s"CAST(sum(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE) AS ss_$sc")
-      } ++ pairs.map { case (a, b) =>
-        s"CAST(sum(CAST($a * $b AS DECIMAL(30,8))) AS DOUBLE) AS sp_${short(a)}${short(b)}"
-      }
+        Seq((s"s_$sc", c), (s"ss_$sc", s"$c * $c"))
+      } ++ pairs.map { case (a, b) => (s"sp_${short(a)}${short(b)}", s"$a * $b") }
+    val sums = momentExprs.flatMap { case (nm, e) => Seq(
+      s"sum((${vq(e)} >> 20)) AS ${nm}_hi",
+      s"sum((${vq(e)} & 1048575)) AS ${nm}_lo")
+    }
+    val recons = momentExprs.map { case (nm, _) =>
+      s"CAST(CAST(${nm}_hi AS HUGEINT) * 1048576 + ${nm}_lo AS DOUBLE) / 10000.0e0 AS $nm"
+    }
     val rows = pairs.map { case (a, b) =>
       val (sa, sb) = (short(a), short(b))
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
          |  round((n * sp_$sa$sb - s_$sa * s_$sb) /
          |        sqrt((n * ss_$sa - s_$sa * s_$sa) * (n * ss_$sb - s_$sb * s_$sb)), 6)
-         |    AS corr FROM m""".stripMargin
+         |    AS corr FROM r""".stripMargin
     }
     s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-       |  ${moments.mkString(",\n  ")}
-       |FROM lineitem)
+       |  ${sums.mkString(",\n  ")}
+       |FROM lineitem),
+       |r AS (SELECT n, ${recons.mkString(",\n  ")} FROM m)
        |${rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")}""".stripMargin
   }
 
