@@ -200,4 +200,42 @@ class PlanSpec extends AnyFunSuite {
     assert(starred.findFirstIn(plan).isDefined,
       s"vec_dot operator not codegen'd:\n$plan")
   }
+
+  test("q124 correlation moments aggregate as longs, not wide decimals") {
+    val plan = planOf("q124_correlation")
+    // the split-long design keeps every distributed sum on LongType;
+    // decimal appears only in the 1-row recombination projection
+    assert("sum\\([^)]*decimal".r.findFirstIn(plan).isEmpty,
+      s"moment sum fell back to a decimal aggregation buffer:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q125 histogram broadcasts the 1-row bounds frame") {
+    val plan = planOf("q125_histogram")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"bounds frame must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bounds cross join must not plan a cartesian:\n$plan")
+  }
+
+  test("q122 z-order audit is one aggregation over a shuffle of partials") {
+    val plan = planOf("q122_zorder")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"z-key aggregation should shuffle once:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q128 MAD outliers broadcast the per-group stats frames") {
+    val df = SparkEntry.queries("q128_mad_outliers")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the dev lineage (which embeds the median broadcast join) is
+    // re-planned under both consumers, so the count exceeds 2 — the
+    // invariant is that every group-stats join broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"median and MAD frames must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"group-stats join fell back to a shuffle join:\n$plan")
+  }
 }
