@@ -110,7 +110,11 @@ object Main {
   }
 
   /** Column profile of any Spark-readable table: distinct counts +
-    * low-cardinality flags (exact or HLL via --approx true).
+    * low-cardinality flags (exact or HLL via --approx true). Optional
+    * deep sections: --keys (candidate-key discovery), --corr a,b,c
+    * (pairwise Pearson over numeric columns), --hist col[:buckets]
+    * (equi-width histogram), --outliers group:value (median/MAD
+    * screen).
     */
   private def profile(opts: Map[String, String]): Unit = {
     val in = req(opts, "input")
@@ -119,6 +123,32 @@ object Main {
       val df = spark.read.parquet(in)
       graft.ops.Profile.profile(df, exact = !opts.contains("approx"))
         .show(200, truncate = false)
+      if (opts.contains("keys")) {
+        println("== candidate keys ==")
+        graft.ops.Profile.keyCandidates(df).orderBy("column")
+          .show(200, truncate = false)
+      }
+      opts.get("corr").foreach { cs =>
+        println("== correlation ==")
+        graft.ops.Profile
+          .correlationPairs(df, cs.split(",").map(_.trim).toSeq)
+          .orderBy("col_a", "col_b").show(200, truncate = false)
+      }
+      opts.get("hist").foreach { h =>
+        val (c, b) = h.split(":") match {
+          case Array(c, b) => (c, b.toInt)
+          case Array(c)    => (c, 20)
+        }
+        println(s"== histogram $c ($b buckets) ==")
+        graft.ops.Profile.histogram(df, c, b).orderBy("bucket")
+          .show(b + 1, truncate = false)
+      }
+      opts.get("outliers").foreach { go =>
+        val Array(g, v) = go.split(":")
+        println(s"== MAD outliers $v by $g ==")
+        graft.ops.GroupStats.madOutliers(df, g, v).orderBy(g)
+          .show(200, truncate = false)
+      }
     } finally spark.stop()
   }
 
@@ -294,7 +324,8 @@ object Main {
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
       |  graft.cli.Main run --manifest m.json --data-dir DIR --out DIR [--single-file true]
       |  graft.cli.Main hdf2parquet --in GLOB --out DIR
-      |  graft.cli.Main profile --input PARQUET [--approx true]
+      |  graft.cli.Main profile --input PARQUET [--approx true] [--keys true]
+      |    [--corr a,b,c] [--hist col[:buckets]] [--outliers group:value]
       |  graft.cli.Main curate --input PARQUET --out DIR [--benchmark PARQUET]
       |    [--text-col text] [--id-col doc_id] [--strata-col lang]
       |    [--min-tokens 10] [--near-dup-jaccard 0.8] [--contamination-max 0.2]
