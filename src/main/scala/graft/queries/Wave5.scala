@@ -226,6 +226,55 @@ object Wave5Queries {
       |FROM dev JOIN mad ON dev.lang = mad.lang
       |GROUP BY dev.lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** BPE merge induction over the document corpus: 3 rounds of
+    * pair-merge training ([[graft.ops.ext.Bpe]]) — one corpus-scale
+    * word-count pass, then vocab-sized iterations. Output is the merge
+    * table a tokenizer ships. Oracle unrolls the 3 rounds as chained
+    * CTEs; the leftmost non-overlapping merge is the same sequential
+    * fold on both engines (Spark `aggregate` ≡ DuckDB `list_reduce`
+    * over singleton-list elements).
+    */
+  def q129(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.Bpe.train(
+      graft.ops.ext.Bpe.wordFreqs(T(s, dir, "documents"), "text"),
+      rounds = 3).orderBy(col("round"))
+  val q129Sql: String = {
+    def pairs(seg: String) =
+      s"""SELECT z[1] AS lhs, z[2] AS rhs, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+         |                               list_slice(syms, 2, len(syms)))) AS z
+         |  FROM $seg)
+         |GROUP BY 1, 2""".stripMargin
+    def top(p: String, r: Int) =
+      s"""SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, cnt
+         |FROM $p ORDER BY cnt DESC, lhs, rhs LIMIT 1""".stripMargin
+    def reseg(prev: String, t: String) =
+      s"""SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+         |  (acc, x) -> CASE WHEN acc[-1] = $t.lhs AND x[1] = $t.rhs
+         |              THEN list_append(list_slice(acc, 1, len(acc)-1), $t.merged)
+         |              ELSE list_concat(acc, x) END) AS syms
+         |FROM $prev, $t""".stripMargin
+    s"""WITH tok AS (SELECT list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)
+       |    AS toks FROM documents),
+       |w AS (SELECT t AS word, count(*) AS freq
+       |      FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+       |seg0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w),
+       |p1 AS (${pairs("seg0")}),
+       |t1 AS (${top("p1", 1)}),
+       |seg1 AS (${reseg("seg0", "t1")}),
+       |p2 AS (${pairs("seg1")}),
+       |t2 AS (${top("p2", 2)}),
+       |seg2 AS (${reseg("seg1", "t2")}),
+       |p3 AS (${pairs("seg2")}),
+       |t3 AS (${top("p3", 3)})
+       |SELECT round, lhs, rhs, merged, cnt AS pair_count FROM (
+       |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL
+       |  SELECT * FROM t3)
+       |ORDER BY round""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -234,7 +283,8 @@ object Wave5Queries {
     "q125_histogram" -> (q125 _),
     "q126_drift" -> (q126 _),
     "q127_prune_estimate" -> (q127 _),
-    "q128_mad_outliers" -> (q128 _))
+    "q128_mad_outliers" -> (q128 _),
+    "q129_bpe_merges" -> (q129 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -243,5 +293,6 @@ object Wave5Queries {
     "q125_histogram" -> q125Sql,
     "q126_drift" -> q126Sql,
     "q127_prune_estimate" -> q127Sql,
-    "q128_mad_outliers" -> q128Sql)
+    "q128_mad_outliers" -> q128Sql,
+    "q129_bpe_merges" -> q129Sql)
 }

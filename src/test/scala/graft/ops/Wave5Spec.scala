@@ -84,6 +84,31 @@ class Wave5Spec extends AnyFunSuite {
     assert(rows("arrival")._2 == 8L)  // scattered values hit every file
   }
 
+  test("BPE train reproduces the classic merge sequence with deterministic ties") {
+    import graft.ops.ext.Bpe
+    // Sennrich et al.'s example vocabulary. Round 1: (e,s)=9 ties
+    // (s,t)=9 → lex tie-break picks (e,s). Round 2: (es,t)=9.
+    // Round 3: (l,o)=7 ties (o,w)=7 → (l,o).
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "freq")
+    val got = Bpe.train(words, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)))
+  }
+
+  test("BPE merge fold is leftmost non-overlapping (chained runs collapse pairwise)") {
+    import graft.ops.ext.Bpe
+    // "aaaa" + merge (a,a) must give [aa, aa], not [aa, a, a] or [aaa, a]
+    val words = Seq(("aaaa", 1L)).toDF("word", "freq")
+    val m = Bpe.train(words, 2).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    // round 1: (a,a) appears 3 times overlapping but weight counts raw
+    // adjacencies = 3; round 2 operates on [aa, aa] → (aa,aa)=1
+    assert(m == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
