@@ -168,6 +168,33 @@ object Profile {
       .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
   }
 
+  /** Numeric distribution drift (the QQ view): interpolated quantiles
+    * of `c` for the rows matching `leftPred` vs the rest, in ONE
+    * aggregation pass — `percentile(when(pred, x))` exploits
+    * null-skipping aggregates, so both slices resolve in a single
+    * scan/shuffle instead of two jobs plus a join. Long-form output
+    * (quantile, left_v, right_v, delta). Exact `percentile` is
+    * sort-based per aggregate; at 100 TB swap for
+    * `approx_percentile` — the drift verdict needs far less
+    * resolution than the sketch provides.
+    */
+  def quantileDrift(df: DataFrame, leftPred: Column, c: String,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty)
+    val x = graft.Cols.ref(c).cast("double")
+    val aggs: Seq[Column] = qs.zipWithIndex.flatMap { case (p, i) => Seq(
+      percentile(when(leftPred, x), lit(p)).as(s"__l__$i"),
+      percentile(when(!leftPred, x), lit(p)).as(s"__r__$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = qs.zipWithIndex.map { case (p, i) =>
+      val l = col(s"__l__$i"); val r = col(s"__r__$i")
+      struct(lit(p).as("quantile"), round(l, 6).as("left_v"),
+        round(r, 6).as("right_v"), round(l - r, 6).as("delta"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
   /** Categorical distribution drift between two frames (e.g. two
     * snapshots or two sources of a corpus): add-one-smoothed
     * probabilities per category and both directed KL contributions.

@@ -275,6 +275,36 @@ object Wave5Queries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q130
+  /** Numeric QQ drift: document-length deciles for even- vs
+    * odd-numbered sources, one aggregation pass
+    * ([[Profile.quantileDrift]]) — the numeric companion to q126's
+    * categorical KL.
+    */
+  val DriftQs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    Profile.quantileDrift(T(s, dir, "documents"), srcNum % 2 === 0,
+      "n_chars", DriftQs).orderBy(col("quantile"))
+  }
+  val q130Sql: String = {
+    val even =
+      "CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0"
+    val aggs = DriftQs.zipWithIndex.flatMap { case (p, i) => Seq(
+      s"quantile_cont(CASE WHEN $even THEN CAST(n_chars AS DOUBLE) END, ${p}e0) AS l$i",
+      s"quantile_cont(CASE WHEN NOT ($even) THEN CAST(n_chars AS DOUBLE) END, ${p}e0) AS r$i")
+    }
+    val rows = DriftQs.zipWithIndex.map { case (p, i) =>
+      s"""SELECT ${p}e0 AS quantile, round(l$i, 6) AS left_v,
+         |  round(r$i, 6) AS right_v, round(l$i - r$i, 6) AS delta FROM m""".stripMargin
+    }
+    s"""WITH m AS (SELECT
+       |  ${aggs.mkString(",\n  ")}
+       |FROM documents)
+       |${rows.mkString("", "\nUNION ALL\n", "\nORDER BY quantile")}""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -284,7 +314,8 @@ object Wave5Queries {
     "q126_drift" -> (q126 _),
     "q127_prune_estimate" -> (q127 _),
     "q128_mad_outliers" -> (q128 _),
-    "q129_bpe_merges" -> (q129 _))
+    "q129_bpe_merges" -> (q129 _),
+    "q130_quantile_drift" -> (q130 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -294,5 +325,6 @@ object Wave5Queries {
     "q126_drift" -> q126Sql,
     "q127_prune_estimate" -> q127Sql,
     "q128_mad_outliers" -> q128Sql,
-    "q129_bpe_merges" -> q129Sql)
+    "q129_bpe_merges" -> q129Sql,
+    "q130_quantile_drift" -> q130Sql)
 }

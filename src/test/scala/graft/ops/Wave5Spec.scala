@@ -109,6 +109,21 @@ class Wave5Spec extends AnyFunSuite {
     assert(m == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
   }
 
+  test("quantileDrift: symmetric split has zero delta, shifted split doesn't") {
+    // values 0..99 duplicated into both slices → identical quantiles
+    val both = (0 until 100).flatMap(i =>
+      Seq((true, i.toDouble), (false, i.toDouble))).toDF("is_l", "v")
+    val same = Profile.quantileDrift(both, col("is_l"), "v",
+      Seq(0.25, 0.5, 0.75)).collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+    // right slice shifted by +10 → every delta is exactly -10
+    val shifted = (0 until 100).flatMap(i =>
+      Seq((true, i.toDouble), (false, i + 10.0))).toDF("is_l", "v")
+    val d = Profile.quantileDrift(shifted, col("is_l"), "v", Seq(0.5))
+      .collect().head
+    assert(d.getDouble(3) == -10.0)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
