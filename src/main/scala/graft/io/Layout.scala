@@ -110,6 +110,56 @@ object Layout {
     * never ranks data. The estimator exists to QUANTIFY the layout
     * win before paying the [[sortedWrite]] shuffle.
     */
+  /** REAL footer statistics — the metadata a 100 TB reader's pruning
+    * actually consults: per file / row group / column min, max, null
+    * count and row count, decoded from parquet footers WITHOUT
+    * touching a single data page. This is the production complement
+    * to [[pruneEstimate]]'s emulation: planning-time file skipping is
+    * `footerStats(...).filter(!(mn > hi || mx < lo))` — a driver-side
+    * metadata operation whose cost is one footer read per file (for
+    * very large file counts, distribute the listing with a parallelize
+    * over file paths; the decode is identical).
+    *
+    * Integer-typed columns only (INT32/INT64 — stats surface as
+    * longs); the q131 oracle cross-checks the decoded footer values
+    * against DATA-derived min/max in DuckDB, proving the decode path
+    * end-to-end.
+    */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                  cols: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Array(p)
+    val rows = files.toSeq.flatMap { f =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        rdr.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+          case (b, rg) =>
+            b.getColumns.asScala.toSeq
+              .filter(cc => cols.contains(cc.getPath.toDotString))
+              .map { cc =>
+                val st = cc.getStatistics
+                (f.getName, rg, cc.getPath.toDotString,
+                  st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue,
+                  st.getNumNulls, b.getRowCount)
+              }
+        }
+      } finally rdr.close()
+    }
+    import spark.implicits._
+    rows.toDF("file", "row_group", "column", "min_v", "max_v",
+      "n_nulls", "n_rows")
+  }
+
   def pruneEstimate(df: DataFrame, idCol: String, valueCol: String,
                     files: Int, lo: Double, hi: Double): DataFrame = {
     require(files > 0)

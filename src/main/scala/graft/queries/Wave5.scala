@@ -305,6 +305,29 @@ object Wave5Queries {
        |${rows.mkString("", "\nUNION ALL\n", "\nORDER BY quantile")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Real parquet footer statistics ([[Layout.footerStats]]): the
+    * engine decodes row-group min/max/null-count for three lineitem
+    * key columns from FOOTER METADATA ONLY (no data pages read); the
+    * oracle recomputes the same values from the DATA in DuckDB. A
+    * hash match proves the planning-time pruning path reads stats
+    * correctly end-to-end. (The driver test tables are single-row-
+    * group files, so row_group 0 spans the table.)
+    */
+  val FooterCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  def q131(s: SparkSession, dir: String): DataFrame =
+    graft.io.Layout.footerStats(s, s"$dir/lineitem.parquet", FooterCols)
+      .select(col("row_group"), col("column"), col("min_v"), col("max_v"),
+        col("n_nulls"), col("n_rows"))
+      .orderBy(col("row_group"), col("column"))
+  val q131Sql: String =
+    FooterCols.map { c =>
+      s"""SELECT 0 AS row_group, '$c' AS "column", min($c) AS min_v,
+         |  max($c) AS max_v, count(*) - count($c) AS n_nulls,
+         |  count(*) AS n_rows FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY row_group, \"column\"")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -315,7 +338,8 @@ object Wave5Queries {
     "q127_prune_estimate" -> (q127 _),
     "q128_mad_outliers" -> (q128 _),
     "q129_bpe_merges" -> (q129 _),
-    "q130_quantile_drift" -> (q130 _))
+    "q130_quantile_drift" -> (q130 _),
+    "q131_footer_stats" -> (q131 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -326,5 +350,6 @@ object Wave5Queries {
     "q127_prune_estimate" -> q127Sql,
     "q128_mad_outliers" -> q128Sql,
     "q129_bpe_merges" -> q129Sql,
-    "q130_quantile_drift" -> q130Sql)
+    "q130_quantile_drift" -> q130Sql,
+    "q131_footer_stats" -> q131Sql)
 }

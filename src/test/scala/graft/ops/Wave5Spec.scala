@@ -124,6 +124,23 @@ class Wave5Spec extends AnyFunSuite {
     assert(d.getDouble(3) == -10.0)
   }
 
+  test("footerStats decodes per-file min/max and drives real pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer").toString
+    // sortedWrite → 4 files with disjoint id ranges
+    val df = (0L until 400L).map(i => (i, s"r$i")).toDF("id", "s")
+    Layout.sortedWrite(df, Seq("id"), dir, numFiles = 4)
+    val stats = Layout.footerStats(spark, dir, Seq("id"))
+    val rows = stats.collect()
+    assert(rows.map(_.getLong(6)).sum == 400L)        // row counts cover all
+    assert(rows.forall(_.getLong(5) == 0L))           // no nulls
+    // ranges are disjoint (modulo range-sampling boundaries): a point
+    // predicate prunes to at most 2 of the 4 files on footer stats alone
+    val hit = rows.count(r => r.getLong(3) <= 42L && r.getLong(4) >= 42L)
+    assert(hit >= 1 && hit <= 2, s"expected footer pruning to ~1 file, hit $hit")
+    // decoded bounds match the data
+    assert(rows.map(_.getLong(3)).min == 0L && rows.map(_.getLong(4)).max == 399L)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
