@@ -58,6 +58,56 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Multi-touch attribution, first- and last-touch models in one
+    * pass: each user's FIRST conversion event credits (a) their
+    * earliest touch and (b) their latest touch strictly before the
+    * conversion, per model. Output per channel: conversions and
+    * decimal-exact credited revenue under both models.
+    *
+    * Scale shape: conversions collapse to one row per converting user
+    * (window on the conversion subset only), the touch join is a
+    * keyed equi-join on the user id with a residual time predicate
+    * (never a range cross product), and both row_number windows ride
+    * the same user partitioning. Nothing global, nothing driver-side.
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, valueCol: String,
+                  conversionType: String, touchTypes: Seq[String])
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val firstConv = events.filter(col(typeCol) === conversionType)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(userCol).as("__cu"), col(tsCol).as("__cts"),
+        col(idCol).as("__cid"), col(valueCol).as("__cval"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .join(firstConv, col(userCol) === col("__cu") &&
+        (col(tsCol) < col("__cts") ||
+          (col(tsCol) === col("__cts") && col(idCol) < col("__cid"))))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val ranked = touches
+      .withColumn("__rf", row_number().over(wAsc))
+      .withColumn("__rl", row_number().over(wDesc))
+    def model(flag: String, n: String, rev: String) =
+      ranked.filter(col(flag) === 1)
+        .groupBy(col(typeCol).as("channel"))
+        .agg(count(lit(1)).as(n),
+          round(sum(col("__cval").cast("decimal(28,6)")).cast("double"), 6)
+            .as(rev))
+    model("__rf", "n_first", "rev_first")
+      .join(model("__rl", "n_last", "rev_last"), Seq("channel"),
+        "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("rev_first"), lit(0.0)).as("rev_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("rev_last"), lit(0.0)).as("rev_last"))
+  }
+
   /** Cohort retention: users grouped by first-seen day, counted on each
     * later active day. Output: (cohort_day, day_offset, n_users).
     */

@@ -328,6 +328,47 @@ object Wave5Queries {
          |  count(*) AS n_rows FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY row_group, \"column\"")
 
+  // ---------------------------------------------------------------- q132
+  /** First/last-touch attribution ([[graft.ops.Funnel.attribution]]):
+    * each user's first purchase credits their earliest touch and the
+    * latest touch before conversion; per channel, conversions +
+    * decimal-exact revenue under both models.
+    */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.attribution(ExtQueries.events(s, dir), "user_id",
+      "event_type", "ts", "event_id", "value", "purchase",
+      Seq("view", "click", "signup")).orderBy(col("channel"))
+  val q132Sql: String =
+    """WITH c AS (SELECT user_id, ts, event_id, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS rn
+      |           FROM events WHERE event_type = 'purchase'),
+      |fc AS (SELECT user_id, ts AS cts, event_id AS cid, value AS cval
+      |       FROM c WHERE rn = 1),
+      |tt AS (SELECT e.user_id, e.event_type, e.ts, e.event_id, fc.cval,
+      |         row_number() OVER (PARTITION BY e.user_id
+      |                            ORDER BY e.ts, e.event_id) AS rf,
+      |         row_number() OVER (PARTITION BY e.user_id
+      |                            ORDER BY e.ts DESC, e.event_id DESC) AS rl
+      |       FROM events e JOIN fc ON e.user_id = fc.user_id
+      |         AND (e.ts < fc.cts OR (e.ts = fc.cts AND e.event_id < fc.cid))
+      |       WHERE e.event_type IN ('view', 'click', 'signup')),
+      |f AS (SELECT event_type AS channel, count(*) AS n_first,
+      |        round(CAST(sum(CAST(cval AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |          AS rev_first
+      |      FROM tt WHERE rf = 1 GROUP BY 1),
+      |l AS (SELECT event_type AS channel, count(*) AS n_last,
+      |        round(CAST(sum(CAST(cval AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |          AS rev_last
+      |      FROM tt WHERE rl = 1 GROUP BY 1)
+      |SELECT coalesce(f.channel, l.channel) AS channel,
+      |  coalesce(n_first, 0) AS n_first,
+      |  coalesce(rev_first, 0.0e0) AS rev_first,
+      |  coalesce(n_last, 0) AS n_last,
+      |  coalesce(rev_last, 0.0e0) AS rev_last
+      |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+      |ORDER BY channel""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -339,7 +380,8 @@ object Wave5Queries {
     "q128_mad_outliers" -> (q128 _),
     "q129_bpe_merges" -> (q129 _),
     "q130_quantile_drift" -> (q130 _),
-    "q131_footer_stats" -> (q131 _))
+    "q131_footer_stats" -> (q131 _),
+    "q132_attribution" -> (q132 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -351,5 +393,6 @@ object Wave5Queries {
     "q128_mad_outliers" -> q128Sql,
     "q129_bpe_merges" -> q129Sql,
     "q130_quantile_drift" -> q130Sql,
-    "q131_footer_stats" -> q131Sql)
+    "q131_footer_stats" -> q131Sql,
+    "q132_attribution" -> q132Sql)
 }

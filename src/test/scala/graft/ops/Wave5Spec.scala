@@ -141,6 +141,27 @@ class Wave5Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).min == 0L && rows.map(_.getLong(4)).max == 399L)
   }
 
+  test("attribution credits first and last touch before the FIRST conversion only") {
+    import graft.ops.Funnel
+    // user 1: view(1) click(2) purchase(3,$10) signup(4) purchase(5,$99)
+    //   → first purchase at t=3 ($10): first touch view, last touch click;
+    //     signup arrives after conversion and must not be credited
+    // user 2: purchase with no prior touches → no credit anywhere
+    val ev = Seq(
+      (1L, 1L, "view", 0.0), (2L, 1L, "click", 0.0),
+      (3L, 1L, "purchase", 10.0), (4L, 1L, "signup", 0.0),
+      (5L, 1L, "purchase", 99.0), (6L, 2L, "purchase", 5.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", col("event_id") * 1000L)
+    val got = Funnel.attribution(ev, "user_id", "event_type", "ts",
+      "event_id", "value", "purchase", Seq("view", "click", "signup"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      "view" -> ((1L, 10.0, 0L, 0.0)),   // first-touch model
+      "click" -> ((0L, 0.0, 1L, 10.0)))) // last-touch model
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
