@@ -75,4 +75,38 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "doc_id", "score", "n_terms")
   }
+
+  /** Ranking-quality metrics for a retrieved list: DCG@k, ideal DCG,
+    * NDCG@k and MRR against a `(doc_id, rel)` graded-relevance table.
+    * DCG terms ((2^rel − 1)/log2(rank+1)) sum through DECIMAL(38,18)
+    * (the LmScore ln-sum rule) so the rollup is order-independent and
+    * cross-engine exact. The ideal ordering takes top-k BY
+    * (rel desc, doc_id) via orderBy+limit — TakeOrdered, never a
+    * global sort — and ranks the surviving k rows only. The relevance
+    * join is keyed on doc_id; everything after operates on ≤ k rows.
+    */
+  def rankingMetrics(ranked: DataFrame, relevance: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    def dcgTerm(rel: Column, rank: Column): Column =
+      ((pow(lit(2.0), rel) - lit(1.0)) / log2(rank + lit(1)))
+        .cast(DecimalType(38, 18))
+    val j = ranked.filter(col("rank") <= k)
+      .join(relevance, Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
+    val d = j.agg(
+      sum(dcgTerm(col("rel"), col("rank"))).cast("double").as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"))
+    val wIdeal = Window.orderBy(col("rel").desc, col("doc_id"))
+    val ideal = relevance.filter(col("rel") > 0)
+      .orderBy(col("rel").desc, col("doc_id")).limit(k)
+      .withColumn("irank", row_number().over(wIdeal))
+    val i = ideal.agg(
+      sum(dcgTerm(col("rel"), col("irank"))).cast("double").as("idcg"))
+    d.crossJoin(i).select(lit(k).as("k"),
+      round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+      round(col("dcg") / col("idcg"), 6).as("ndcg"),
+      round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"))
+  }
 }

@@ -32,7 +32,7 @@ object Wave4Queries {
   def q101(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(T(s, dir, "documents").select("doc_id", "text"),
       "text", "doc_id", Bm25Query, k = 20)
-  private def bm25Sql(k: Int): String =
+  private[queries] def bm25Sql(k: Int): String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |stats AS (SELECT sum(len(toks)) AS sum_dl, count(*) AS n_docs FROM tok),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (

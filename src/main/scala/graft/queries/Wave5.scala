@@ -369,6 +369,51 @@ object Wave5Queries {
       |FROM f FULL OUTER JOIN l ON f.channel = l.channel
       |ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Retrieval evaluation ([[graft.ops.ext.Retrieval.rankingMetrics]]):
+    * NDCG@20 and MRR of the q101 BM25 ranking against a graded
+    * relevance of "distinct query terms present in the document"
+    * (0–3). DCG terms sum through DECIMAL(38,18); the ideal ordering
+    * is TakeOrdered top-k, never a global sort.
+    */
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.{Retrieval, TextAnalysis}
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ranked = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Wave4Queries.Bm25Query, k = 20)
+    val rel = docs.select(col("doc_id"),
+      size(filter(array(Wave4Queries.Bm25Query.map(lit): _*),
+        t => array_contains(TextAnalysis.tokens(col("text")), t)))
+        .as("rel"))
+    Retrieval.rankingMetrics(ranked, rel, 20)
+  }
+  val q133Sql: String =
+    s"""WITH bm AS (SELECT rank, doc_id FROM (${Wave4Queries.bm25Sql(20)})),
+       |rel AS (SELECT doc_id,
+       |  len(list_filter(['spark', 'query', 'window'],
+       |    t -> list_contains(list_filter(
+       |      string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> len(x) > 0), t))) AS rel
+       |  FROM documents),
+       |j AS (SELECT bm.rank, coalesce(rel.rel, 0) AS rel
+       |      FROM bm LEFT JOIN rel ON bm.doc_id = rel.doc_id
+       |      WHERE bm.rank <= 20),
+       |d AS (SELECT CAST(sum(CAST((power(2.0e0, rel) - 1.0e0)
+       |                           / log2(rank + 1) AS DECIMAL(38,18)))
+       |        AS DOUBLE) AS dcg,
+       |        min(CASE WHEN rel > 0 THEN rank END) AS first_rel FROM j),
+       |i0 AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+       |         AS irank
+       |       FROM (SELECT * FROM rel WHERE rel > 0
+       |             ORDER BY rel DESC, doc_id LIMIT 20)),
+       |i AS (SELECT CAST(sum(CAST((power(2.0e0, rel) - 1.0e0)
+       |                           / log2(irank + 1) AS DECIMAL(38,18)))
+       |        AS DOUBLE) AS idcg FROM i0)
+       |SELECT 20 AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+       |  round(dcg / idcg, 6) AS ndcg,
+       |  round(coalesce(1.0e0 / first_rel, 0.0e0), 6) AS mrr
+       |FROM d, i""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -381,7 +426,8 @@ object Wave5Queries {
     "q129_bpe_merges" -> (q129 _),
     "q130_quantile_drift" -> (q130 _),
     "q131_footer_stats" -> (q131 _),
-    "q132_attribution" -> (q132 _))
+    "q132_attribution" -> (q132 _),
+    "q133_ranking_metrics" -> (q133 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -394,5 +440,6 @@ object Wave5Queries {
     "q129_bpe_merges" -> q129Sql,
     "q130_quantile_drift" -> q130Sql,
     "q131_footer_stats" -> q131Sql,
-    "q132_attribution" -> q132Sql)
+    "q132_attribution" -> q132Sql,
+    "q133_ranking_metrics" -> q133Sql)
 }

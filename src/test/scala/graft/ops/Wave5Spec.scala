@@ -162,6 +162,22 @@ class Wave5Spec extends AnyFunSuite {
       "click" -> ((0L, 0.0, 1L, 10.0)))) // last-touch model
   }
 
+  test("rankingMetrics: hand-computed NDCG/MRR for an imperfect ranking") {
+    import graft.ops.ext.Retrieval
+    // ranking: d1(rel 0), d2(rel 2), d3(rel 1); ideal order: d2, d3
+    val ranked = Seq((1L, "d1"), (2L, "d2"), (3L, "d3"))
+      .toDF("rank", "doc_id")
+    val rel = Seq(("d2", 2), ("d3", 1)).toDF("doc_id", "rel")
+    val r = Retrieval.rankingMetrics(ranked, rel, 3).collect().head
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    val idcg = 3.0 / 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(r.getInt(0) == 3)
+    assert(math.abs(r.getDouble(1) - dcg) < 1e-6)
+    assert(math.abs(r.getDouble(2) - idcg) < 1e-6)
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-6)
+    assert(r.getDouble(4) == 0.5) // first relevant at rank 2
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
