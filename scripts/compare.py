@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local dev harness approximating the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/compare.py <sfDir> <outDir>
+Usage: python3 scripts/compare.py <sfDir> <outDir> [skip1,skip2] [--only=q1,q2]
 
 Loads each <outDir>/<name> parquet result, runs <outDir>/oracle_sql.json's
 SQL in DuckDB with the sf tables registered as views, sorts columns by
@@ -14,8 +14,13 @@ import sys
 
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+only = set()
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        only = set(a[len("--only="):].split(","))
+sfdir, outdir = args[0], args[1]
+skip = set(args[2].split(",")) if len(args) > 2 else set()
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
@@ -39,6 +44,8 @@ def canon(rows, cols):
 
 fails = []
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
     if name in skip:
         print(f"SKIP {name}")
         continue

@@ -414,6 +414,42 @@ object Wave5Queries {
        |  round(coalesce(1.0e0 / first_rel, 0.0e0), 6) AS mrr
        |FROM d, i""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** Classifier evaluation ([[graft.ops.ext.Eval.centroidAuc]]): exact
+    * ROC AUC of a nearest-centroid score (dot with the label-1 class
+    * centroid) over the embeddings table, one-vs-rest. Mann–Whitney
+    * mid-rank construction — integer-exact until one final division;
+    * only the (small, labeled) eval frame enters the rank sort.
+    */
+  def q134(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.Eval.centroidAuc(T(s, dir, "embeddings"),
+      "embedding", "vec_id", "label", posLabel = 1)
+  val q134Sql: String =
+    """WITH v AS (SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec,
+      |            (label = 1) AS pos FROM embeddings),
+      |d AS (SELECT CAST(o - 1 AS BIGINT) AS dim,
+      |        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+      |      FROM (SELECT unnest(vec) AS x, generate_subscripts(vec, 1) AS o
+      |            FROM v WHERE pos)
+      |      GROUP BY dim),
+      |cent AS (SELECT list(m ORDER BY dim) AS centv FROM d),
+      |sc AS (SELECT id, pos,
+      |         list_reduce(list_transform(range(1, len(vec)+1),
+      |           i -> vec[i]*centv[i]), (x,y) -> x+y) AS score
+      |       FROM v, cent),
+      |rn AS (SELECT id, pos, score,
+      |         row_number() OVER (ORDER BY score, id) AS rn FROM sc),
+      |mr AS (SELECT pos,
+      |         min(rn) OVER (PARTITION BY score)
+      |         + max(rn) OVER (PARTITION BY score) AS mr2 FROM rn),
+      |a AS (SELECT count(*) FILTER (pos) AS n_pos,
+      |        count(*) FILTER (NOT pos) AS n_neg,
+      |        sum(mr2) FILTER (pos) AS sum2 FROM mr)
+      |SELECT n_pos, n_neg,
+      |  round((sum2 / 2.0 - n_pos * (n_pos + 1) / 2.0)
+      |        / (n_pos * n_neg), 6) AS auc
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -427,7 +463,8 @@ object Wave5Queries {
     "q130_quantile_drift" -> (q130 _),
     "q131_footer_stats" -> (q131 _),
     "q132_attribution" -> (q132 _),
-    "q133_ranking_metrics" -> (q133 _))
+    "q133_ranking_metrics" -> (q133 _),
+    "q134_auc" -> (q134 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -441,5 +478,6 @@ object Wave5Queries {
     "q130_quantile_drift" -> q130Sql,
     "q131_footer_stats" -> q131Sql,
     "q132_attribution" -> q132Sql,
-    "q133_ranking_metrics" -> q133Sql)
+    "q133_ranking_metrics" -> q133Sql,
+    "q134_auc" -> q134Sql)
 }

@@ -178,6 +178,27 @@ class Wave5Spec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.5) // first relevant at rank 2
   }
 
+  test("rocAuc: mid-rank tie handling matches the hand computation") {
+    import graft.ops.ext.Eval
+    // ascending ranks: 0.1(neg)=1, {0.5(pos), 0.5(neg)} midrank 2.5,
+    // 0.9(pos)=4 -> U = (2.5+4) - 2*3/2 = 3.5 -> AUC = 3.5/4
+    val scored = Seq((1L, 0.9, true), (2L, 0.5, true),
+      (3L, 0.5, false), (4L, 0.1, false)).toDF("id", "score", "pos")
+    val r = Eval.rocAuc(scored, "score", "pos").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)))
+  }
+
+  test("centroidAuc separable classes score a perfect 1.0") {
+    import graft.ops.ext.Eval
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 1.0f), 0), (4L, Seq(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Eval.centroidAuc(df, "embedding", "vec_id", "label", 1)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 1.0)))
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
