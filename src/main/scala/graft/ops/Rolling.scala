@@ -42,4 +42,38 @@ object Rolling {
         decSum.cast("double").as("moving_sum"))
       .withColumn("moving_avg", col("moving_sum") / col("moving_n"))
   }
+
+  /** Per-key exponential smoothing: s₁ = x₁, sᵢ = α·xᵢ + (1−α)·sᵢ₋₁
+    * over the rows of each key in `orderCols` order. Output: one row
+    * per key with `n_events`, the final `ewma`, and the plain `mean`
+    * for contrast (DECIMAL-summed, the q56 rule).
+    *
+    * EWMA is inherently a sequential fold, so the shape is one hash
+    * aggregation collecting each key's ordered (order, value) array,
+    * then a codegen'd `aggregate` fold over it — a left fold starting
+    * from the first ELEMENT (not a zero), which DuckDB's list_reduce
+    * reproduces operation-for-operation. Per-key state is the key's
+    * own history: bounded keys at 100 TB ride the hash agg; unbounded
+    * history belongs to the streaming twin (mapGroupsWithState), not
+    * this batch fold. α must be an exact binary fraction (0.25, 0.5)
+    * so `1−α` is bit-identical across engines.
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1)
+    val sorted = df.groupBy(keyCols.map(col): _*)
+      .agg(
+        sort_array(collect_list(struct(
+          orderCols :+ col(valueCol).cast("double").as("__v"): _*))).as("__s"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("__sum"),
+        count(lit(1)).as("n_events"))
+    val vals = transform(col("__s"), e => e.getField("__v"))
+    sorted.select(
+      keyCols.map(col) ++ Seq(
+        col("n_events"),
+        round(aggregate(
+          slice(vals, lit(2), size(vals) - 1), element_at(vals, 1),
+          (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s), 6).as("ewma"),
+        round(col("__sum").cast("double") / col("n_events"), 6).as("mean")): _*)
+  }
 }

@@ -450,6 +450,29 @@ object Wave5Queries {
       |        / (n_pos * n_neg), 6) AS auc
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Exponential smoothing ([[graft.ops.Rolling.ewma]]): per-user EWMA
+    * of event `value` in (ts, event_id) order, α = 0.25 (an exact
+    * binary fraction, so 1−α is bit-identical across engines). The
+    * fold starts from the first element — DuckDB's list_reduce shape —
+    * making the sequential recurrence reproducible op-for-op.
+    */
+  def q135(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Rolling.ewma(
+      ExtQueries.events(s, dir).select("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), "value", alpha = 0.25)
+      .orderBy("user_id")
+  val q135Sql: String =
+    """WITH g AS (SELECT user_id,
+      |    list(value ORDER BY ts, event_id) AS vs,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  round(list_reduce(vs, (s, x) -> 0.25e0 * x + 0.75e0 * s), 6) AS ewma,
+      |  round(sm / n_events, 6) AS mean
+      |FROM g ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -464,7 +487,8 @@ object Wave5Queries {
     "q131_footer_stats" -> (q131 _),
     "q132_attribution" -> (q132 _),
     "q133_ranking_metrics" -> (q133 _),
-    "q134_auc" -> (q134 _))
+    "q134_auc" -> (q134 _),
+    "q135_ewma" -> (q135 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -479,5 +503,6 @@ object Wave5Queries {
     "q131_footer_stats" -> q131Sql,
     "q132_attribution" -> q132Sql,
     "q133_ranking_metrics" -> q133Sql,
-    "q134_auc" -> q134Sql)
+    "q134_auc" -> q134Sql,
+    "q135_ewma" -> q135Sql)
 }

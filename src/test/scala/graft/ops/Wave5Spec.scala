@@ -199,6 +199,19 @@ class Wave5Spec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 1.0)))
   }
 
+  test("ewma: sequential recurrence from the first element, hand-checked") {
+    import graft.ops.Rolling
+    // u1 in ts order: 1, 2, 4 -> s = 1, 1.25, 0.25*4+0.75*1.25 = 1.9375
+    val df = Seq((1L, 30L, 1L, 4.0), (1L, 10L, 2L, 1.0), (1L, 20L, 3L, 2.0),
+      (2L, 10L, 4L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Rolling.ewma(df, Seq("user_id"), Seq(col("ts"), col("event_id")),
+      "value", alpha = 0.25).orderBy("user_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 1.9375), (2L, 1L, 5.0)))
+    assert(math.abs(r(0).getDouble(3) - 2.333333) < 1e-9) // mean 7/3
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
