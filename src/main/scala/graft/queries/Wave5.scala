@@ -473,6 +473,52 @@ object Wave5Queries {
       |  round(sm / n_events, 6) AS mean
       |FROM g ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Pareto-frontier curation ([[graft.ops.Skyline.frontier2d]]): the
+    * documents not dominated in (token cost minimized, q93 quality
+    * maximized) — "no other doc is both cheaper and better". Bucket
+    * max-sweep prunes to ~the staircase before the exact two-window
+    * sweep; p_keep is rounded to 6 dp (the q93 contract) so every
+    * dominance comparison sees bit-identical doubles in both engines.
+    */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val scored = TextAnalysis.logisticQuality(T(s, dir, "documents"), "text")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("p_keep"))
+    graft.ops.Skyline.frontier2d(scored, "n_tokens", "p_keep", "doc_id")
+  }
+  val q136Sql: String = {
+    val stop = graft.ops.ext.TextAnalysis.StopwordSets("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    len(toks)::DOUBLE AS nt,
+       |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END AS sr
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks,
+       |          length(text)::DOUBLE AS nc,
+       |          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS np
+       |        FROM documents)),
+       |sc AS (SELECT doc_id, n_tokens,
+       |    round(1.0 / (1.0 + exp(-(-1.0 + sr * 4.0 + pr * (-6.0)
+       |                             + ln(nt + 1) * 0.5))), 6) AS p_keep
+       |  FROM f),
+       |sk AS (SELECT doc_id, n_tokens, p_keep,
+       |    max(p_keep) OVER (ORDER BY n_tokens
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+       |    max(p_keep) OVER (PARTITION BY n_tokens) AS m2
+       |  FROM sc)
+       |SELECT doc_id, n_tokens, p_keep FROM sk
+       |WHERE (m1 IS NULL OR m1 < p_keep) AND m2 <= p_keep
+       |ORDER BY n_tokens, doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -488,7 +534,8 @@ object Wave5Queries {
     "q132_attribution" -> (q132 _),
     "q133_ranking_metrics" -> (q133 _),
     "q134_auc" -> (q134 _),
-    "q135_ewma" -> (q135 _))
+    "q135_ewma" -> (q135 _),
+    "q136_pareto_frontier" -> (q136 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -504,5 +551,6 @@ object Wave5Queries {
     "q132_attribution" -> q132Sql,
     "q133_ranking_metrics" -> q133Sql,
     "q134_auc" -> q134Sql,
-    "q135_ewma" -> q135Sql)
+    "q135_ewma" -> q135Sql,
+    "q136_pareto_frontier" -> q136Sql)
 }

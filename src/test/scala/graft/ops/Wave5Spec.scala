@@ -212,6 +212,19 @@ class Wave5Spec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(3) - 2.333333) < 1e-9) // mean 7/3
   }
 
+  test("frontier2d keeps exactly the non-dominated staircase") {
+    import graft.ops.Skyline
+    // (x min, y max); weak dominance removes (5, 0.95) via (3, 0.95)
+    val pts = Seq((1L, 1L, 0.5), (2L, 2L, 0.9), (3L, 2L, 0.7),
+      (4L, 3L, 0.8), (5L, 3L, 0.95), (6L, 5L, 0.95))
+      .toDF("id", "x", "y")
+    for (bw <- Seq(1, 16)) {
+      val ids = Skyline.frontier2d(pts, "x", "y", "id", bucketWidth = bw)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 5L), s"bucketWidth=$bw")
+    }
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
