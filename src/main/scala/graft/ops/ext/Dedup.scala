@@ -459,18 +459,31 @@ object Dedup {
   }
 
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 8): DataFrame =
+    hammingNearDups(simhash(df, textCol, idCol), "simhash", "id",
+      maxHamming, bands)
+
+  /** Hamming-ball pair join over ANY 64-bit fingerprint frame
+    * (`idCol`, `fpCol`) — the shared engine under text simhash and
+    * perceptual image hashes: split the fingerprint into `bands` equal
+    * bit-slices, self-join on (band, slice) buckets (pigeonhole: two
+    * fingerprints within hamming h < bands agree on >= 1 slice — never
+    * the n^2 pair space), exact bit_count verify inside the join stage.
+    */
+  def hammingNearDups(fp: DataFrame, fpCol: String, idCol: String,
+                      maxHamming: Int, bands: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
+    require(64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
-    val fp = simhash(df, textCol, idCol) // (id, simhash)
+    val base = fp.select(col(idCol).as("id"), col(fpCol).as("__fp"))
     val mask = (1L << width) - 1
     val bucketArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
+        shiftright(col("__fp"), b * width).bitwiseAND(mask).as("key"))
     }: _*)
     val buckets = pinFanOutParallelism(
-      fp.select(col("id"), col("simhash"), explode(bucketArr).as("bucket")))
+      base.select(col("id"), col("__fp"), explode(bucketArr).as("bucket")))
     buckets.as("x")
       .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.id") < col("y.id"))
@@ -478,9 +491,9 @@ object Dedup {
       // band keys (64/bands bits), so the band join enumerates a large
       // junk-collision stream; the codegen'd bit_count filter kills it
       // inside the join stage — deduping first would shuffle ALL of it.
-      .filter(hamming(col("x.simhash"), col("y.simhash")) <= maxHamming)
+      .filter(hamming(col("x.__fp"), col("y.__fp")) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+        hamming(col("x.__fp"), col("y.__fp")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 }

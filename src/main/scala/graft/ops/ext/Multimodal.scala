@@ -187,4 +187,81 @@ object Multimodal {
   @deprecated("use decodeFeatures", "round 2")
   def stubDecodeFeatures(df: DataFrame, dim: Int = 8): DataFrame =
     decodeFeatures(df, dim)
+
+  /** 64-bit difference hash (dHash) of a decoded image: box-average
+    * the gray channel onto a 9×8 grid, set bit (row·8+col) when the
+    * left cell's mean exceeds its right neighbour's. All-integer:
+    * cell sums are exact Longs and the mean comparison cross-multiplies
+    * (sumL·nR > sumR·nL) — no float ever enters, so the hash is
+    * bit-reproducible on any JVM. Insensitive to uniform brightness
+    * shift (both means move together) and to re-encoding through any
+    * lossless codec — the properties that make it a NEAR-dup key where
+    * an exact byte hash only catches identical files.
+    */
+  private[graft] def dHashFromImage(img: java.awt.image.BufferedImage)
+      : Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) return None
+    // sums(cy)(cx) = Σ (r+g+b) over the cell's pixels; counts alongside
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        val p = img.getRGB(x, y)
+        sums(cy)(cx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        // meanL > meanR without division: sumL·nR > sumR·nL
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+            sums(cy)(cx + 1) * cnts(cy)(cx))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual hash per image file: (path, format, dhash) with dhash
+    * null for non-images, undecodable payloads, or images smaller than
+    * the 9×8 grid. Feeds [[Dedup.hammingNearDups]] for corpus-scale
+    * image near-dup pairs (band-bucketed, never all-pairs).
+    */
+  def dHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = withFormat(df).select("path", "format", "content").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val path = r.getString(0)
+          val fmt = r.getString(1)
+          val bytes = Option(r.get(2))
+            .map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty[Byte])
+          val hash: java.lang.Long = fmt match {
+            case "png" | "jpeg" | "gif" =>
+              Try(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+                .toOption.flatMap(Option(_)).flatMap(dHashFromImage)
+                .map(java.lang.Long.valueOf).orNull
+            case _ => null
+          }
+          Row(path, fmt, hash)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("dhash", LongType, nullable = true))))
+  }
 }

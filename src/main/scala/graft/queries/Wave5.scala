@@ -519,6 +519,48 @@ object Wave5Queries {
        |ORDER BY n_tokens, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Perceptual image dedup ([[graft.ops.ext.Multimodal.dHash]] +
+    * [[graft.ops.ext.Dedup.hammingNearDups]]): 64-bit dHash over real
+    * PNG fixtures, hamming band join for the near-dup pairs. The
+    * fixture pixels follow closed-form gradients, so the expected pair
+    * set is provable without running the engine: a re-encoded copy and
+    * a uniform +10 brightness shift leave every dHash box comparison
+    * unchanged (distance 0), while the reversed gradient flips all 64
+    * bits (distance 64, excluded). dHash is all-integer (exact Long
+    * box sums, cross-multiplied mean compares) — bit-reproducible.
+    */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.{Dedup, Multimodal}
+    val base = java.nio.file.Paths.get("/tmp/graft_fixtures/phash_v1")
+    java.nio.file.Files.createDirectories(base)
+    def write(name: String, f: (Int, Int) => Int): Unit = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      javax.imageio.ImageIO.write(img, "png", base.resolve(name).toFile)
+    }
+    write("a.png", (x, y) => 3 * x + y)
+    write("a2.png", (x, y) => 3 * x + y)      // identical content, new file
+    write("b.png", (x, y) => 3 * x + y + 10)  // uniform brightness shift
+    write("c.png", (x, y) => 200 - 3 * x - y) // reversed: all 64 bits flip
+    val hashes = Multimodal
+      .dHash(Multimodal.readBinary(s, base.toString, "*.png"))
+      .select(substring_index(col("path"), "/", -1).as("file"), col("dhash"))
+    Dedup.hammingNearDups(hashes, "dhash", "file", maxHamming = 8, bands = 16)
+      .select(col("id_a").as("file_a"), col("id_b").as("file_b"),
+        col("hamming"))
+      .orderBy("file_a", "file_b")
+  }
+  val q137Sql: String =
+    """SELECT 'a.png' AS file_a, 'a2.png' AS file_b,
+      |  CAST(0 AS INTEGER) AS hamming
+      |UNION ALL SELECT 'a.png', 'b.png', CAST(0 AS INTEGER)
+      |UNION ALL SELECT 'a2.png', 'b.png', CAST(0 AS INTEGER)
+      |ORDER BY file_a, file_b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -535,7 +577,8 @@ object Wave5Queries {
     "q133_ranking_metrics" -> (q133 _),
     "q134_auc" -> (q134 _),
     "q135_ewma" -> (q135 _),
-    "q136_pareto_frontier" -> (q136 _))
+    "q136_pareto_frontier" -> (q136 _),
+    "q137_image_phash_dedup" -> (q137 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -552,5 +595,6 @@ object Wave5Queries {
     "q133_ranking_metrics" -> q133Sql,
     "q134_auc" -> q134Sql,
     "q135_ewma" -> q135Sql,
-    "q136_pareto_frontier" -> q136Sql)
+    "q136_pareto_frontier" -> q136Sql,
+    "q137_image_phash_dedup" -> q137Sql)
 }

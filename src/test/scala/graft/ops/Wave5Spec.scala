@@ -225,6 +225,28 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("dHash: brightness-shift invariant, gradient reversal flips all bits") {
+    import graft.ops.ext.Multimodal
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val b = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = f(x, y); b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      b
+    }
+    val a = Multimodal.dHashFromImage(img((x, y) => 3 * x + y)).get
+    val shifted = Multimodal.dHashFromImage(img((x, y) => 3 * x + y + 10)).get
+    val rev = Multimodal.dHashFromImage(img((x, y) => 200 - 3 * x - y)).get
+    assert(a == 0L)           // increasing in x: left mean < right, no bit set
+    assert(shifted == a)      // uniform shift moves both means together
+    assert(java.lang.Long.bitCount(a ^ rev) == 64) // every compare flips
+    // smaller than the 9x8 grid: no hash
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.dHashFromImage(tiny).isEmpty)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
