@@ -561,6 +561,65 @@ object Wave5Queries {
       |UNION ALL SELECT 'a2.png', 'b.png', CAST(0 AS INTEGER)
       |ORDER BY file_a, file_b""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** FDR screening ([[graft.ops.Hypothesis.bhAdjust]]): Benjamini–
+    * Hochberg q-values over a deterministic per-doc p-value (integer
+    * congruential uniform, with every 50th doc planted 1000× smaller —
+    * the "true discoveries"), keeping the significant set at α=0.05.
+    * All arithmetic on the p side is integer-derived, so both engines
+    * rank bit-identical doubles.
+    */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val base = ((col("doc_id") * lit(2654435761L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0)
+    val p = when(col("doc_id") % 50 === 0, base / lit(1000.0))
+      .otherwise(base)
+    graft.ops.Hypothesis.bhAdjust(
+      T(s, dir, "documents").select(col("doc_id"), p.as("p")),
+      "p", "doc_id", alpha = 0.05)
+      .filter(col("significant"))
+      .select(col("doc_id"), col("rank"),
+        round(col("p"), 9).as("p"), round(col("q_value"), 9).as("q_value"))
+      .orderBy("rank")
+  }
+  val q138Sql: String =
+    """WITH p0 AS (SELECT doc_id,
+      |    ((doc_id * 2654435761) % 1000003) / 1000003.0 AS base
+      |  FROM documents),
+      |p1 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 0 THEN base / 1000.0 ELSE base END AS p
+      |  FROM p0),
+      |r AS (SELECT doc_id, p,
+      |    CAST(row_number() OVER (ORDER BY p, doc_id) AS BIGINT) AS rank,
+      |    count(*) OVER () AS n FROM p1),
+      |q AS (SELECT doc_id, rank, p,
+      |    least(1.0, min(p * n / rank) OVER (ORDER BY p DESC, doc_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+      |  FROM r)
+      |SELECT doc_id, rank, round(p, 9) AS p, round(q_value, 9) AS q_value
+      |FROM q WHERE q_value <= 0.05 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Independence screening ([[graft.ops.Hypothesis.chiSquare]]):
+    * Pearson Χ² of language × source over the corpus — one count
+    * aggregation, broadcast marginals, DECIMAL-summed statistic.
+    */
+  def q139(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Hypothesis.chiSquare(T(s, dir, "documents"), "lang", "source")
+  val q139Sql: String =
+    """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+      |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+      |tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
+      |          count(DISTINCT b) AS nb FROM cells)
+      |SELECT round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,18)))
+      |         AS DOUBLE), 6) AS chi2,
+      |  (na - 1) * (nb - 1) AS dof, n, na * nb AS n_cells
+      |FROM (SELECT o, CAST(ra AS DOUBLE) * cb / n AS e, n, na, nb
+      |      FROM cells JOIN ra USING (a) JOIN cb USING (b), tot)
+      |GROUP BY n, na, nb""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -578,7 +637,9 @@ object Wave5Queries {
     "q134_auc" -> (q134 _),
     "q135_ewma" -> (q135 _),
     "q136_pareto_frontier" -> (q136 _),
-    "q137_image_phash_dedup" -> (q137 _))
+    "q137_image_phash_dedup" -> (q137 _),
+    "q138_fdr_adjust" -> (q138 _),
+    "q139_chi_square" -> (q139 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -596,5 +657,7 @@ object Wave5Queries {
     "q134_auc" -> q134Sql,
     "q135_ewma" -> q135Sql,
     "q136_pareto_frontier" -> q136Sql,
-    "q137_image_phash_dedup" -> q137Sql)
+    "q137_image_phash_dedup" -> q137Sql,
+    "q138_fdr_adjust" -> q138Sql,
+    "q139_chi_square" -> q139Sql)
 }

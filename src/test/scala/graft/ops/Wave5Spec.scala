@@ -247,6 +247,28 @@ class Wave5Spec extends AnyFunSuite {
     assert(Multimodal.dHashFromImage(tiny).isEmpty)
   }
 
+  test("bhAdjust: textbook BH q-values with the right-tail running min") {
+    import graft.ops.Hypothesis
+    // p*n/rank = .04, .04, .04, .5 -> q = .04, .04, .04, .5
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5))
+      .toDF("id", "p")
+    val r = Hypothesis.bhAdjust(df, "p", "id").orderBy("rank").collect()
+    assert(r.map(_.getDouble(3)).toSeq == Seq(0.04, 0.04, 0.04, 0.5))
+    assert(r.map(_.getBoolean(4)).toSeq ==
+      Seq(true, true, true, false)) // alpha = 0.05
+  }
+
+  test("chiSquare: hand-computed 2x2 independence statistic") {
+    import graft.ops.Hypothesis
+    // o = [[10,20],[20,10]]: e = 15 everywhere, chi2 = 4*25/15
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v"))
+    val r = Hypothesis.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 100.0 / 15.0) < 1e-5)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 60L, 4L)))
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
