@@ -140,6 +140,47 @@ object Profile {
     row.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
 
+  /** Per-group ordinary least squares of `yCol` on `xCol`: slope,
+    * intercept, r² from the same split-long exact moment sums as
+    * [[correlationPairs]], but grouped — one hash aggregation shuffles
+    * a handful of longs per group, and the model algebra runs on the
+    * tiny grouped frame. Same constraints: moments must be
+    * non-negative; `scale` quantizes each per-row moment to 10^-scale
+    * before the exact hi/lo split-long accumulation, so the
+    * reconstructed sums (and therefore slope/intercept/r²) are
+    * bit-identical at any parallelism and on any engine.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               scale: Int = 4): DataFrame = {
+    val quantum = math.pow(10.0, scale)
+    def d(c: String) = graft.Cols.ref(c).cast("double")
+    def v(c: Column) = floor(c * lit(quantum) + lit(0.5)).cast("long")
+    val moments: Seq[(String, Column)] = Seq(
+      ("__sx", v(d(xCol))), ("__sy", v(d(yCol))),
+      ("__sxx", v(d(xCol) * d(xCol))), ("__syy", v(d(yCol) * d(yCol))),
+      ("__sxy", v(d(xCol) * d(yCol))))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("__n")) ++ moments.flatMap {
+        case (nm, vc) => Seq(
+          sum(shiftright(vc, 20)).as(s"${nm}__hi"),
+          sum(vc.bitwiseAND(lit(1048575L))).as(s"${nm}__lo"))
+      }
+    val g = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    def m(nm: String): Column =
+      ((graft.Cols.ref(s"${nm}__hi").cast("decimal(38,0)") * lit(1048576L) +
+        graft.Cols.ref(s"${nm}__lo")).cast("double")) / lit(quantum)
+    val n = col("__n")
+    val sx = m("__sx"); val sy = m("__sy")
+    val sxx = m("__sxx"); val syy = m("__syy"); val sxy = m("__sxy")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    g.select(col(groupCol), n.cast("long").as("n"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"),
+      round(r2, 6).as("r2"))
+  }
+
   /** Equi-width histogram: two jobs — a min/max pass (one partial row),
     * then bucket-assign + count. The 1-row bounds frame is broadcast,
     * so the big side streams through codegen'd arithmetic and shuffles

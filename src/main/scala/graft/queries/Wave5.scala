@@ -620,6 +620,50 @@ object Wave5Queries {
       |      FROM cells JOIN ra USING (a) JOIN cb USING (b), tot)
       |GROUP BY n, na, nb""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Per-group OLS ([[graft.ops.Profile.groupOls]]): regress document
+    * character count on token count per language — slope ≈ mean token
+    * length + 1, r² ≈ 1 for clean text. Same split-long exact moment
+    * sums as q124, grouped: each group shuffles a handful of longs.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val docs = T(s, dir, "documents").select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("double").as("x"),
+      col("n_chars").cast("double").as("y"))
+    Profile.groupOls(docs, "lang", "x", "y").orderBy("lang")
+  }
+  val q140Sql: String = {
+    def vq(e: String) = s"CAST(floor(($e) * 10000.0e0 + 0.5e0) AS BIGINT)"
+    val moments = Seq("sx" -> "x", "sy" -> "y",
+      "sxx" -> "x * x", "syy" -> "y * y", "sxy" -> "x * y")
+    val sums = moments.flatMap { case (nm, e) => Seq(
+      s"sum((${vq(e)} >> 20)) AS ${nm}_hi",
+      s"sum((${vq(e)} & 1048575)) AS ${nm}_lo")
+    }.mkString(",\n    ")
+    val recons = moments.map { case (nm, _) =>
+      s"CAST(CAST(${nm}_hi AS HUGEINT) * 1048576 + ${nm}_lo AS DOUBLE) / 10000.0e0 AS $nm"
+    }.mkString(",\n    ")
+    s"""WITH b AS (SELECT lang,
+       |    CAST(len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                         t -> len(t)>0)) AS DOUBLE) AS x,
+       |    CAST(n_chars AS DOUBLE) AS y
+       |  FROM documents),
+       |a AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+       |    $sums
+       |  FROM b GROUP BY lang),
+       |r AS (SELECT lang, n,
+       |    $recons
+       |  FROM a)
+       |SELECT lang, CAST(n AS BIGINT) AS n,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    AS intercept,
+       |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM r ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -639,7 +683,8 @@ object Wave5Queries {
     "q136_pareto_frontier" -> (q136 _),
     "q137_image_phash_dedup" -> (q137 _),
     "q138_fdr_adjust" -> (q138 _),
-    "q139_chi_square" -> (q139 _))
+    "q139_chi_square" -> (q139 _),
+    "q140_group_ols" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -659,5 +704,6 @@ object Wave5Queries {
     "q136_pareto_frontier" -> q136Sql,
     "q137_image_phash_dedup" -> q137Sql,
     "q138_fdr_adjust" -> q138Sql,
-    "q139_chi_square" -> q139Sql)
+    "q139_chi_square" -> q139Sql,
+    "q140_group_ols" -> q140Sql)
 }

@@ -269,6 +269,17 @@ class Wave5Spec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 60L, 4L)))
   }
 
+  test("groupOls recovers a planted exact linear relation") {
+    import graft.ops.Profile
+    // y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    val df = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i + 2))
+      .toDF("g", "x", "y")
+    val r = Profile.groupOls(df, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0
+      && r.getDouble(4) == 1.0)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
