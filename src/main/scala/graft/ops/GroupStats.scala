@@ -66,4 +66,49 @@ object GroupStats {
         sum(when(col("adev") > lit(k) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group weighted (lower) median: the smallest value whose
+    * cumulative integer weight reaches half the group total —
+    * 2·cum ≥ total, a pure integer comparison, so the selection is
+    * exact with no float threshold. One shuffle on the group key, one
+    * sort per group (the window), cumulative Long sums.
+    * Output: (group, total_w, wmedian).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tieCols: Seq[String]): DataFrame = {
+    val wc = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol) +: col(valueCol) +: col(weightCol).as("__w") +:
+        tieCols.map(col): _*)
+      .select(col(groupCol), col(valueCol),
+        sum(col("__w")).over(wc).as("__cum"),
+        sum(col("__w")).over(wt).as("total_w"))
+      .filter(col("__cum") * 2 >= col("total_w"))
+      .groupBy(col(groupCol), col("total_w"))
+      .agg(min(col(valueCol)).as("wmedian"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative INTEGER column:
+    * G = (2·Σi·x(i) − (n+1)·Σx) / (n·Σx) with x sorted ascending —
+    * the mixture-balance concentration metric (0 = uniform, →1 = one
+    * giant). All sums are exact integer arithmetic (rank·value
+    * products summed as Longs); one double division at the end.
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x"), col(tieCol))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__x"),
+        col(tieCol))
+      .select(col(groupCol), col("__x"),
+        row_number().over(wr).cast("long").as("__i"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__i") * col("__x")).as("__six"))
+      .select(col(groupCol), col("n"),
+        round((lit(2L) * col("__six") - (col("n") + 1) * col("__sx"))
+          .cast("double") / (col("n") * col("__sx")), 6).as("gini"))
+  }
 }

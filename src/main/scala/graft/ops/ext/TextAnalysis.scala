@@ -209,4 +209,29 @@ object TextAnalysis {
     post.join(broadcast(totals), "token")
       .select("token", "shard", "df", "df_shard", "postings")
   }
+
+  /** Per-group Shannon entropy of the token distribution (nats):
+    * H = ln(n) − Σ c·ln(c) / n over per-token counts c — the lexical-
+    * diversity metric for corpus slices. Two hash aggregations
+    * ((group, token) counts, then per-group rollup); every ln() input
+    * is an integer count, so both engines take ln of bit-identical
+    * doubles, and the order-sensitive Σ c·ln(c) goes through
+    * DECIMAL(38,18) (the q84 rule).
+    * Output: (group, n_tokens, distinct_tokens, entropy).
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val cnt = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum((col("c") * log(col("c")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("__s"))
+      .select(col(groupCol), col("n_tokens"), col("distinct_tokens"),
+        round(log(col("n_tokens"))
+          - col("__s").cast("double") / col("n_tokens"), 6).as("entropy"))
+  }
 }

@@ -664,6 +664,77 @@ object Wave5Queries {
        |FROM r ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Weighted median ([[graft.ops.GroupStats.weightedMedian]]): per
+    * return flag, the smallest extended price whose cumulative
+    * quantity weight reaches half the flag's total — integer-exact
+    * selection (2·cum ≥ total), no float threshold.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GroupStats.weightedMedian(
+      T(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"),
+        floor(col("l_quantity")).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", "w",
+      Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_returnflag")
+  val q141Sql: String =
+    """WITH b AS (SELECT l_returnflag, l_extendedprice,
+      |    CAST(floor(l_quantity) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber FROM lineitem),
+      |c AS (SELECT l_returnflag, l_extendedprice,
+      |    sum(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS total_w FROM b)
+      |SELECT l_returnflag, total_w, min(l_extendedprice) AS wmedian
+      |FROM c WHERE cum * 2 >= total_w
+      |GROUP BY l_returnflag, total_w ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Concentration audit ([[graft.ops.GroupStats.gini]]): Gini
+    * coefficient of document length per source — the mixture-balance
+    * check before sampling rates are set. All-integer rank·value sums.
+    */
+  def q142(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GroupStats.gini(T(s, dir, "documents"),
+      "source", "n_chars", "doc_id")
+      .orderBy("source")
+  val q142Sql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents),
+      |a AS (SELECT source, count(*) AS n, sum(n_chars) AS sx,
+      |        sum(i * n_chars) AS six FROM r GROUP BY source)
+      |SELECT source, n,
+      |  round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6) AS gini
+      |FROM a ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Lexical diversity ([[graft.ops.ext.TextAnalysis.tokenEntropy]]):
+    * Shannon entropy of the token distribution per language. Every
+    * ln() input is an integer count (the q84 portability rule);
+    * Σ c·ln c goes through DECIMAL.
+    */
+  def q143(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.TextAnalysis.tokenEntropy(
+      T(s, dir, "documents"), "text", "lang")
+      .orderBy("lang")
+  val q143Sql: String =
+    """WITH tok AS (SELECT lang,
+      |    unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                       t -> len(t)>0)) AS token
+      |  FROM documents),
+      |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (SELECT lang, sum(c) AS n, count(*) AS v,
+      |        sum(CAST(c * ln(c) AS DECIMAL(38,18))) AS s
+      |      FROM cnt GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n_tokens, v AS distinct_tokens,
+      |  round(ln(n) - CAST(s AS DOUBLE) / n, 6) AS entropy
+      |FROM a ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -684,7 +755,10 @@ object Wave5Queries {
     "q137_image_phash_dedup" -> (q137 _),
     "q138_fdr_adjust" -> (q138 _),
     "q139_chi_square" -> (q139 _),
-    "q140_group_ols" -> (q140 _))
+    "q140_group_ols" -> (q140 _),
+    "q141_weighted_median" -> (q141 _),
+    "q142_gini" -> (q142 _),
+    "q143_token_entropy" -> (q143 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -705,5 +779,8 @@ object Wave5Queries {
     "q137_image_phash_dedup" -> q137Sql,
     "q138_fdr_adjust" -> q138Sql,
     "q139_chi_square" -> q139Sql,
-    "q140_group_ols" -> q140Sql)
+    "q140_group_ols" -> q140Sql,
+    "q141_weighted_median" -> q141Sql,
+    "q142_gini" -> q142Sql,
+    "q143_token_entropy" -> q143Sql)
 }

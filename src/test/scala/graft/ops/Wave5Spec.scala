@@ -280,6 +280,36 @@ class Wave5Spec extends AnyFunSuite {
       && r.getDouble(4) == 1.0)
   }
 
+  test("weightedMedian: integer 2-cum>=total selection, hand-checked") {
+    import graft.ops.GroupStats
+    val df = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L), ("g", 3.0, 10L, 3L),
+      ("h", 1.0, 1L, 4L), ("h", 2.0, 1L, 5L))
+      .toDF("grp", "x", "w", "id")
+    val r = GroupStats.weightedMedian(df, "grp", "x", "w", Seq("id"))
+      .orderBy("grp").collect()
+    // g: weight 10 at x=3 dominates; h: balanced -> lower median x=1
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+      == Seq(("g", 12L, 3.0), ("h", 2L, 1.0)))
+  }
+
+  test("gini: zero for uniform, 0.75 for one-giant of four") {
+    import graft.ops.GroupStats
+    val df = (Seq.fill(4)(("u", 5L)) ++ Seq(("g", 0L), ("g", 0L),
+      ("g", 0L), ("g", 12L))).zipWithIndex
+      .map { case ((g, x), i) => (g, x, i.toLong) }.toDF("grp", "x", "id")
+    val r = GroupStats.gini(df, "grp", "x", "id").orderBy("grp").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(2))).toSeq ==
+      Seq(("g", 0.75), ("u", 0.0)))
+  }
+
+  test("tokenEntropy: two equiprobable tokens give ln 2 nats") {
+    import graft.ops.ext.TextAnalysis
+    val df = Seq(("en", "a a b b")).toDF("lang", "text")
+    val r = TextAnalysis.tokenEntropy(df, "text", "lang").collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 2L)))
+    assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-6)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
