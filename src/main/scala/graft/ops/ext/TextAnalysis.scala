@@ -210,6 +210,20 @@ object TextAnalysis {
       .select("token", "shard", "df", "df_shard", "postings")
   }
 
+  /** Word n-grams as SPACE-JOINED STRINGS — identity-preserving
+    * (unlike the hashed [[Dedup.shingles]]) so n-gram sets can be
+    * compared across engines and corpus slices. Empty array below n
+    * tokens (no partial windows). Pure narrow expressions.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-group Shannon entropy of the token distribution (nats):
     * H = ln(n) − Σ c·ln(c) / n over per-token counts c — the lexical-
     * diversity metric for corpus slices. Two hash aggregations

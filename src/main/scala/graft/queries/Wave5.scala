@@ -735,6 +735,107 @@ object Wave5Queries {
       |  round(ln(n) - CAST(s AS DOUBLE) / n, 6) AS entropy
       |FROM a ORDER BY lang""".stripMargin
 
+  /** Shared 3-gram CTE for q144/q145: per-doc distinct space-joined
+    * trigrams (no partial windows, empty below 3 tokens).
+    */
+  private val trigramsSql: String =
+    """SELECT doc_id, source,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                     for i in range(1, len(toks) - 2 + 1)])
+      |    ELSE [] END AS gs
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                      t -> len(t)>0) AS toks
+      |        FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  /** Curriculum novelty curve: assign docs to the q105 training shards
+    * (same LCG), then per shard count its distinct trigrams and how
+    * many appear for the FIRST time in that shard (first = min shard
+    * per n-gram). One n-gram-keyed aggregation carries (min shard,
+    * shard set); the per-shard rollup explodes the tiny shard sets —
+    * the corpus text is scanned once.
+    */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val shard = ((col("doc_id") * lit(1103515245L) + lit(12345L))
+      % lit(2147483648L)) % 8
+    val pairs = T(s, dir, "documents")
+      .select(shard.as("shard"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)))
+          .as("ngram"))
+      .dropDuplicates("shard", "ngram")
+    val g = pairs.groupBy(col("ngram"))
+      .agg(min(col("shard")).as("first_shard"),
+        collect_set(col("shard")).as("shards"))
+    g.select(col("first_shard"), explode(col("shards")).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("shard") === col("first_shard"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("shard"), col("n_ngrams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_ngrams"), 6)
+          .as("novelty_rate"))
+      .orderBy("shard")
+  }
+  val q144Sql: String =
+    s"""WITH d AS ($trigramsSql),
+       |p AS (SELECT DISTINCT
+       |        ((doc_id * 1103515245 + 12345) % 2147483648) % 8 AS shard,
+       |        unnest(gs) AS ngram
+       |      FROM d),
+       |f AS (SELECT ngram, min(shard) AS first_shard FROM p GROUP BY ngram)
+       |SELECT p.shard, count(*) AS n_ngrams,
+       |  count(CASE WHEN p.shard = f.first_shard THEN 1 END) AS n_novel,
+       |  round(count(CASE WHEN p.shard = f.first_shard THEN 1 END)::DOUBLE
+       |        / count(*), 6) AS novelty_rate
+       |FROM p JOIN f USING (ngram) GROUP BY p.shard ORDER BY p.shard""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** Cross-source contamination matrix: for every source pair, the
+    * count of shared distinct trigrams and the overlap coefficient
+    * shared/min(|A|,|B|). The n-gram self-join fans out at most
+    * |sources|² per n-gram (the natural df cap — source cardinality is
+    * small by construction), never doc².
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val p = T(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)))
+          .as("ngram"))
+      .dropDuplicates("source", "ngram").persist()
+    val tot = p.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val pairs = p.as("a")
+      .join(p.as("b"), col("a.ngram") === col("b.ngram")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("source_a"),
+        col("tot").as("__ta"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("tot").as("__tb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("__ta"), col("__tb")),
+          6).as("overlap"))
+      .orderBy("source_a", "source_b")
+  }
+  val q145Sql: String =
+    s"""WITH d AS ($trigramsSql),
+       |p AS (SELECT DISTINCT source, unnest(gs) AS ngram FROM d),
+       |tot AS (SELECT source, count(*) AS tot FROM p GROUP BY source),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS shared
+       |  FROM p a JOIN p b ON a.ngram = b.ngram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared,
+       |  round(shared::DOUBLE / least(ta.tot, tb.tot), 6) AS overlap
+       |FROM pairs JOIN tot ta ON source_a = ta.source
+       |           JOIN tot tb ON source_b = tb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -758,7 +859,9 @@ object Wave5Queries {
     "q140_group_ols" -> (q140 _),
     "q141_weighted_median" -> (q141 _),
     "q142_gini" -> (q142 _),
-    "q143_token_entropy" -> (q143 _))
+    "q143_token_entropy" -> (q143 _),
+    "q144_novelty_curve" -> (q144 _),
+    "q145_overlap_matrix" -> (q145 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -782,5 +885,7 @@ object Wave5Queries {
     "q140_group_ols" -> q140Sql,
     "q141_weighted_median" -> q141Sql,
     "q142_gini" -> q142Sql,
-    "q143_token_entropy" -> q143Sql)
+    "q143_token_entropy" -> q143Sql,
+    "q144_novelty_curve" -> q144Sql,
+    "q145_overlap_matrix" -> q145Sql)
 }

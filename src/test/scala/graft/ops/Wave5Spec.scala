@@ -310,6 +310,16 @@ class Wave5Spec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-6)
   }
 
+  test("wordNgrams emits full windows only, as plain strings") {
+    import graft.ops.ext.TextAnalysis
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val r = df.select(col("id"),
+      TextAnalysis.wordNgrams(col("text"), 3).as("g"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](1).isEmpty)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
