@@ -836,6 +836,44 @@ object Wave5Queries {
        |           JOIN tot tb ON source_b = tb.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Spectral direction ([[graft.ops.ext.Spectral.dominantEigen]]):
+    * 3-round power iteration on the embeddings' second-moment matrix —
+    * the PCA-direction primitive, fully reproducible (fixed v₀ = 1/8,
+    * DECIMAL-exact Gram/matvec/norm sums, fixed round count) and so
+    * oracle-checkable like k-means (q97) and PageRank (q77).
+    */
+  def q146(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.Spectral.dominantEigen(T(s, dir, "embeddings"),
+      "embedding", "vec_id", dims = 64, iters = 3)
+  val q146Sql: String = {
+    val dec = "DECIMAL(38,18)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec
+       |           FROM embeddings),
+       |e AS (SELECT id, CAST(o - 1 AS BIGINT) AS i, x
+       |      FROM (SELECT id, unnest(vec) AS x,
+       |              generate_subscripts(vec, 1) AS o FROM v)),
+       |m AS (SELECT a.i AS i, b.i AS j,
+       |        CAST(sum(CAST(a.x * b.x AS $dec)) AS DOUBLE)
+       |          / (SELECT count(*) FROM v) AS m
+       |      FROM e a JOIN e b USING (id) GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(i AS BIGINT) AS i, 1.0e0 / sqrt(64.0e0) AS v
+       |       FROM range(64) t(i))""".stripMargin
+    for (r <- 1 to 3) {
+      sb ++= s""",
+        |w$r AS (SELECT m.i, CAST(sum(CAST(m.m * p.v AS $dec)) AS DOUBLE) AS w
+        |        FROM m JOIN v${r - 1} p ON m.j = p.i GROUP BY m.i),
+        |n$r AS (SELECT sqrt(CAST(sum(CAST(w * w AS $dec)) AS DOUBLE)) AS nrm
+        |        FROM w$r),
+        |v$r AS (SELECT i, w / nrm AS v FROM w$r, n$r)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT i AS dim, round(v, 6) AS loading, round(nrm, 6) AS eigenvalue
+      |FROM v3, n3 ORDER BY dim""".stripMargin
+    sb.toString
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -861,7 +899,8 @@ object Wave5Queries {
     "q142_gini" -> (q142 _),
     "q143_token_entropy" -> (q143 _),
     "q144_novelty_curve" -> (q144 _),
-    "q145_overlap_matrix" -> (q145 _))
+    "q145_overlap_matrix" -> (q145 _),
+    "q146_power_iteration" -> (q146 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -887,5 +926,6 @@ object Wave5Queries {
     "q142_gini" -> q142Sql,
     "q143_token_entropy" -> q143Sql,
     "q144_novelty_curve" -> q144Sql,
-    "q145_overlap_matrix" -> q145Sql)
+    "q145_overlap_matrix" -> q145Sql,
+    "q146_power_iteration" -> q146Sql)
 }

@@ -320,6 +320,19 @@ class Wave5Spec extends AnyFunSuite {
     assert(r(1).getSeq[String](1).isEmpty)
   }
 
+  test("dominantEigen converges to the planted principal axis") {
+    import graft.ops.ext.Spectral
+    // M = diag(2, 0.5): dominant eigenvector (1, 0), eigenvalue 2
+    val df = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(-2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Spectral.dominantEigen(df, "embedding", "vec_id",
+      dims = 2, iters = 3).collect()
+    assert(math.abs(r(0).getDouble(1)) > 0.999)    // axis-0 loading
+    assert(math.abs(r(1).getDouble(1)) < 0.02)     // axis-1 leaked
+    assert(math.abs(r(0).getDouble(2) - 2.0) < 0.01) // eigenvalue
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
