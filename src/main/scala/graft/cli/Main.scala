@@ -49,6 +49,7 @@ object Main {
       case "clean" => clean(opts)
       case "diff" => diff(opts)
       case "trainorder" => trainorder(opts)
+      case "eval" => eval(opts)
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
     }
@@ -149,6 +150,42 @@ object Main {
         graft.ops.GroupStats.madOutliers(df, g, v).orderBy(g)
           .show(200, truncate = false)
       }
+      opts.get("gini").foreach { gv =>
+        val Array(g, v) = gv.split(":")
+        println(s"== Gini of $v by $g ==")
+        graft.ops.GroupStats.gini(df.withColumn("__rid",
+            org.apache.spark.sql.functions.monotonically_increasing_id()),
+          g, v, "__rid").orderBy(g).show(200, truncate = false)
+      }
+      opts.get("entropy").foreach { gt =>
+        val Array(g, t) = gt.split(":")
+        println(s"== token entropy of $t by $g ==")
+        graft.ops.ext.TextAnalysis.tokenEntropy(df, t, g).orderBy(g)
+          .show(200, truncate = false)
+      }
+      opts.get("ols").foreach { gxy =>
+        val Array(g, x, y) = gxy.split(":")
+        println(s"== OLS $y ~ $x by $g ==")
+        graft.ops.Profile.groupOls(df, g, x, y).orderBy(g)
+          .show(200, truncate = false)
+      }
+    } finally spark.stop()
+  }
+
+  /** Classifier/ranking evaluation over parquet inputs: exact ROC AUC
+    * of a nearest-centroid score against a labeled embedding table.
+    */
+  private def eval(opts: Map[String, String]): Unit = {
+    val in = req(opts, "input")
+    val spark = session()
+    try {
+      val df = spark.read.parquet(in)
+      graft.ops.ext.Eval.centroidAuc(df,
+        opts.getOrElse("vec-col", "embedding"),
+        opts.getOrElse("id-col", "vec_id"),
+        opts.getOrElse("label-col", "label"),
+        opts.getOrElse("pos", "1").toInt)
+        .show(truncate = false)
     } finally spark.stop()
   }
 
@@ -326,6 +363,7 @@ object Main {
       |  graft.cli.Main hdf2parquet --in GLOB --out DIR
       |  graft.cli.Main profile --input PARQUET [--approx true] [--keys true]
       |    [--corr a,b,c] [--hist col[:buckets]] [--outliers group:value]
+      |    [--gini group:value] [--entropy group:textcol] [--ols group:x:y]
       |  graft.cli.Main curate --input PARQUET --out DIR [--benchmark PARQUET]
       |    [--text-col text] [--id-col doc_id] [--strata-col lang]
       |    [--min-tokens 10] [--near-dup-jaccard 0.8] [--contamination-max 0.2]
@@ -340,5 +378,7 @@ object Main {
       |  graft.cli.Main diff --old PARQUET --new PARQUET --out DIR --key k
       |    [--cols a,b,c]
       |  graft.cli.Main trainorder --input PARQUET --out DIR
-      |    [--seed 12345] [--shards 8] [--id-col doc_id]""".stripMargin)
+      |    [--seed 12345] [--shards 8] [--id-col doc_id]
+      |  graft.cli.Main eval --input PARQUET [--vec-col embedding]
+      |    [--id-col vec_id] [--label-col label] [--pos 1]""".stripMargin)
 }
