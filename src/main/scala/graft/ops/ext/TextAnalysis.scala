@@ -214,15 +214,23 @@ object TextAnalysis {
     * (unlike the hashed [[Dedup.shingles]]) so n-gram sets can be
     * compared across engines and corpus slices. Empty array below n
     * tokens (no partial windows). Pure narrow expressions.
+    *
+    * PERF: `toks` is referenced inside the transform lambda, and there
+    * is no CSE across lambda boundaries — pass a MATERIALIZED token
+    * column (a prior `.select(tokens(...).as("toks"))` projection),
+    * or the tokenizer re-runs once per n-gram element. The
+    * text-convenience overload below is for small frames/tests only.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(text), n)
 
   /** Per-group Shannon entropy of the token distribution (nats):
     * H = ln(n) − Σ c·ln(c) / n over per-token counts c — the lexical-

@@ -761,11 +761,16 @@ object Wave5Queries {
     import graft.ops.ext.TextAnalysis
     val shard = ((col("doc_id") * lit(1103515245L) + lit(12345L))
       % lit(2147483648L)) % 8
+    // ONE wide shuffle: no pre-distinct pass — collect_set dedups
+    // (shard, ngram) repeats inside the n-gram-keyed aggregation's
+    // map-side partials, so the trigram strings shuffle exactly once.
+    // Tokens materialize behind a projection boundary first (no CSE
+    // across the n-gram transform lambda — the q109 lesson).
     val pairs = T(s, dir, "documents")
-      .select(shard.as("shard"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)))
-          .as("ngram"))
-      .dropDuplicates("shard", "ngram")
+      .select(shard.as("shard"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("shard"),
+        explode(array_distinct(TextAnalysis.wordNgramsFromTokens(
+          col("toks"), 3))).as("ngram"))
     val g = pairs.groupBy(col("ngram"))
       .agg(min(col("shard")).as("first_shard"),
         collect_set(col("shard")).as("shards"))
@@ -802,9 +807,10 @@ object Wave5Queries {
   def q145(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.TextAnalysis
     val p = T(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)))
-          .as("ngram"))
+        explode(array_distinct(TextAnalysis.wordNgramsFromTokens(
+          col("toks"), 3))).as("ngram"))
       .dropDuplicates("source", "ngram").persist()
     val tot = p.groupBy(col("source")).agg(count(lit(1)).as("tot"))
     val pairs = p.as("a")
