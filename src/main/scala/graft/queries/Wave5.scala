@@ -4,6 +4,7 @@ import graft.io.Layout
 import graft.ops.{GroupStats, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-4 "wave 5" query set (q122+): table profiling and physical-
   * layout analytics — the planning half of a 100 TB pipeline. Z-order
@@ -880,6 +881,110 @@ object Wave5Queries {
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q147
+  /** Per-user autocorrelation (lags 1–3) of event values in (ts,
+    * event_id) order: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². Means
+    * come from a DECIMAL-summed grouped aggregation broadcast back;
+    * lagged products ride per-user window `lag`s in ONE window pass;
+    * the order-sensitive product sums go through DECIMAL. Users with
+    * zero variance drop (both engines via the same HAVING).
+    */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ExtQueries.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val mean = ev.groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(18, 6))).cast("double")
+        / count(lit(1))).as("xbar"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dec = DecimalType(38, 18)
+    val d0 = col("value") - col("xbar")
+    val lagged = ev.join(broadcast(mean), Seq("user_id"))
+      .select(col("user_id"), col("xbar"), col("value"),
+        lag(col("value"), 1).over(w).as("l1"),
+        lag(col("value"), 2).over(w).as("l2"),
+        lag(col("value"), 3).over(w).as("l3"))
+    lagged.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((d0 * d0).cast(dec)).as("den"),
+        sum((d0 * (col("l1") - col("xbar"))).cast(dec)).as("s1"),
+        sum((d0 * (col("l2") - col("xbar"))).cast(dec)).as("s2"),
+        sum((d0 * (col("l3") - col("xbar"))).cast(dec)).as("s3"))
+      .filter(col("den").cast("double") > 0.0)
+      .select(col("user_id"), col("n"),
+        round(col("s1").cast("double") / col("den").cast("double"), 6).as("r1"),
+        round(col("s2").cast("double") / col("den").cast("double"), 6).as("r2"),
+        round(col("s3").cast("double") / col("den").cast("double"), 6).as("r3"))
+      .orderBy("user_id")
+  }
+  val q147Sql: String =
+    """WITH m AS (SELECT user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS xbar
+      |  FROM events GROUP BY user_id),
+      |l AS (SELECT e.user_id, m.xbar, e.value,
+      |    lag(e.value, 1) OVER w AS l1,
+      |    lag(e.value, 2) OVER w AS l2,
+      |    lag(e.value, 3) OVER w AS l3
+      |  FROM events e JOIN m USING (user_id)
+      |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+      |a AS (SELECT user_id, count(*) AS n,
+      |    sum(CAST((value - xbar) * (value - xbar) AS DECIMAL(38,18))) AS den,
+      |    sum(CAST((value - xbar) * (l1 - xbar) AS DECIMAL(38,18))) AS s1,
+      |    sum(CAST((value - xbar) * (l2 - xbar) AS DECIMAL(38,18))) AS s2,
+      |    sum(CAST((value - xbar) * (l3 - xbar) AS DECIMAL(38,18))) AS s3
+      |  FROM l GROUP BY user_id
+      |  HAVING CAST(den AS DOUBLE) > 0.0)
+      |SELECT user_id, n,
+      |  round(CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1,
+      |  round(CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r2,
+      |  round(CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r3
+      |FROM a ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** Benford first-digit audit of extended price. The digit comes from
+    * the INTEGER cents value rendered as a string — no log10-of-double
+    * boundary risk; log10 only touches the nine fixed expected shares
+    * (integer-derived inputs, the q84 rule). Χ² sums through DECIMAL.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = T(s, dir, "lineitem").filter(col("l_extendedprice") > 0)
+      .select(digit.as("digit")).groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+    // ln ratio, NOT a log10 builtin: both engines then take ln() of the
+    // same doubles (integer-derived 1 + 1/d) and divide identically
+    val p = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    val withTot = counts.crossJoin(broadcast(counts.agg(
+      sum(col("n_obs")).as("n"))))
+    val dev = col("n_obs") - col("n") * p
+    val contrib = dev * dev / (col("n") * p)
+    val chi2 = withTot.select(contrib.cast(DecimalType(38, 18)).as("c"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("chi2"))
+    withTot
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 6).as("observed_share"),
+        round(p, 6).as("expected_share"))
+      .crossJoin(broadcast(chi2))
+      .orderBy("digit")
+  }
+  val q148Sql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0
+      |      + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      |t AS (SELECT sum(n_obs) AS n FROM c),
+      |x AS (SELECT round(CAST(sum(CAST(
+      |        (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |        * (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |        / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) AS DECIMAL(38,18)))
+      |      AS DOUBLE), 6) AS chi2
+      |    FROM c, t)
+      |SELECT digit, n_obs,
+      |  round(n_obs::DOUBLE / n, 6) AS observed_share,
+      |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_share, chi2
+      |FROM c, t, x ORDER BY digit""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -906,7 +1011,9 @@ object Wave5Queries {
     "q143_token_entropy" -> (q143 _),
     "q144_novelty_curve" -> (q144 _),
     "q145_overlap_matrix" -> (q145 _),
-    "q146_power_iteration" -> (q146 _))
+    "q146_power_iteration" -> (q146 _),
+    "q147_autocorrelation" -> (q147 _),
+    "q148_benford" -> (q148 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -933,5 +1040,7 @@ object Wave5Queries {
     "q143_token_entropy" -> q143Sql,
     "q144_novelty_curve" -> q144Sql,
     "q145_overlap_matrix" -> q145Sql,
-    "q146_power_iteration" -> q146Sql)
+    "q146_power_iteration" -> q146Sql,
+    "q147_autocorrelation" -> q147Sql,
+    "q148_benford" -> q148Sql)
 }
