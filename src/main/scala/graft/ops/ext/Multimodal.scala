@@ -234,6 +234,67 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Difference hash of an audio file's energy envelope — the WAV
+    * counterpart of [[dHashFromImage]]: slice the unsigned 8-bit PCM
+    * samples into `windows` equal spans, take each span's integer
+    * absolute-deviation-from-midpoint sum, and set bit w when span w
+    * is louder than span w+1 (cross-multiplied — no float). Invariant
+    * to re-encoding and to uniform gain (both sides scale together),
+    * the properties that make it a near-dup key for audio.
+    */
+  private[graft] def envelopeHashFromSamples(buf: Array[Byte],
+      windows: Int): Option[Long] = {
+    require(windows >= 2 && windows <= 64)
+    if (buf.length < windows) return None
+    val sums = new Array[Long](windows)
+    val cnts = new Array[Long](windows)
+    var i = 0
+    while (i < buf.length) {
+      val w = (i.toLong * windows / buf.length).toInt
+      sums(w) += math.abs((buf(i) & 0xff) - 128)
+      cnts(w) += 1
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < windows - 1) {
+      if (sums(w) * cnts(w + 1) > sums(w + 1) * cnts(w))
+        hash |= 1L << w
+      w += 1
+    }
+    Some(hash)
+  }
+
+  /** Audio envelope fingerprint per file: (path, format, afp) with afp
+    * null for non-WAV or undecodable payloads. Feeds
+    * [[Dedup.hammingNearDups]] like the image dHash.
+    */
+  def audioEnvelopeHash(df: DataFrame, windows: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = withFormat(df).select("path", "format", "content").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val path = r.getString(0)
+          val fmt = r.getString(1)
+          val bytes = Option(r.get(2))
+            .map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty[Byte])
+          val hash: java.lang.Long =
+            if (fmt != "wav") null
+            else Try {
+              val ais = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(new ByteArrayInputStream(bytes))
+              try ais.readAllBytes() finally ais.close()
+            }.toOption.flatMap(envelopeHashFromSamples(_, windows))
+              .map(java.lang.Long.valueOf).orNull
+          Row(path, fmt, hash)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("afp", LongType, nullable = true))))
+  }
+
   /** Perceptual hash per image file: (path, format, dhash) with dhash
     * null for non-images, undecodable payloads, or images smaller than
     * the 9×8 grid. Feeds [[Dedup.hammingNearDups]] for corpus-scale

@@ -985,6 +985,53 @@ object Wave5Queries {
       |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_share, chi2
       |FROM c, t, x ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Audio near-dup ([[graft.ops.ext.Multimodal.audioEnvelopeHash]] +
+    * hamming band join): energy-envelope difference hash over real WAV
+    * decode. Fixture samples follow closed-form loudness ramps, so the
+    * pair set is provable: a re-encoded copy and a 2× gain keep every
+    * window comparison (distance 0); the reversed ramp flips all 15
+    * bits (excluded). All-integer — bit-reproducible on any JVM.
+    */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.{Dedup, Multimodal}
+    val base = java.nio.file.Paths.get("/tmp/graft_fixtures/audiofp_v1")
+    java.nio.file.Files.createDirectories(base)
+    def write(name: String, amp: Int, dens: Int => Int): Unit = {
+      // 16 windows x 100 samples; in window w the first dens(w) samples
+      // sit at 128+amp, the rest at the 128 midpoint
+      val samples = Array.tabulate(1600) { i =>
+        val (w, j) = (i / 100, i % 100)
+        (if (j < dens(w)) 128 + amp else 128).toByte
+      }
+      val afmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), afmt,
+        samples.length.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        base.resolve(name).toFile)
+    }
+    write("a.wav", 40, w => 6 * (w + 1))       // ramp up: all bits 0
+    write("a2.wav", 40, w => 6 * (w + 1))      // identical content
+    write("b.wav", 80, w => 6 * (w + 1))       // 2x gain, same envelope
+    write("c.wav", 40, w => 6 * (16 - w))      // reversed: all bits 1
+    val hashes = Multimodal
+      .audioEnvelopeHash(Multimodal.readBinary(s, base.toString, "*.wav"))
+      .select(substring_index(col("path"), "/", -1).as("file"), col("afp"))
+    Dedup.hammingNearDups(hashes, "afp", "file", maxHamming = 3, bands = 16)
+      .select(col("id_a").as("file_a"), col("id_b").as("file_b"),
+        col("hamming"))
+      .orderBy("file_a", "file_b")
+  }
+  val q149Sql: String =
+    """SELECT 'a.wav' AS file_a, 'a2.wav' AS file_b,
+      |  CAST(0 AS INTEGER) AS hamming
+      |UNION ALL SELECT 'a.wav', 'b.wav', CAST(0 AS INTEGER)
+      |UNION ALL SELECT 'a2.wav', 'b.wav', CAST(0 AS INTEGER)
+      |ORDER BY file_a, file_b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -1013,7 +1060,8 @@ object Wave5Queries {
     "q145_overlap_matrix" -> (q145 _),
     "q146_power_iteration" -> (q146 _),
     "q147_autocorrelation" -> (q147 _),
-    "q148_benford" -> (q148 _))
+    "q148_benford" -> (q148 _),
+    "q149_audio_fingerprint" -> (q149 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -1042,5 +1090,6 @@ object Wave5Queries {
     "q145_overlap_matrix" -> q145Sql,
     "q146_power_iteration" -> q146Sql,
     "q147_autocorrelation" -> q147Sql,
-    "q148_benford" -> q148Sql)
+    "q148_benford" -> q148Sql,
+    "q149_audio_fingerprint" -> q149Sql)
 }

@@ -333,6 +333,22 @@ class Wave5Spec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(2) - 2.0) < 0.01) // eigenvalue
   }
 
+  test("envelopeHash: gain-invariant, reversed ramp flips all bits") {
+    import graft.ops.ext.Multimodal
+    def buf(amp: Int, dens: Int => Int): Array[Byte] =
+      Array.tabulate(1600) { i =>
+        val (w, j) = (i / 100, i % 100)
+        (if (j < dens(w)) 128 + amp else 128).toByte
+      }
+    val up = Multimodal.envelopeHashFromSamples(buf(40, w => 6 * (w + 1)), 16)
+    val gain = Multimodal.envelopeHashFromSamples(buf(80, w => 6 * (w + 1)), 16)
+    val down = Multimodal.envelopeHashFromSamples(buf(40, w => 6 * (16 - w)), 16)
+    assert(up.get == 0L)
+    assert(gain.get == up.get)
+    assert(down.get == 0x7FFFL) // all 15 comparisons flip
+    assert(Multimodal.envelopeHashFromSamples(Array.fill(8)(0.toByte), 16).isEmpty)
+  }
+
   test("madOutliers flags only the planted extreme value") {
     // 20 values near 100 plus one at 10000 → MAD small, one outlier
     val vals = (0 until 20).map(i => ("g", 100.0 + i)) :+ (("g", 10000.0))
