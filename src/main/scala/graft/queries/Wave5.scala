@@ -1032,6 +1032,62 @@ object Wave5Queries {
       |UNION ALL SELECT 'a2.wav', 'b.wav', CAST(0 AS INTEGER)
       |ORDER BY file_a, file_b""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Calibration diagnostic: decile-bucket the q93 quality score and
+    * compare each bucket's mean predicted probability against the
+    * empirical positive rate (positive = English, the weak label the
+    * other eval queries use). ntile ranks deterministically by
+    * (score, doc_id); mean scores sum through DECIMAL; the positive
+    * rate is integer counts divided once.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ext.TextAnalysis
+    val scored = TextAnalysis.logisticQuality(T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("p_keep"), (col("lang") === "en").as("pos"))
+    scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("p_keep"), col("doc_id")))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("p_keep").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("mean_p"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("decile"), col("n"), round(col("mean_p"), 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+      .orderBy("decile")
+  }
+  val q150Sql: String = {
+    val stop = graft.ops.ext.TextAnalysis.StopwordSets("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (SELECT doc_id, (lang = 'en') AS pos,
+       |    len(toks)::DOUBLE AS nt,
+       |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains([$stop], t)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END AS sr
+       |  FROM (SELECT doc_id, lang,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks,
+       |          length(text)::DOUBLE AS nc,
+       |          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS np
+       |        FROM documents)),
+       |sc AS (SELECT doc_id, pos,
+       |    round(1.0 / (1.0 + exp(-(-1.0 + sr * 4.0 + pr * (-6.0)
+       |                             + ln(nt + 1) * 0.5))), 6) AS p_keep
+       |  FROM f),
+       |b AS (SELECT pos, p_keep,
+       |    CAST(ntile(10) OVER (ORDER BY p_keep, doc_id) AS BIGINT) AS decile
+       |  FROM sc)
+       |SELECT decile, count(*) AS n,
+       |  round(CAST(sum(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE)
+       |        / count(*), 6) AS mean_p,
+       |  round(count(CASE WHEN pos THEN 1 END)::DOUBLE / count(*), 6)
+       |    AS frac_pos
+       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -1061,7 +1117,8 @@ object Wave5Queries {
     "q146_power_iteration" -> (q146 _),
     "q147_autocorrelation" -> (q147 _),
     "q148_benford" -> (q148 _),
-    "q149_audio_fingerprint" -> (q149 _))
+    "q149_audio_fingerprint" -> (q149 _),
+    "q150_calibration" -> (q150 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -1091,5 +1148,6 @@ object Wave5Queries {
     "q146_power_iteration" -> q146Sql,
     "q147_autocorrelation" -> q147Sql,
     "q148_benford" -> q148Sql,
-    "q149_audio_fingerprint" -> q149Sql)
+    "q149_audio_fingerprint" -> q149Sql,
+    "q150_calibration" -> q150Sql)
 }
