@@ -13,17 +13,22 @@ import org.apache.spark.sql.types.DecimalType
   *   - no RNG: v₀ = (1/√d, …, 1/√d) — one IEEE sqrt, identical in any
   *     engine (exactly 0.125 for the d = 64 corpus);
   *   - a fixed round count, not a float-sensitive convergence test;
-  *   - every order-sensitive sum (Gram entries, matrix·vector
-  *     components, the norm) accumulates per-term DECIMAL(38,18)
-  *     products — exact and order-independent at any parallelism —
-  *     with ONE double division/sqrt per scalar at the boundary.
+  *   - the corpus-sized Gram sums use the split-long construction
+  *     (the q124 rule — wide DECIMAL aggregation buffers are
+  *     BigDecimal-backed and ~20× slower): each product shifts by +4
+  *     (non-negative for |x| ≤ 2, the unit-ish embedding envelope),
+  *     quantizes to `floor(q·10⁸ + 0.5)` as a long, and the `>>20` /
+  *     `&0xFFFFF` halves sum as plain longs — order-independent
+  *     exactness at native speed, recombined once per cell (DuckDB:
+  *     HUGEINT). The tiny d-row matvec/norm sums stay DECIMAL(38,18).
   *
   * Scale shape: the Gram build is the only corpus-sized work — the
   * per-row outer product rides an `id`-keyed self-join of the exploded
-  * components (n·d² product rows, map-side combined into d² cells);
-  * every iteration after that joins the d²-row matrix against a d-row
-  * vector (both broadcast-sized for any practical d). Lineage grows
-  * linearly in rounds.
+  * components (broadcast, so the n·d² product stream never shuffles;
+  * the map-side combine reduces it to d² cells); every iteration after
+  * that joins the d²-row matrix against a d-row vector (both
+  * broadcast-sized for any practical d). Lineage grows linearly in
+  * rounds.
   */
 object Spectral {
 
@@ -37,16 +42,22 @@ object Spectral {
     require(iters >= 1 && dims >= 1)
     val spark = df.sparkSession
     val dec = DecimalType(38, 18)
-    val cnt = df.agg(count(lit(1)).as("__cnt"))
     val e = df.select(col(idCol).as("id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
       .select(col("id"), col("i").cast("long").as("i"), col("x"))
-    val m = e.as("a").join(e.as("b"), Seq("id"))
+    // split-long Gram sums: shifted product q = x·y + 4 ≥ 0, quantized
+    // to 1e-8 longs; the -4·n un-shift uses the cell's exact count
+    val q = floor((col("a.x") * col("b.x") + lit(4.0)) * lit(1e8)
+      + lit(0.5)).cast("long")
+    val m = e.as("a").join(broadcast(e.as("b")), Seq("id"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum((col("a.x") * col("b.x")).cast(dec)).as("s"))
-      .crossJoin(broadcast(cnt))
+      .agg(count(lit(1)).as("n"),
+        sum(shiftright(q, 20)).as("hi"),
+        sum(q.bitwiseAND(lit(1048575L))).as("lo"))
       .select(col("i"), col("j"),
-        (col("s").cast("double") / col("__cnt")).as("m"))
+        (((col("hi").cast("decimal(38,0)") * lit(1048576L) + col("lo"))
+          .cast("double") / lit(1e8) - lit(4.0) * col("n")) / col("n"))
+          .as("m"))
       .persist()
     var v = spark.range(0, dims.toLong)
       .select(col("id").as("i"),

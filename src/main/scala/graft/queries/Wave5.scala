@@ -847,8 +847,9 @@ object Wave5Queries {
   /** Spectral direction ([[graft.ops.ext.Spectral.dominantEigen]]):
     * 3-round power iteration on the embeddings' second-moment matrix —
     * the PCA-direction primitive, fully reproducible (fixed v₀ = 1/8,
-    * DECIMAL-exact Gram/matvec/norm sums, fixed round count) and so
-    * oracle-checkable like k-means (q97) and PageRank (q77).
+    * split-long exact Gram sums at native aggregation speed, DECIMAL
+    * matvec/norm sums, fixed round count) and so oracle-checkable like
+    * k-means (q97) and PageRank (q77).
     */
   def q146(s: SparkSession, dir: String): DataFrame =
     graft.ops.ext.Spectral.dominantEigen(T(s, dir, "embeddings"),
@@ -856,14 +857,16 @@ object Wave5Queries {
   val q146Sql: String = {
     val dec = "DECIMAL(38,18)"
     val sb = new StringBuilder
+    val vq = "CAST(floor((a.x * b.x + 4.0) * 100000000.0e0 + 0.5e0) AS BIGINT)"
     sb ++= s"""WITH v AS (SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec
        |           FROM embeddings),
        |e AS (SELECT id, CAST(o - 1 AS BIGINT) AS i, x
        |      FROM (SELECT id, unnest(vec) AS x,
        |              generate_subscripts(vec, 1) AS o FROM v)),
        |m AS (SELECT a.i AS i, b.i AS j,
-       |        CAST(sum(CAST(a.x * b.x AS $dec)) AS DOUBLE)
-       |          / (SELECT count(*) FROM v) AS m
+       |        (CAST(CAST(sum(($vq >> 20)) AS HUGEINT) * 1048576
+       |              + sum(($vq & 1048575)) AS DOUBLE) / 100000000.0e0
+       |         - 4.0 * count(*)) / count(*) AS m
        |      FROM e a JOIN e b USING (id) GROUP BY 1, 2),
        |v0 AS (SELECT CAST(i AS BIGINT) AS i, 1.0e0 / sqrt(64.0e0) AS v
        |       FROM range(64) t(i))""".stripMargin
@@ -1088,6 +1091,43 @@ object Wave5Queries {
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Streaming EWMA ([[graft.streaming.Stateful.runningEwma]]): the
+    * q135 smoothing as per-key running state over the bounded event
+    * stream — per-batch groups sort by (ts, event_id) before folding,
+    * so the single-batch smoke reproduces the batch fold exactly and
+    * the result hash-checks against the same oracle arithmetic.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Stateful, StreamOps}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(s"$dir/events.parquet")
+    val schema = s.read.parquet(f.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Stateful.TimedEvent]
+    StreamOps.withStatePartitions(s, 8) {
+      val q = Stateful.runningEwma(s, src, alpha = 0.25)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("q151_ewma").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("q151_ewma")
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+  val q151Sql: String =
+    """WITH g AS (SELECT user_id,
+      |    list(value ORDER BY ts, event_id) AS vs,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  round(list_reduce(vs, (s, x) -> 0.25e0 * x + 0.75e0 * s), 6) AS ewma
+      |FROM g ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_zorder" -> (q122 _),
@@ -1118,7 +1158,8 @@ object Wave5Queries {
     "q147_autocorrelation" -> (q147 _),
     "q148_benford" -> (q148 _),
     "q149_audio_fingerprint" -> (q149 _),
-    "q150_calibration" -> (q150 _))
+    "q150_calibration" -> (q150 _),
+    "q151_stream_ewma" -> (q151 _))
 
   val oracles: Map[String, String] = Map(
     "q122_zorder" -> q122Sql,
@@ -1149,5 +1190,6 @@ object Wave5Queries {
     "q147_autocorrelation" -> q147Sql,
     "q148_benford" -> q148Sql,
     "q149_audio_fingerprint" -> q149Sql,
-    "q150_calibration" -> q150Sql)
+    "q150_calibration" -> q150Sql,
+    "q151_stream_ewma" -> q151Sql)
 }

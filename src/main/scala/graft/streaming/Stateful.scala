@@ -57,4 +57,36 @@ object Stateful {
         }
       }
   }
+
+  case class TimedEvent(user_id: Long, ts: Long, event_id: Long,
+                        value: Double)
+  case class EwmaState(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.ops.Rolling.ewma]]: per-key running
+    * exponential smoothing. Each micro-batch's group SORTS its events
+    * by (ts, event_id) before folding (the iterator order is not
+    * guaranteed), so with in-order arrival across batches — and
+    * exactly in the bounded single-batch smoke — the final state
+    * equals the batch fold op-for-op: s₁ = x₁, sᵢ = α·xᵢ + (1−α)·sᵢ₋₁
+    * in IEEE doubles. State per key is one (n, ewma) record.
+    */
+  def updateEwma(alpha: Double)(userId: Long, events: Iterator[TimedEvent],
+      state: GroupState[EwmaState]): Iterator[EwmaState] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    val next = sorted.foldLeft(state.getOption) {
+      case (None, e) => Some(EwmaState(userId, 1L, e.value))
+      case (Some(s), e) => Some(EwmaState(userId, s.n_events + 1,
+        alpha * e.value + (1.0 - alpha) * s.ewma))
+    }
+    next.foreach(state.update)
+    next.iterator
+  }
+
+  def runningEwma(spark: SparkSession, events: Dataset[TimedEvent],
+      alpha: Double): Dataset[EwmaState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateEwma(alpha))
+  }
 }

@@ -39,6 +39,38 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
   }
 
+  test("runningEwma single-batch stream equals the batch array fold") {
+    val src = Files.createTempDirectory("ewma_src").toString
+    // 3 users x 40 events, ts deliberately written out of order
+    val rows = for (u <- 1L to 3L; i <- 0L until 40L)
+      yield (u, (40 - i) * 1000L, u * 100 + i, (i % 7).toDouble + u)
+    rows.toDF("user_id", "ts", "event_id", "value")
+      .write.mode("overwrite").parquet(src)
+    val streamed = StreamOps.withStatePartitions(spark, 4) {
+      val ds = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+        .as[Stateful.TimedEvent]
+      val q = Stateful.runningEwma(spark, ds, alpha = 0.25)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("ewma_spec").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("ewma_spec")
+        .select("user_id", "n_events", "ewma")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val batch = graft.ops.Rolling.ewma(
+      spark.read.parquet(src), Seq("user_id"),
+      Seq(col("ts"), col("event_id")), "value", alpha = 0.25)
+      .select(col("user_id"), col("n_events"), col("ewma"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+    // batch op rounds to 6 dp; round the streamed side identically
+    val streamedR = streamed.map(t => (t._1, t._2,
+      BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+    assert(streamedR == batch)
+  }
+
   test("compact resizes a many-file table without changing its rows") {
     val in = Files.createTempDirectory("compact_in").toString + "/t"
     val out = Files.createTempDirectory("compact_out").toString + "/t"
