@@ -65,7 +65,10 @@ object Eval {
   /** Mann–Whitney AUC of `scoreCol` against boolean `posCol`:
     * AUC = (Σ_pos midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg), ties
     * at mid-rank. Integer-exact until the final division; ranks the
-    * (small, labeled) eval frame in one global sort.
+    * (small, labeled) eval frame in one global sort. `scored` must
+    * carry an `id` column — the deterministic tie-break for the rank
+    * ordering (the mid-rank construction makes the STATISTIC
+    * tie-order-independent; the id only pins row numbering).
     */
   def rocAuc(scored: DataFrame, scoreCol: String, posCol: String)
       : DataFrame = {
