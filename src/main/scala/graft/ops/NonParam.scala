@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Nonparametric / distribution-free statistics over a numeric column:
+  * Spearman rank correlation, the two-sample Kolmogorov–Smirnov
+  * statistic, and a block-jackknife standard error. These are the
+  * robustness companions to the moment-based profilers
+  * ([[Profile.correlationPairs]], [[GroupStats]]) — rank- and
+  * count-based, so every intermediate is an INTEGER and the result is
+  * bit-identical across engines, partitionings and retries.
+  *
+  * Scale shapes:
+  *  - `spearman` ranks each column with a window over the full table —
+  *    a range-partitioned sort, the same cost class as any global
+  *    ORDER BY — then folds exact integer moments in one aggregation.
+  *  - `ksTest` aggregates to the DISTINCT-value domain first (one hash
+  *    shuffle), so the prefix-sum window walks |domain| rows, not
+  *    |table| rows.
+  *  - `blockJackknife` is a single pass: rows hash deterministically
+  *    into `nBlocks` sub-aggregates; the leave-one-out algebra runs on
+  *    the tiny block summary.
+  */
+object NonParam {
+
+  /** Doubled average rank of `c` over the whole frame: ties get the
+    * average of their positions; doubling (2·avg = 2·rank + cnt − 1)
+    * keeps it integral. rank() needs one global sort; the tie count
+    * reuses the same shuffle (window partitioned by the value).
+    */
+  private def doubledRank(df: DataFrame, c: String, out: String): DataFrame = {
+    val byVal = Window.orderBy(col(c))
+    val tie = Window.partitionBy(col(c))
+    df.withColumn(out,
+      lit(2L) * rank().over(byVal).cast("long") +
+        count(lit(1)).over(tie) - lit(1L))
+  }
+
+  /** Spearman's ρ between `xCol` and `yCol` (ties → average ranks).
+    * Pearson on the doubled integer ranks: all sums are exact
+    * (DECIMAL(38,0) accumulators — doubled ranks ≤ 2n, so Σr² ≤ 4n³
+    * needs >64 bits at warehouse scale), one closed-form division at
+    * the end. Output: `n`, `rho` (6 dp).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val ranked = doubledRank(doubledRank(
+      df.select(col(xCol).as("__x"), col(yCol).as("__y")),
+      "__x", "rx"), "__y", "ry")
+    val d = DecimalType(38, 0)
+    // products in DECIMAL (doubled ranks reach 2n — long·long would
+    // overflow past ~2^31.5 rows), sums exact in DECIMAL(38,0)
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
+      sum(col("rx").cast(d) * col("rx").cast(d)).as("sxx"),
+      sum(col("ry").cast(d) * col("ry").cast(d)).as("syy"),
+      sum(col("rx").cast(d) * col("ry").cast(d)).as("sxy"))
+    agg.select(col("n"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D between the `valueCol`
+    * distributions of rows where `groupCol = a` vs `= b`. Exact via
+    * cross-multiplied integer ECDFs: D·n_a·n_b = max |cum_a·n_b −
+    * cum_b·n_a| over the merged distinct-value domain — no float
+    * compare ever decides the max. Output: `n_a`, `n_b`, `d_num`
+    * (the exact integer numerator) and `d` (6 dp).
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             a: String, b: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.select(
+      sum(col("ca")).over(w).as("cuma"),
+      sum(col("cb")).over(w).as("cumb"))
+    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+  }
+
+  /** Block-jackknife standard error of the mean of `valueCol`:
+    * rows land in `nBlocks` deterministic blocks by multiplicative
+    * hash of `idCol` (portable — no xxhash), each block contributes
+    * (count, DECIMAL sum), and the leave-one-block-out pseudo-value
+    * variance gives the SE. One aggregation pass over the data; the
+    * jackknife algebra runs on `nBlocks` rows. Output: `n`, `mean`,
+    * `se_jack`, `ci_lo`, `ci_hi` (±1.96·SE, all 6 dp).
+    */
+  def blockJackknife(df: DataFrame, valueCol: String, idCol: String,
+                     nBlocks: Int = 32): DataFrame = {
+    require(nBlocks >= 2)
+    // Knuth multiplicative hash; the id is folded to 20 bits FIRST so
+    // the product stays < 2^51 (ANSI mode makes long overflow an
+    // error, and the same guarded arithmetic ports to any SQL engine)
+    val blk = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(4294967296L)) % nBlocks
+    val blocks = df
+      .select(blk.as("b"), col(valueCol).cast(DecimalType(28, 6)).as("v"))
+      .groupBy("b").agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+    val tot = blocks.agg(
+      sum(col("c")).as("n"), sum(col("s")).as("st"),
+      count(lit(1)).as("g")).select(
+      col("n"), col("st"), col("g"),
+      (col("st").cast("double") / col("n")).as("mean"))
+    // pseudo-mean_i = (S - s_i) / (N - c_i); SE² = (g-1)/g · Σ (m_i - m̄_p)²
+    val pv = blocks.crossJoin(broadcast(tot))
+      .select(col("n"), col("g"), col("mean"),
+        ((col("st") - col("s")).cast("double") /
+          (col("n") - col("c")).cast("double")).as("m_i"))
+    pv.groupBy(col("n"), col("g"), col("mean"))
+      .agg(
+        (sum(col("m_i").cast(DecimalType(38, 18))).cast("double") / col("g"))
+          .as("mbar"),
+        sum((col("m_i") * col("m_i")).cast(DecimalType(38, 18))).as("ssq"))
+      .select(col("n"), round(col("mean"), 6).as("mean"),
+        round(sqrt(((col("g") - 1).cast("double") / col("g")) *
+          (col("ssq").cast("double") - col("g") * col("mbar") * col("mbar"))),
+          6).as("se_jack"))
+      .select(col("n"), col("mean"), col("se_jack"),
+        round(col("mean") - lit(1.96) * col("se_jack"), 6).as("ci_lo"),
+        round(col("mean") + lit(1.96) * col("se_jack"), 6).as("ci_hi"))
+  }
+}
