@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key trend analytics over bounded ordered series (daily rollups,
+  * sensor windows): the Mann–Kendall trend statistic with a Theil–Sen
+  * slope, Holt double-exponential smoothing, and CUSUM changepoint
+  * detection.
+  *
+  * Scale shapes: series here are BOUNDED per key (a day index, a
+  * fixed sensor window), so the pair generation in
+  * [[mannKendall]] is O(k²) per key on a per-key-bounded k — a
+  * broadcast-sized frame per group, never a corpus cross join. The
+  * fold operators ([[holt]], [[cusum]]) collect each key's bounded
+  * history into an array in ONE hash aggregation and run a codegen'd
+  * sequential fold — same recipe as [[Rolling.ewma]]; unbounded
+  * histories belong to the streaming twins.
+  *
+  * Determinism: every recurrence folds from the FIRST element in
+  * explicit order (DuckDB's list_reduce shape); smoothing factors must
+  * be exact binary fractions so their complements are bit-identical;
+  * sign decisions compare doubles that both engines computed from the
+  * same exact (DECIMAL-summed, 6-dp-rounded) inputs.
+  */
+object Trend {
+
+  /** Mann–Kendall S = Σ_{i<j} sign(xⱼ−xᵢ) plus the Theil–Sen slope
+    * (the LOWER median of pairwise slopes, tie-broken by (slope, i, j))
+    * per key, over rows ordered by integer `idxCol`. Output: key, `n`
+    * (series length), `n_pairs`, `s_stat`, `theil_sen` (6 dp).
+    */
+  def mannKendall(df: DataFrame, keyCol: String, idxCol: String,
+                  valueCol: String): DataFrame = {
+    val l = df.select(col(keyCol).as("k"), col(idxCol).as("i"),
+      col(valueCol).as("vi"))
+    val r = df.select(col(keyCol).as("k2"), col(idxCol).as("j"),
+      col(valueCol).as("vj"))
+    val pairs = l.join(r, col("k") === col("k2") && col("i") < col("j"))
+      .select(col("k"), col("i"), col("j"),
+        (col("vj") - col("vi")).as("dv"),
+        ((col("vj") - col("vi")) / (col("j") - col("i"))).as("slope"))
+    val w = Window.partitionBy("k").orderBy(col("slope"), col("i"), col("j"))
+    val ranked = pairs
+      .select(col("k"), col("dv"), col("slope"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("k")).as("n_pairs"))
+    val nSeries = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val agg = ranked.groupBy("k", "n_pairs")
+      .agg(sum(signum(col("dv")).cast("long")).as("s_stat"),
+        // lower median: the row at rank (n_pairs+1) div 2 (integer div)
+        max(when(col("rn") === expr("(n_pairs + 1) div 2"), col("slope")))
+          .as("ts_slope"))
+    nSeries.join(agg, "k")
+      .select(col("k").as(keyCol), col("n"), col("n_pairs"),
+        col("s_stat"), round(col("ts_slope"), 6).as("theil_sen"))
+  }
+
+  /** Holt linear (double-exponential) smoothing per key with α pinned
+    * to ½: l₁ = x₁, t₁ = 0; lᵢ = ½xᵢ + ½(lᵢ₋₁+tᵢ₋₁) and the trend
+    * update in its α=½ NEW-LEVEL form tᵢ = β(xᵢ−lᵢ) + tᵢ₋₁ (identical
+    * algebra to the textbook β(lᵢ−lᵢ₋₁)+(1−β)tᵢ₋₁, but every operand
+    * is either the fresh level or untouched state — the shape DuckDB's
+    * list_reduce reproduces op-for-op, since its struct accumulator
+    * updates FIELDS SEQUENTIALLY and a later field expression sees the
+    * earlier field already overwritten). β must be an exact binary
+    * fraction. Output: key, `n`, `level`, `trend`, `forecast` =
+    * level+trend (all 6 dp).
+    */
+  def holt(df: DataFrame, keyCol: String, orderCol: String,
+           valueCol: String, beta: Double): DataFrame = {
+    require(beta > 0 && beta < 1)
+    val sorted = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(valueCol).cast("double").as("__v"))))
+        .as("__s"), count(lit(1)).as("n"))
+    val vals = transform(col("__s"), e => e.getField("__v"))
+    val st = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      named_struct(lit("l"), element_at(vals, 1), lit("t"), lit(0.0)),
+      (acc, x) => {
+        val nl = lit(0.5) * x +
+          lit(0.5) * (acc.getField("l") + acc.getField("t"))
+        named_struct(lit("l"), nl,
+          lit("t"), lit(beta) * (x - nl) + acc.getField("t"))
+      })
+    sorted.select(col(keyCol), col("n"), st.as("__st"))
+      .select(col(keyCol), col("n"),
+        round(col("__st.l"), 6).as("level"),
+        round(col("__st.t"), 6).as("trend"),
+        round(col("__st.l") + col("__st.t"), 6).as("forecast"))
+  }
+
+  /** One-sided CUSUM drift detector per key: S₀ = 0,
+    * Sᵢ = max(0, Sᵢ₋₁ + xᵢ − target), reporting the series max of S —
+    * computed in its WINDOW closed form max_i (cᵢ − min(0, min_{j≤i}
+    * cⱼ)) where c is the running sum of (x − target). No per-key array
+    * ever materializes (this scales to unbounded series), and because
+    * x and target are 6-dp-quantized the running sums ride DECIMAL:
+    * every comparison and max is exact, immune to both engines'
+    * float-summation order. `target` is a per-key (or
+    * broadcast-constant) column, pre-rounded to 6 dp by the caller.
+    * Output: key, `n`, `max_cusum` (6 dp), `rel` = max/target (6 dp).
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+            valueCol: String, targetCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sum(col(valueCol).cast(dec) - col(targetCol).cast(dec)).over(w)
+    val run = df.select(col(keyCol), col(orderCol), col(targetCol), c.as("__c"))
+    val sv = col("__c") - least(lit(0).cast(dec), min(col("__c")).over(w))
+    run.select(col(keyCol), col(targetCol).as("__tgt"), sv.as("__sv"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(col("__sv")).as("__m"),
+        first(col("__tgt")).as("__t"))
+      .select(col(keyCol), col("n"),
+        round(col("__m").cast("double"), 6).as("max_cusum"),
+        round(col("__m").cast("double") / col("__t"), 6).as("rel"))
+  }
+}

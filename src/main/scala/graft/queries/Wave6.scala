@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.ops.NonParam
+import graft.ops.{NonParam, Trend}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-4 "wave 6" query set (q152+): nonparametric statistics,
   * trend/changepoint analytics, graph structure metrics, and
@@ -103,13 +104,144 @@ object Wave6Queries {
       |  round(mean + 1.96e0 * se_jack, 6) AS ci_hi
       |FROM se""".stripMargin
 
+  // ----------------------------------------------------- daily series
+  /** Shared input for the trend queries (q155–q157): per-event-type
+    * daily value sums, DECIMAL-exact then rounded to 6 dp so both
+    * engines fold over bit-identical series; `idx` = day-of-January
+    * (the events table spans 2024-01).
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    ExtQueries.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+        .as("daily"))
+      .withColumn("idx",
+        (datediff(col("day").cast("date"), lit("2024-01-01").cast("date"))
+          + 1).cast("long"))
+      .select("event_type", "idx", "daily")
+
+  private val dailySeriesSql: String =
+    """SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |                   CAST(date_trunc('day', ts) AS DATE)) + 1 AS BIGINT)
+      |      AS idx,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |      AS daily
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** Mann–Kendall trend + Theil–Sen slope ([[Trend.mannKendall]]) of
+    * each event type's daily value series: S on exact sign counts, the
+    * slope as the lower median of pairwise slopes. Pairs are O(days²)
+    * per key — bounded, never corpus-sized.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame =
+    Trend.mannKendall(dailySeries(s, dir), "event_type", "idx", "daily")
+      .orderBy("event_type")
+  val q155Sql: String =
+    s"""WITH s AS ($dailySeriesSql),
+       |p AS (SELECT a.event_type, a.idx AS i, b.idx AS j,
+       |    b.daily - a.daily AS dv,
+       |    (b.daily - a.daily) / (b.idx - a.idx) AS slope
+       |  FROM s a JOIN s b
+       |    ON a.event_type = b.event_type AND a.idx < b.idx),
+       |rk AS (SELECT event_type, dv, slope,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY slope, i, j) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+       |  FROM p),
+       |ag AS (SELECT event_type, n_pairs,
+       |    sum(CAST(sign(dv) AS BIGINT)) AS s_stat,
+       |    max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END) AS ts
+       |  FROM rk GROUP BY event_type, n_pairs),
+       |ns AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1)
+       |SELECT ns.event_type, ns.n, ag.n_pairs, ag.s_stat,
+       |  round(ag.ts, 6) AS theil_sen
+       |FROM ns JOIN ag USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** Holt double-exponential smoothing ([[Trend.holt]], α=½ β=0.25)
+    * of the daily series — level, trend, and one-step forecast per
+    * event type. The oracle replays the recurrence as a RECURSIVE CTE
+    * (one row per step) rather than a list_reduce struct fold: DuckDB
+    * v1.0.0 evaluates struct-lambda folds with inconsistent
+    * field-update ordering across steps, while recursive-CTE scalar
+    * projection reproduces the engine's fold op-for-op.
+    */
+  def q156(s: SparkSession, dir: String): DataFrame =
+    Trend.holt(dailySeries(s, dir), "event_type", "idx", "daily",
+      beta = 0.25)
+      .orderBy("event_type")
+  val q156Sql: String =
+    s"""WITH RECURSIVE s AS ($dailySeriesSql),
+       |n AS (SELECT event_type, daily,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS len
+       |  FROM s),
+       |rec AS (
+       |  SELECT event_type, rn, len, daily AS l, 0.0e0 AS t
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.event_type, n.rn, n.len,
+       |    0.5e0 * n.daily + 0.5e0 * (rec.l + rec.t) AS l,
+       |    0.25e0 * (n.daily
+       |              - (0.5e0 * n.daily + 0.5e0 * (rec.l + rec.t)))
+       |      + rec.t AS t
+       |  FROM rec JOIN n
+       |    ON n.event_type = rec.event_type AND n.rn = rec.rn + 1)
+       |SELECT event_type, len AS n, round(l, 6) AS level,
+       |  round(t, 6) AS trend, round(l + t, 6) AS forecast
+       |FROM rec WHERE rn = len ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** CUSUM drift detection ([[Trend.cusum]]): one-sided cumulative
+    * excursion of each event type's daily sums above the GLOBAL mean
+    * daily sum (6-dp-rounded, broadcast as the target). Pure window
+    * algebra in DECIMAL — S's running sums, mins and the final max are
+    * all exact, so the only floats are the two reported quotients.
+    */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val series = dailySeries(s, dir)
+    val tgt = series.agg(
+      round(sum(col("daily").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)), 6).as("tgt"))
+    Trend.cusum(series.crossJoin(broadcast(tgt)),
+      "event_type", "idx", "daily", "tgt")
+      .orderBy("event_type")
+  }
+  val q157Sql: String =
+    s"""WITH s AS ($dailySeriesSql),
+       |t AS (SELECT round(CAST(sum(CAST(daily AS DECIMAL(18,6))) AS DOUBLE)
+       |             / count(*), 6) AS tgt FROM s),
+       |c AS (SELECT event_type, idx, tgt,
+       |    sum(CAST(daily AS DECIMAL(18,6)) - CAST(tgt AS DECIMAL(18,6)))
+       |      OVER (PARTITION BY event_type ORDER BY idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM s, t),
+       |sv AS (SELECT event_type, tgt,
+       |    c - least(CAST(0 AS DECIMAL(18,6)), min(c)
+       |      OVER (PARTITION BY event_type ORDER BY idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+       |  FROM c)
+       |SELECT event_type, count(*) AS n,
+       |  round(CAST(max(sv) AS DOUBLE), 6) AS max_cusum,
+       |  round(CAST(max(sv) AS DOUBLE) / any_value(tgt), 6) AS rel
+       |FROM sv GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_spearman" -> (q152 _),
     "q153_ks_test" -> (q153 _),
-    "q154_jackknife" -> (q154 _))
+    "q154_jackknife" -> (q154 _),
+    "q155_mann_kendall" -> (q155 _),
+    "q156_holt" -> (q156 _),
+    "q157_cusum" -> (q157 _))
 
   val oracles: Map[String, String] = Map(
     "q152_spearman" -> q152Sql,
     "q153_ks_test" -> q153Sql,
-    "q154_jackknife" -> q154Sql)
+    "q154_jackknife" -> q154Sql,
+    "q155_mann_kendall" -> q155Sql,
+    "q156_holt" -> q156Sql,
+    "q157_cusum" -> q157Sql)
 }
