@@ -24,6 +24,142 @@ import org.apache.spark.sql.functions._
   * connected-components operator's.
   */
 object Graph {
+
+  /** Canonical undirected co-occurrence edges: items sharing at least
+    * `minShared` groups (parts co-ordered in `minShared` orders, docs
+    * sharing shingles, ...). One self equi-join on the group key, so
+    * pair generation is O(size²) PER GROUP — bounded by the group
+    * fan-out (order line count, shingle df), never corpus-sized; the
+    * caller caps group size the same way the n-gram joins cap df.
+    * Output: `src` < `dst`, distinct.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        minShared: Long): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    g.select(col("g"), col("item").as("src"))
+      .join(g.select(col("g"), col("item").as("dst")), Seq("g"))
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select("src", "dst")
+  }
+
+  /** Per-node triangle count and local clustering coefficient via the
+    * degree-ordered wedge join: orient each edge from its lower
+    * (degree, id) endpoint to the higher, join directed edges on the
+    * shared source to form wedges, close them against the directed
+    * edge set. Each triangle materializes exactly once (at its
+    * (degree, id)-minimal corner), and the orientation bounds the
+    * out-degree by O(√m) — the standard skew-proof triangle recipe,
+    * so a celebrity hub never builds deg² wedges. All counts are
+    * integers; `clustering` = 2·tri / (deg·(deg−1)) is one double
+    * division over exact operands, engine-portable.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val wd = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = wd.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      .join(dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
+        Seq("u"))
+      .where(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tris = wedges
+      .join(dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
+  /** Bounded-round k-core peel: `rounds` iterations of (count degrees,
+    * keep nodes with degree ≥ k, restrict edges to survivors), then
+    * report each survivor's residual degree and whether it still meets
+    * k. With enough rounds this converges to the exact k-core; a FIXED
+    * round count keeps the lineage finite and the result deterministic
+    * (same contract as [[pageRank]]'s fixed iterations — unbounded
+    * convergence loops at 100 TB belong to a checkpointed driver
+    * program). Each round is one aggregation plus two semi-shaped
+    * joins on the shrinking survivor set. Isolated nodes never enter
+    * (no incident edges). All-integer, engine-portable.
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    for (_ <- 1 to rounds) {
+      val alive = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+      sym = sym.join(alive, Seq("node"))
+        .join(alive.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .select("node", "nbr")
+    }
+    sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node"), col("deg"), (col("deg") >= k).as("in_core"))
+  }
+
+  /** Degree assortativity: the Pearson correlation between the degrees
+    * at the two ends of each edge (both orientations, the undirected
+    * convention). Because the symmetric edge list makes the two
+    * marginals identical, r = (m·Σxy − (Σx)²) / (m·Σxx − (Σx)²) —
+    * no square roots. Sums ride DECIMAL (exact at any scale, like
+    * DuckDB's HUGEINT), are each < 2⁵³ so their double casts are
+    * exact, and the final expression is one fixed-order double
+    * computation — bit-identical across engines and partitionings.
+    * Returns one row: `n_edges`, `assortativity` (6 dp; NaN on a
+    * degree-regular graph, where the variance is zero — callers on
+    * possibly-regular graphs guard the denominator).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("node"), col("deg").as("dx")), "node")
+      .join(deg.select(col("node").as("nbr"), col("deg").as("dy")), "nbr")
+    val s = pairs.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+      sum((col("dx") * col("dx")).cast(dec)).as("sxx"))
+    val (m, sx, sxy, sxx) = (col("m").cast("double"),
+      col("sx").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"))
+    s.select(expr("m div 2").as("n_edges"),
+      round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6)
+        .as("assortativity"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50)

@@ -229,13 +229,128 @@ object Wave6Queries {
        |  round(CAST(max(sv) AS DOUBLE) / any_value(tgt), 6) AS rel
        |FROM sv GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- co-order graph
+  /** Shared input for the graph-structure queries (q158–q160): the
+    * part co-purchase graph — an edge between two parts that appear
+    * together in ≥ 2 distinct orders ([[graft.ops.Graph.coOccurrenceEdges]]).
+    * Pair generation is O(lines²) per order (≤ 7 lines), so the build
+    * is one bounded self-join however large lineitem grows.
+    */
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.coOccurrenceEdges(
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minShared = 2L)
+
+  private val coOrderEdgesSql: String =
+    """SELECT a.item AS src, b.item AS dst
+      |  FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |        FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |        FROM lineitem) b
+      |    ON a.g = b.g AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** Triangle count + local clustering coefficient per part
+    * ([[graft.ops.Graph.triangleStats]]) over the co-order graph: the
+    * degree-ordered wedge join closes each triangle exactly once at
+    * its (degree, id)-minimal corner.
+    */
+  def q158(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(coOrderEdges(s, dir)).orderBy("node")
+  val q158Sql: String =
+    s"""WITH e AS ($coOrderEdgesSql),
+       |sym AS (SELECT src AS node, dst AS nbr FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+       |dir AS (SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)
+       |         THEN e.src ELSE e.dst END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)
+       |         THEN e.dst ELSE e.src END AS v,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)
+       |         THEN db.deg ELSE da.deg END AS dv
+       |  FROM e JOIN deg da ON e.src = da.node
+       |         JOIN deg db ON e.dst = db.node),
+       |tri AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+       |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u
+       |    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+       |  JOIN dir d ON d.u = e1.v AND d.v = e2.v),
+       |pn AS (SELECT node, count(*) AS tri FROM (
+       |    SELECT u AS node FROM tri
+       |    UNION ALL SELECT v1 FROM tri
+       |    UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+       |SELECT deg.node, deg.deg, coalesce(pn.tri, 0) AS tri,
+       |  round(CASE WHEN deg.deg >= 2
+       |    THEN 2.0e0 * coalesce(pn.tri, 0) / (deg.deg * (deg.deg - 1))
+       |    ELSE 0.0e0 END, 6) AS clustering
+       |FROM deg LEFT JOIN pn USING (node)
+       |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  /** Bounded 3-round k-core peel at k = 4
+    * ([[graft.ops.Graph.kCorePeel]]): survivors with residual degree
+    * and the in-core flag — the "densely cross-sold parts" audit.
+    */
+  def q159(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCorePeel(coOrderEdges(s, dir), k = 4L, rounds = 3)
+      .orderBy("node")
+  val q159Sql: String = {
+    def peel(prev: String, i: Int): String =
+      s"""a$i AS (SELECT node FROM (SELECT node, count(*) AS d FROM $prev
+         |  GROUP BY 1) WHERE d >= 4),
+         |s$i AS (SELECT s.node, s.nbr FROM $prev s
+         |  JOIN a$i x ON s.node = x.node
+         |  JOIN a$i y ON s.nbr = y.node)""".stripMargin
+    s"""WITH e AS ($coOrderEdgesSql),
+       |s0 AS (SELECT src AS node, dst AS nbr FROM e
+       |       UNION ALL SELECT dst, src FROM e),
+       |${peel("s0", 1)},
+       |${peel("s1", 2)},
+       |${peel("s2", 3)}
+       |SELECT node, count(*) AS deg, count(*) >= 4 AS in_core
+       |FROM s3 GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q160
+  /** Degree assortativity of the co-order graph
+    * ([[graft.ops.Graph.degreeAssortativity]]): do high-degree parts
+    * co-sell with other high-degree parts? DECIMAL-exact sums, one
+    * fixed-order double expression.
+    */
+  def q160(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(coOrderEdges(s, dir))
+  val q160Sql: String =
+    s"""WITH e AS ($coOrderEdgesSql),
+       |sym AS (SELECT src AS node, dst AS nbr FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+       |p AS (SELECT dx.deg AS a, dy.deg AS b
+       |  FROM sym JOIN deg dx ON sym.node = dx.node
+       |           JOIN deg dy ON sym.nbr = dy.node),
+       |s AS (SELECT count(*) AS m,
+       |    sum(CAST(a AS HUGEINT)) AS sx,
+       |    sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy,
+       |    sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx
+       |  FROM p)
+       |SELECT m // 2 AS n_edges,
+       |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       |    AS assortativity
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_spearman" -> (q152 _),
     "q153_ks_test" -> (q153 _),
     "q154_jackknife" -> (q154 _),
     "q155_mann_kendall" -> (q155 _),
     "q156_holt" -> (q156 _),
-    "q157_cusum" -> (q157 _))
+    "q157_cusum" -> (q157 _),
+    "q158_triangles" -> (q158 _),
+    "q159_kcore" -> (q159 _),
+    "q160_assortativity" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
     "q152_spearman" -> q152Sql,
@@ -243,5 +358,8 @@ object Wave6Queries {
     "q154_jackknife" -> q154Sql,
     "q155_mann_kendall" -> q155Sql,
     "q156_holt" -> q156Sql,
-    "q157_cusum" -> q157Sql)
+    "q157_cusum" -> q157Sql,
+    "q158_triangles" -> q158Sql,
+    "q159_kcore" -> q159Sql,
+    "q160_assortativity" -> q160Sql)
 }
