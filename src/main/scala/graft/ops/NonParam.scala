@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -136,5 +136,53 @@ object NonParam {
       .select(col("n"), col("mean"), col("se_jack"),
         round(col("mean") - lit(1.96) * col("se_jack"), 6).as("ci_lo"),
         round(col("mean") + lit(1.96) * col("se_jack"), 6).as("ci_hi"))
+  }
+
+  /** Welch's unequal-variance t-test between groups `a` and `b` of
+    * `groupCol`: t statistic and Welch–Satterthwaite degrees of
+    * freedom from split-long exact moment sums (the
+    * [[Profile.correlationPairs]] recipe — per-row moments quantized
+    * to 10^-scale, hi/lo-half sums, DECIMAL recombination), so the
+    * whole test is ONE aggregation pass and every float derives from
+    * exact sums via a fixed-order expression. Values must be
+    * non-negative (the quantized split assumes it). Output: `n_a`,
+    * `n_b`, `mean_a`, `mean_b`, `t_stat`, `df_welch` (6 dp).
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+             a: String, b: String, scale: Int = 4): DataFrame = {
+    val quantum = math.pow(10.0, scale)
+    val x = col(valueCol).cast("double")
+    def v(c: Column) = floor(c * lit(quantum) + lit(0.5)).cast("long")
+    def side(lbl: String, sfx: String): Seq[Column] = {
+      val in = col(groupCol) === lbl
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, shiftright(v(x), 20)).otherwise(0L)).as(s"s_${sfx}__hi"),
+        sum(when(in, v(x).bitwiseAND(lit(1048575L))).otherwise(0L))
+          .as(s"s_${sfx}__lo"),
+        sum(when(in, shiftright(v(x * x), 20)).otherwise(0L))
+          .as(s"ss_${sfx}__hi"),
+        sum(when(in, v(x * x).bitwiseAND(lit(1048575L))).otherwise(0L))
+          .as(s"ss_${sfx}__lo"))
+    }
+    val aggs = side(a, "a") ++ side(b, "b")
+    val row = df.filter(col(groupCol).isin(a, b))
+      .agg(aggs.head, aggs.tail: _*)
+    def m(nm: String): Column =
+      ((col(s"${nm}__hi").cast(DecimalType(38, 0)) * lit(1048576L) +
+        col(s"${nm}__lo")).cast("double")) / lit(quantum)
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (m("s_a"), m("s_b"))
+    val (ssa, ssb) = (m("ss_a"), m("ss_b"))
+    val (ma, mb) = (sa / na, sb / nb)
+    val va = (na * ssa - sa * sa) / (na * (na - 1))
+    val vb = (nb * ssb - sb * sb) / (nb * (nb - 1))
+    val (wa, wb) = (va / na, vb / nb)
+    val t = (ma - mb) / sqrt(wa + wb)
+    val dfw = (wa + wb) * (wa + wb) /
+      (wa * wa / (na - 1) + wb * wb / (nb - 1))
+    row.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
   }
 }

@@ -341,6 +341,120 @@ object Wave6Queries {
        |    AS assortativity
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** Pairwise association rules over order baskets
+    * ([[graft.ops.Association.rules]]): support, directional
+    * confidence and lift for part pairs co-ordered ≥ 2 times — the
+    * metric layer on the same bounded basket self-join as q158's
+    * edges.
+    */
+  def q161(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Association.rules(
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minShared = 2L)
+      .orderBy("a", "b")
+  val q161Sql: String =
+    """WITH f AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |ps AS (SELECT a.item AS a, b.item AS b, count(*) AS s_ab
+      |  FROM f a JOIN f b ON a.g = b.g AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |isup AS (SELECT item, count(*) AS s FROM f GROUP BY 1),
+      |t AS (SELECT count(DISTINCT g) AS n_baskets FROM f)
+      |SELECT ps.a, ps.b, ia.s AS s_a, ib.s AS s_b, ps.s_ab,
+      |  round(CAST(ps.s_ab AS DOUBLE) / ia.s, 6) AS conf_ab,
+      |  round(CAST(ps.s_ab AS DOUBLE) / ib.s, 6) AS conf_ba,
+      |  round(CAST(n_baskets AS DOUBLE) * ps.s_ab / (ia.s * ib.s), 6)
+      |    AS lift
+      |FROM ps JOIN isup ia ON ps.a = ia.item
+      |        JOIN isup ib ON ps.b = ib.item, t
+      |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Kaplan–Meier survival of user lifetimes
+    * ([[graft.ops.Survival.kaplanMeier]]): duration = whole HOURS
+    * between a user's first and last event (integer-microsecond floor
+    * division — exact on both engines), observed = the user ever
+    * purchased (otherwise right-censored). Exact risk-set integers;
+    * the curve is a sequential double fold the oracle replays per
+    * prefix.
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val hours = expr("unix_micros(max(ts)) div 3600000000" +
+      " - unix_micros(min(ts)) div 3600000000")
+    val users = ExtQueries.events(s, dir).groupBy("user_id")
+      .agg(hours.as("dur"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0)
+          .as("obs"))
+    graft.ops.Survival.kaplanMeier(users, "dur", "obs").orderBy("dur")
+  }
+  val q162Sql: String =
+    """WITH u AS (SELECT user_id,
+      |    epoch_us(max(ts)) // 3600000000 - epoch_us(min(ts)) // 3600000000
+      |      AS dur,
+      |    count(*) FILTER (WHERE event_type = 'purchase') > 0 AS obs
+      |  FROM events GROUP BY 1),
+      |pt AS (SELECT dur AS t, count(*) FILTER (WHERE obs) AS d,
+      |    count(*) AS lv FROM u GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM u),
+      |r AS (SELECT t,
+      |    n_total - coalesce(sum(lv) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+      |    d, lv - d AS c
+      |  FROM pt, tot),
+      |arr AS (SELECT list(struct_pack(t := t, n_risk := n_risk, d := d,
+      |    c := c) ORDER BY t) AS a FROM r),
+      |sel AS (SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr)
+      |SELECT a[i].t AS dur, a[i].n_risk AS n_risk, a[i].d AS d,
+      |  a[i].c AS c,
+      |  round(list_reduce(list_prepend(1.0e0,
+      |    list_transform(a[1:i],
+      |      x -> 1.0e0 - CAST(x.d AS DOUBLE) / x.n_risk)),
+      |    (p, f) -> p * f), 6) AS survival
+      |FROM sel ORDER BY dur""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** Welch's t-test ([[NonParam.welchT]]) on event value, click vs
+    * purchase — the parametric companion to q153's KS test, from one
+    * split-long exact-moment pass.
+    */
+  def q163(s: SparkSession, dir: String): DataFrame =
+    NonParam.welchT(ExtQueries.events(s, dir), "value", "event_type",
+      "click", "purchase")
+  val q163Sql: String = {
+    def vq(e: String) = s"CAST(floor(($e) * 10000.0e0 + 0.5e0) AS BIGINT)"
+    def m(nm: String) =
+      s"CAST(CAST(${nm}_hi AS HUGEINT) * 1048576 + ${nm}_lo AS DOUBLE) / 10000.0e0"
+    def sums(lbl: String, sfx: String) =
+      s"""count(*) FILTER (WHERE event_type = '$lbl') AS n_$sfx,
+         |    sum(${vq("value")} >> 20)
+         |      FILTER (WHERE event_type = '$lbl') AS s_${sfx}_hi,
+         |    sum(${vq("value")} & 1048575)
+         |      FILTER (WHERE event_type = '$lbl') AS s_${sfx}_lo,
+         |    sum(${vq("value * value")} >> 20)
+         |      FILTER (WHERE event_type = '$lbl') AS ss_${sfx}_hi,
+         |    sum(${vq("value * value")} & 1048575)
+         |      FILTER (WHERE event_type = '$lbl') AS ss_${sfx}_lo""".stripMargin
+    s"""WITH m AS (SELECT
+       |    ${sums("click", "a")},
+       |    ${sums("purchase", "b")}
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |r AS (SELECT n_a, n_b,
+       |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+       |    ${m("s_a")} AS sa, ${m("s_b")} AS sb,
+       |    ${m("ss_a")} AS ssa, ${m("ss_b")} AS ssb
+       |  FROM m),
+       |w AS (SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+       |    ((na * ssa - sa * sa) / (na * (na - 1))) / na AS wa,
+       |    ((nb * ssb - sb * sb) / (nb * (nb - 1))) / nb AS wb
+       |  FROM r)
+       |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       |  round((ma - mb) / sqrt(wa + wb), 6) AS t_stat,
+       |  round((wa + wb) * (wa + wb) /
+       |        (wa * wa / (na - 1) + wb * wb / (nb - 1)), 6) AS df_welch
+       |FROM w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_spearman" -> (q152 _),
     "q153_ks_test" -> (q153 _),
@@ -350,7 +464,10 @@ object Wave6Queries {
     "q157_cusum" -> (q157 _),
     "q158_triangles" -> (q158 _),
     "q159_kcore" -> (q159 _),
-    "q160_assortativity" -> (q160 _))
+    "q160_assortativity" -> (q160 _),
+    "q161_assoc_rules" -> (q161 _),
+    "q162_kaplan_meier" -> (q162 _),
+    "q163_welch_ttest" -> (q163 _))
 
   val oracles: Map[String, String] = Map(
     "q152_spearman" -> q152Sql,
@@ -361,5 +478,8 @@ object Wave6Queries {
     "q157_cusum" -> q157Sql,
     "q158_triangles" -> q158Sql,
     "q159_kcore" -> q159Sql,
-    "q160_assortativity" -> q160Sql)
+    "q160_assortativity" -> q160Sql,
+    "q161_assoc_rules" -> q161Sql,
+    "q162_kaplan_meier" -> q162Sql,
+    "q163_welch_ttest" -> q163Sql)
 }
