@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling (SURVEY §2.4 A1): per-column distinct counts and the
@@ -266,5 +267,57 @@ object Profile {
         round(p, 6).as("p"), round(q, 6).as("q"),
         round(p * log(p / q), 6).as("kl_pq"),
         round(q * log(q / p), 6).as("kl_qp"))
+  }
+
+  /** Population Stability Index between the rows matching `leftPred`
+    * (reference) and the rest (current), over `buckets` equi-width
+    * bins of `c` spanning the GLOBAL min/max (the [[histogram]] edge
+    * rule, so both slices share one binning). Add-one-smoothed shares
+    * keep the log finite on empty bins; the full bin domain is
+    * generated so a bin empty on both sides still contributes its
+    * smoothed (tiny) term. Two passes over the data (bounds, then one
+    * counting aggregation); the PSI algebra runs on `buckets` rows,
+    * and the total is a DECIMAL sum of the 6-dp-quantized
+    * contributions (order-free). Output per bin: `bucket`, `lo`, `hi`,
+    * `cnt_l`, `cnt_r`, `p`, `q`, `contrib`, and the repeated
+    * `psi_total`.
+    */
+  def psiDrift(df: DataFrame, leftPred: Column, c: String,
+               buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val x = graft.Cols.ref(c).cast("double")
+    val mm = df.agg(min(x).as("__mn"), max(x).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val counted = df.select(x.as("__x"), leftPred.as("__l"))
+      .crossJoin(broadcast(mm))
+      .select(least(floor((col("__x") - col("__mn")) / width),
+        lit((buckets - 1).toDouble)).cast("long").as("bucket"), col("__l"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("cnt_l"),
+        sum(when(!col("__l"), 1L).otherwise(0L)).as("cnt_r"))
+    val domain = mm
+      .select(explode(sequence(lit(0L), lit((buckets - 1).toLong)))
+        .as("bucket"), col("__mn"), width.as("__w"))
+    val joined = domain.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("__mn") + col("bucket") * col("__w"), 6).as("lo"),
+        round(col("__mn") + (col("bucket") + 1) * col("__w"), 6).as("hi"),
+        coalesce(col("cnt_l"), lit(0L)).as("cnt_l"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+    val tot = joined.agg(sum(col("cnt_l")).as("__tl"),
+      sum(col("cnt_r")).as("__tr"))
+    val p = (col("cnt_l") + 1).cast("double") /
+      (col("__tl") + buckets).cast("double")
+    val q = (col("cnt_r") + 1).cast("double") /
+      (col("__tr") + buckets).cast("double")
+    val contrib = round((p - q) * log(p / q), 6)
+    val wAll = Window.partitionBy(lit(1))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("lo"), col("hi"), col("cnt_l"),
+        col("cnt_r"), round(p, 6).as("p"), round(q, 6).as("q"),
+        contrib.as("contrib"))
+      .withColumn("psi_total",
+        round(sum(floor(col("contrib") * lit(1000000.0) + lit(0.5))
+          .cast("long")).over(wAll).cast("double") / lit(1000000.0), 6))
   }
 }

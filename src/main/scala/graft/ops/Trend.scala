@@ -93,6 +93,62 @@ object Trend {
         round(col("__st.l") + col("__st.t"), 6).as("forecast"))
   }
 
+  /** Additive seasonal decomposition with residual anomaly scores:
+    * trend = centered moving average (±`halfWindow` rows, truncated at
+    * series edges), seasonal = per-(key, idx mod `period`) mean of the
+    * detrended values, residual = value − trend − seasonal, and a
+    * per-key z-score of the residual with `is_anomaly` =
+    * |z| > `zThreshold`.
+    *
+    * Three window passes over the SAME (key, idx) sort order —
+    * Catalyst reuses one shuffle — plus one window keyed by
+    * (key, phase). Determinism: every mean divides an exact DECIMAL
+    * sum (cast to double < 2⁵³) by an integer count and is 6-dp
+    * quantized before feeding the next stage; residual moments ride
+    * quantized longs summed in DECIMAL, so σ and z derive from exact
+    * operands in one fixed-order expression. The anomaly flag
+    * compares the UNROUNDED z.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, idxCol: String,
+                        valueCol: String, period: Int, halfWindow: Int,
+                        zThreshold: Double): DataFrame = {
+    require(period >= 2 && halfWindow >= 1)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wTrend = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val tr = df.withColumn("trend",
+      round(sum(col(valueCol).cast(dec)).over(wTrend).cast("double") /
+        count(lit(1)).over(wTrend), 6))
+    val dt = tr
+      .withColumn("__wd", col(idxCol) % period)
+      .withColumn("__detrend", round(col(valueCol) - col("trend"), 6))
+    val wSeason = Window.partitionBy(col(keyCol), col("__wd"))
+    val se = dt.withColumn("seasonal",
+      round(sum(col("__detrend").cast(dec)).over(wSeason).cast("double") /
+        count(lit(1)).over(wSeason), 6))
+    val res = se
+      .withColumn("resid",
+        round(col(valueCol) - col("trend") - col("seasonal"), 6))
+      .withColumn("__rq",
+        floor(col("resid") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val wKey = Window.partitionBy(col(keyCol))
+    val st = res
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__sr",
+        sum(col("__rq").cast(big)).over(wKey).cast("double") /
+          lit(1000000.0))
+      .withColumn("__srr",
+        sum((col("__rq") * col("__rq")).cast(big)).over(wKey)
+          .cast("double") / lit(1000000000000.0))
+    val sigma = sqrt((col("__srr") - col("__sr") * col("__sr") / col("__n")) /
+      (col("__n") - 1))
+    st.select(col(keyCol), col(idxCol), col(valueCol), col("trend"),
+      col("seasonal"), col("resid"),
+      round(col("resid") / sigma, 6).as("z"),
+      (abs(col("resid") / sigma) > lit(zThreshold)).as("is_anomaly"))
+  }
+
   /** One-sided CUSUM drift detector per key: S₀ = 0,
     * Sᵢ = max(0, Sᵢ₋₁ + xᵢ − target), reporting the series max of S —
     * computed in its WINDOW closed form max_i (cᵢ − min(0, min_{j≤i}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{NonParam, Trend}
+import graft.ops.{NonParam, Profile, Trend}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -455,6 +455,115 @@ object Wave6Queries {
        |FROM w""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q164
+  /** Additive seasonal decomposition + residual anomaly screen
+    * ([[Trend.seasonalDecompose]]) of the per-event-type daily series:
+    * ±3-day centered-mean trend, day-of-week seasonal component, and a
+    * per-type residual z-score with |z| > 2 flagged.
+    */
+  def q164(s: SparkSession, dir: String): DataFrame =
+    Trend.seasonalDecompose(dailySeries(s, dir), "event_type", "idx",
+      "daily", period = 7, halfWindow = 3, zThreshold = 2.0)
+      .orderBy("event_type", "idx")
+  val q164Sql: String =
+    s"""WITH s AS ($dailySeriesSql),
+       |tr AS (SELECT event_type, idx, daily,
+       |    round(CAST(sum(CAST(daily AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       |          / count(*) OVER w, 6) AS trend
+       |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY idx
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |dt AS (SELECT *, idx % 7 AS wd,
+       |    round(daily - trend, 6) AS detrend FROM tr),
+       |se AS (SELECT event_type AS et2, wd AS wd2,
+       |    round(CAST(sum(CAST(detrend AS DECIMAL(18,6))) AS DOUBLE)
+       |          / count(*), 6) AS seasonal
+       |  FROM dt GROUP BY 1, 2),
+       |res AS (SELECT event_type, idx, daily, trend, seasonal,
+       |    round(daily - trend - seasonal, 6) AS resid
+       |  FROM dt JOIN se ON event_type = et2 AND wd = wd2),
+       |q AS (SELECT *, CAST(floor(resid * 1000000.0e0 + 0.5e0) AS BIGINT)
+       |    AS rq FROM res),
+       |sd AS (SELECT event_type AS et3, count(*) AS n,
+       |    CAST(sum(rq) AS DOUBLE) / 1000000.0e0 AS sr,
+       |    CAST(sum(rq * rq) AS DOUBLE) / 1000000000000.0e0 AS srr
+       |  FROM q GROUP BY 1)
+       |SELECT event_type, idx, daily, trend, seasonal, resid,
+       |  round(resid / sqrt((srr - sr * sr / n) / (n - 1)), 6) AS z,
+       |  abs(resid / sqrt((srr - sr * sr / n) / (n - 1))) > 2.0e0
+       |    AS is_anomaly
+       |FROM q JOIN sd ON event_type = et3
+       |ORDER BY event_type, idx""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** Leave-one-out target encoding
+    * ([[graft.ops.ext.FeatureEncode.looTargetEncode]]): each lineitem
+    * row's l_partkey encoded as the mean extended price of the part's
+    * OTHER rows — the leakage-safe training feature, DECIMAL-exact.
+    */
+  def q165(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.FeatureEncode.looTargetEncode(
+      T(s, dir, "lineitem")
+        .select((col("l_orderkey") * 16 + col("l_linenumber")).as("rid"),
+          col("l_partkey"), col("l_extendedprice")),
+      "l_partkey", "l_extendedprice", "rid")
+      .orderBy("rid")
+  val q165Sql: String =
+    """WITH src AS (SELECT l_orderkey * 16 + l_linenumber AS rid,
+      |    l_partkey, CAST(l_extendedprice AS DECIMAL(28,6)) AS v
+      |  FROM lineitem),
+      |w AS (SELECT rid, l_partkey, v,
+      |    sum(v) OVER (PARTITION BY l_partkey) AS s,
+      |    count(*) OVER (PARTITION BY l_partkey) AS c
+      |  FROM src)
+      |SELECT rid, l_partkey,
+      |  CASE WHEN c > 1
+      |    THEN CAST(floor(CAST(s - v AS DOUBLE) / (c - 1)
+      |              * 1000000.0e0 + 0.5e0) AS DOUBLE) / 1000000.0e0
+      |    END AS loo_mean
+      |FROM w ORDER BY rid""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** Population Stability Index ([[Profile.psiDrift]]) of order total
+    * price, pre-1998 orders (reference) vs the rest (current): 10
+    * global equi-width bins, add-one smoothing, per-bin contributions
+    * and the order-free quantized total.
+    */
+  def q166(s: SparkSession, dir: String): DataFrame =
+    Profile.psiDrift(T(s, dir, "orders"),
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+      "o_totalprice", buckets = 10)
+      .orderBy("bucket")
+  val q166Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+      |    (max(o_totalprice) - min(o_totalprice)) / 10.0e0 AS w
+      |  FROM orders),
+      |cnt AS (SELECT
+      |    CAST(least(floor((o_totalprice - mn) / w), 9.0e0) AS BIGINT)
+      |      AS bucket,
+      |    count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01')
+      |      AS cnt_l,
+      |    count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |      AS cnt_r
+      |  FROM orders, mm GROUP BY 1),
+      |dom AS (SELECT unnest(range(0, 10)) AS bucket, mn, w FROM mm),
+      |j AS (SELECT dom.bucket,
+      |    round(mn + dom.bucket * w, 6) AS lo,
+      |    round(mn + (dom.bucket + 1) * w, 6) AS hi,
+      |    coalesce(cnt_l, 0) AS cnt_l, coalesce(cnt_r, 0) AS cnt_r
+      |  FROM dom LEFT JOIN cnt ON dom.bucket = cnt.bucket),
+      |tot AS (SELECT sum(cnt_l) AS tl, sum(cnt_r) AS tr FROM j),
+      |e AS (SELECT bucket, lo, hi, cnt_l, cnt_r,
+      |    CAST(cnt_l + 1 AS DOUBLE) / CAST(tl + 10 AS DOUBLE) AS p0,
+      |    CAST(cnt_r + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS q0
+      |  FROM j, tot),
+      |c AS (SELECT bucket, lo, hi, cnt_l, cnt_r,
+      |    round(p0, 6) AS p, round(q0, 6) AS q,
+      |    round((p0 - q0) * ln(p0 / q0), 6) AS contrib
+      |  FROM e)
+      |SELECT *, round(CAST(sum(CAST(floor(contrib * 1000000.0e0 + 0.5e0)
+      |    AS BIGINT)) OVER () AS DOUBLE) / 1000000.0e0, 6) AS psi_total
+      |FROM c ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_spearman" -> (q152 _),
     "q153_ks_test" -> (q153 _),
@@ -467,7 +576,10 @@ object Wave6Queries {
     "q160_assortativity" -> (q160 _),
     "q161_assoc_rules" -> (q161 _),
     "q162_kaplan_meier" -> (q162 _),
-    "q163_welch_ttest" -> (q163 _))
+    "q163_welch_ttest" -> (q163 _),
+    "q164_seasonal" -> (q164 _),
+    "q165_loo_encode" -> (q165 _),
+    "q166_psi_drift" -> (q166 _))
 
   val oracles: Map[String, String] = Map(
     "q152_spearman" -> q152Sql,
@@ -481,5 +593,8 @@ object Wave6Queries {
     "q160_assortativity" -> q160Sql,
     "q161_assoc_rules" -> q161Sql,
     "q162_kaplan_meier" -> q162Sql,
-    "q163_welch_ttest" -> q163Sql)
+    "q163_welch_ttest" -> q163Sql,
+    "q164_seasonal" -> q164Sql,
+    "q165_loo_encode" -> q165Sql,
+    "q166_psi_drift" -> q166Sql)
 }
