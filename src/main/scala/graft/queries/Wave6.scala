@@ -288,17 +288,19 @@ object Wave6Queries {
        |ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------- q159
-  /** Bounded 3-round k-core peel at k = 4
+  /** Bounded 3-round k-core peel at k = 2 (prune pendant trees;
+    * k = 2 stays non-degenerate at every scale factor — the co-order
+    * graph sparsifies as the part domain outgrows the basket size)
     * ([[graft.ops.Graph.kCorePeel]]): survivors with residual degree
     * and the in-core flag — the "densely cross-sold parts" audit.
     */
   def q159(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.kCorePeel(coOrderEdges(s, dir), k = 4L, rounds = 3)
+    graft.ops.Graph.kCorePeel(coOrderEdges(s, dir), k = 2L, rounds = 3)
       .orderBy("node")
   val q159Sql: String = {
     def peel(prev: String, i: Int): String =
       s"""a$i AS (SELECT node FROM (SELECT node, count(*) AS d FROM $prev
-         |  GROUP BY 1) WHERE d >= 4),
+         |  GROUP BY 1) WHERE d >= 2),
          |s$i AS (SELECT s.node, s.nbr FROM $prev s
          |  JOIN a$i x ON s.node = x.node
          |  JOIN a$i y ON s.nbr = y.node)""".stripMargin
@@ -308,7 +310,7 @@ object Wave6Queries {
        |${peel("s0", 1)},
        |${peel("s1", 2)},
        |${peel("s2", 3)}
-       |SELECT node, count(*) AS deg, count(*) >= 4 AS in_core
+       |SELECT node, count(*) AS deg, count(*) >= 2 AS in_core
        |FROM s3 GROUP BY 1 ORDER BY node""".stripMargin
   }
 
