@@ -139,7 +139,7 @@ object Trend {
         sum(col("__rq").cast(big)).over(wKey).cast("double") /
           lit(1000000.0))
       .withColumn("__srr",
-        sum((col("__rq") * col("__rq")).cast(big)).over(wKey)
+        sum(col("__rq").cast(big) * col("__rq").cast(big)).over(wKey)
           .cast("double") / lit(1000000000000.0))
     val sigma = sqrt((col("__srr") - col("__sr") * col("__sr") / col("__n")) /
       (col("__n") - 1))
