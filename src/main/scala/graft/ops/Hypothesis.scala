@@ -51,7 +51,21 @@ object Hypothesis {
     * (chi2, dof, n, n_cells). The statistic's inputs are all BIGINT
     * counts, so every division/square is bit-identical cross-engine.
     */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFull(df, aCol, bCol)
+      .select(col("chi2"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        col("n"), (col("na") * col("nb")).as("n_cells"))
+
+  /** Shared Χ² core: one row (chi2, n, na, nb) with the raw category
+    * cardinalities kept so effect-size wrappers (Cramér's V) can see
+    * the table shape. The statistic runs over the FULL r×c table —
+    * the marginal cross product left-joins the observed cells, so an
+    * empty cell contributes its expected count e (the (0−e)²/e term)
+    * instead of silently vanishing.
+    */
+  private def chiSquareFull(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o")).persist()
     val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
@@ -59,17 +73,156 @@ object Hypothesis {
     val tot = cells.agg(sum("o").as("n"),
       countDistinct("a").as("na"), countDistinct("b").as("nb"))
     val e = col("ra").cast("double") * col("cb") / col("n")
-    cells
-      .join(broadcast(rowT), Seq("a"))
-      .join(broadcast(colT), Seq("b"))
+    rowT.crossJoin(colT)
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
       .crossJoin(broadcast(tot))
       .select(col("n"), col("na"), col("nb"),
         ((col("o") - e) * (col("o") - e) / e)
           .cast(DecimalType(38, 18)).as("t"))
       .groupBy(col("n"), col("na"), col("nb"))
       .agg(round(sum(col("t")).cast("double"), 6).as("chi2"))
+  }
+
+  /** Cramér's V effect size for a two-way contingency table:
+    * V = sqrt(Χ² / (n · (min(r, c) − 1))). The Χ² feeding the sqrt is
+    * the 6-dp-rounded statistic (the same number q139 reports), so V
+    * is a pure function of already-pinned values — one double divide
+    * and one sqrt, bit-identical cross-engine. Output: one row
+    * (chi2, dof, n, v).
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFull(df, aCol, bCol)
       .select(col("chi2"),
-        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
-        col("n"), (col("na") * col("nb")).as("n_cells"))
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"), col("n"),
+        round(sqrt(col("chi2") /
+          (col("n") * (least(col("na"), col("nb")) - 1)).cast("double")),
+          6).as("v"))
+
+  /** One-way ANOVA F-test of `valueCol` across the groups of
+    * `groupCol`. Sums of squares at 100 TB are ~1e15+, beyond what ANY
+    * double pins to 6 dp, and int128/decimal→double casts round
+    * differently across engines — so SSW/SSB stay EXACT integers
+    * (×100 scale) end to end: pass 1 pins per-group/grand means as
+    * doubles derived from exactly-representable long sums (values
+    * 2-dp-quantized, sums < 2^53 through sf≈1); pass 2 re-scans with
+    * the k means broadcast, quantizing each squared deviation to a
+    * long BEFORE summation. Only int64→double casts (IEEE-exact in
+    * both engines) feed the final F ratio, whose ×100 scales cancel.
+    * One group-key shuffle + one broadcast-join scan. Output: one row
+    * (k, n, ss_between_x100, ss_within_x100, f).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("x")).persist()
+    val v = floor(col("x") * lit(100.0) + lit(0.5)).cast("long")
+    val grp = g.select(col("g"), v.as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_i"), sum(col("v")).as("s_i"))
+    val means = grp.select(col("g"), col("n_i"),
+      ((col("s_i").cast("double") / col("n_i").cast("double")) /
+        lit(100.0)).as("m_i"))
+    val tot = grp.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        sum(col("s_i")).as("s"))
+      .select(col("k"), col("n"),
+        ((col("s").cast("double") / col("n").cast("double")) /
+          lit(100.0)).as("m"))
+    val ssw = g.join(broadcast(means), Seq("g"))
+      .select(floor((col("x") - col("m_i")) * (col("x") - col("m_i")) *
+        lit(100.0) + lit(0.5)).cast("long").as("q"))
+      .agg(sum(col("q")).as("ssw_x100"))
+    val ssb = means.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"),
+        floor(col("n_i").cast("double") * (col("m_i") - col("m")) *
+          (col("m_i") - col("m")) * lit(100.0) + lit(0.5)).cast("long")
+          .as("qb"))
+      .groupBy("k", "n").agg(sum(col("qb")).as("ssb_x100"))
+    ssb.crossJoin(broadcast(ssw))
+      .select(col("k"), col("n"), col("ssb_x100").as("ss_between_x100"),
+        col("ssw_x100").as("ss_within_x100"),
+        round((col("ssb_x100").cast("double") /
+            (col("k") - 1).cast("double")) /
+          (col("ssw_x100").cast("double") /
+            (col("n") - col("k")).cast("double")), 6).as("f"))
+  }
+
+  /** Per-group Wilson score interval (z = 1.96) for the proportion of
+    * rows where `successCol` holds: every operand is an exact BIGINT
+    * count or the shared z literal, and the center/half-width formula
+    * is written in one fixed association order, so both engines run
+    * the identical IEEE sequence. Output per group:
+    * (group, n, successes, p_hat, ci_lo, ci_hi).
+    */
+  def wilson(df: DataFrame, groupCol: String, successCol: Column)
+      : DataFrame = {
+    val z2 = lit(1.96) * lit(1.96)
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes").cast("double") / n
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(1.96) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / denom
+    g.select(col("group"), col("n"), col("successes"),
+        round(p, 6).as("p_hat"),
+        round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
+        round(least(lit(1.0), center + half), 6).as("ci_hi"))
+      .orderBy("group")
+  }
+
+  /** Mutual information (nats) between two categorical columns, with
+    * the marginal entropies and the sqrt-normalized NMI: every pᵢⱼ
+    * ratio comes from exact BIGINT counts, per-cell/per-marginal
+    * ln-terms sum through DECIMAL(38,18) (order-free), and NMI divides
+    * the two pinned sums. Output: one row (n, mi, h_a, h_b, nmi).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d18 = DecimalType(38, 18)
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")).persist()
+    val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("b").agg(sum("o").as("cb"))
+    val tot = cells.agg(sum("o").as("n"))
+    val nD = col("n").cast("double")
+    val miSum = cells
+      .join(broadcast(rowT), Seq("a"))
+      .join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"),
+        ((col("o") / nD) *
+          log(col("o") * col("n") / (col("ra") * col("cb")).cast("double")))
+          .cast(d18).as("t"))
+      .groupBy("n").agg(sum(col("t")).cast("double").as("mi"))
+    def entropy(c: String): Column =
+      sum(((col(c) / nD) * log(nD / col(c))).cast(d18)).cast("double")
+    val ha = rowT.crossJoin(broadcast(tot)).agg(entropy("ra").as("h_a"))
+    val hb = colT.crossJoin(broadcast(tot)).agg(entropy("cb").as("h_b"))
+    miSum.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), round(col("mi"), 6).as("mi"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(col("mi") / sqrt(col("h_a") * col("h_b")), 6).as("nmi"))
+  }
+
+  /** Cohen's kappa agreement between two label columns over the same
+    * rows: pₒ from the diagonal count, pₑ from the marginal products
+    * (Σ rₗ·cₗ in exact BIGINT), κ = (pₒ − pₑ)/(1 − pₑ) in one pinned
+    * double sequence. Output: one row (n, agree, p_o, p_e, kappa).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lab = df.select(col(aCol).as("a"), col(bCol).as("b")).persist()
+    val tot = lab.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val rowT = lab.groupBy("a").agg(count(lit(1)).as("ra"))
+    val colT = lab.groupBy("b").agg(count(lit(1)).as("cb"))
+    val pe = rowT.join(colT, col("a") === col("b"))
+      .agg(sum(col("ra") * col("cb")).as("pe_num"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val peD = col("pe_num").cast("double") / (nD * nD)
+    tot.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), round(po, 6).as("p_o"),
+        round(peD, 6).as("p_e"),
+        round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
   }
 }

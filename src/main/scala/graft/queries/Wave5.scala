@@ -613,12 +613,14 @@ object Wave5Queries {
       |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
       |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
       |tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
-      |          count(DISTINCT b) AS nb FROM cells)
+      |          count(DISTINCT b) AS nb FROM cells),
+      |filled AS (SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(cells.o, 0) AS o
+      |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b))
       |SELECT round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,18)))
       |         AS DOUBLE), 6) AS chi2,
       |  (na - 1) * (nb - 1) AS dof, n, na * nb AS n_cells
       |FROM (SELECT o, CAST(ra AS DOUBLE) * cb / n AS e, n, na, nb
-      |      FROM cells JOIN ra USING (a) JOIN cb USING (b), tot)
+      |      FROM filled, tot)
       |GROUP BY n, na, nb""".stripMargin
 
   // ---------------------------------------------------------------- q140

@@ -38,12 +38,14 @@ class Wave5PlanSpec extends AnyFunSuite {
       s"hamming candidates must come from the band equi-join:\n$plan")
   }
 
-  test("q139 chi-square: marginals broadcast back onto the cell frame") {
+  test("q139 chi-square: full r×c table joins cells via broadcast") {
     val plan = planOf("q139_chi_square")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"row/column marginals must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"the one-row totals side must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftOuter"),
+      s"observed cells must broadcast-left-join the marginal grid:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"the tiny marginal/totals sides must broadcast:\n$plan")
   }
 
   test("q140 group OLS: one hash aggregation, no window or global sort") {
