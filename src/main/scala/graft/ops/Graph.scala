@@ -160,6 +160,48 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** Adamic–Adar link prediction: for each non-adjacent pair (u, v)
+    * sharing at least one common neighbor w, score = Σ_w 1/ln(deg w),
+    * reported with the raw common-neighbor count — the classic
+    * "which parts will be co-ordered next" ranking.
+    *
+    * Scale shape: wedges come from one self-join of the adjacency list
+    * on the CENTER node, so candidate generation is Σ_w deg(w)² — and
+    * `maxDeg` caps the center degree, which bounds a celebrity hub's
+    * wedge blowup the same way the n-gram joins cap df. The cap is
+    * also principled: a high-degree center contributes the SMALLEST
+    * 1/ln(deg) term, so dropping hubs prunes the least informative
+    * evidence first (the cap must appear in any oracle replaying
+    * this). Existing edges leave via one anti join; 1/ln(deg) terms
+    * sum through DECIMAL (order-free), and the top-k ordering compares
+    * the exact decimal score before any rounding.
+    */
+  def adamicAdar(edges: DataFrame, maxDeg: Long, topK: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val ctr = sym.join(deg.where(col("deg") <= maxDeg), Seq("node"))
+    val scored = ctr.select(col("node"), col("deg"), col("nbr").as("u"))
+      .join(ctr.select(col("node"), col("nbr").as("v")), Seq("node"))
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v"),
+        (lit(1.0) / log(col("deg").cast("double"))).cast(dec).as("c"))
+      .groupBy("u", "v")
+      .agg(sum(col("c")).as("score"), count(lit(1)).as("common"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    scored
+      .orderBy(col("score").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common"),
+        round(col("score").cast("double"), 6).as("score"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50)

@@ -176,4 +176,89 @@ object Trend {
         round(col("__m").cast("double"), 6).as("max_cusum"),
         round(col("__m").cast("double") / col("__t"), 6).as("rel"))
   }
+
+  /** Single best mean-shift changepoint per key (the AMOC split): over
+    * the series ordered by `idxCol`, the split t maximizing the SSE
+    * reduction gain(t) = n_l·n_r/n · (m_l − m_r)². Values quantize to
+    * ×100 longs, so every prefix sum is exact; the gain is one pinned
+    * int64→double IEEE sequence per split, and the argmax compares
+    * those identically-computed doubles with an idx tie-break — both
+    * engines pick the same split. One window pass over each key's
+    * bounded series + one broadcast of per-key totals. Output: key,
+    * split idx, n_left/right, means (6 dp), gain (6 dp).
+    */
+  def meanShiftChangepoint(df: DataFrame, keyCol: String, idxCol: String,
+                           valCol: String): DataFrame = {
+    val v = floor(col(valCol) * lit(100.0) + lit(0.5)).cast("long")
+    val base = df.select(col(keyCol).as("k"), col(idxCol).as("idx"),
+      v.as("v"))
+    val tot = base.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val w = Window.partitionBy("k").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .select(col("k"), col("idx"),
+        count(lit(1)).over(w).as("nl"), sum(col("v")).over(w).as("sl"))
+      .join(broadcast(tot), Seq("k"))
+      .where(col("nl") < col("n"))
+    val ml = (col("sl").cast("double") / col("nl").cast("double")) /
+      lit(100.0)
+    val mr = ((col("s") - col("sl")).cast("double") /
+      (col("n") - col("nl")).cast("double")) / lit(100.0)
+    val gain = (ml - mr) * (ml - mr) * col("nl").cast("double") *
+      (col("n") - col("nl")).cast("double") / col("n").cast("double")
+    val ranked = pre.select(col("k"), col("idx"), col("nl"), col("n"),
+      ml.as("ml"), mr.as("mr"), gain.as("g"))
+    val pick = Window.partitionBy("k")
+      .orderBy(col("g").desc, col("idx"))
+    ranked.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("k").as("key"), col("idx").as("split_idx"),
+        col("nl").as("n_left"), (col("n") - col("nl")).as("n_right"),
+        round(col("ml"), 6).as("mean_left"),
+        round(col("mr"), 6).as("mean_right"),
+        round(col("g"), 6).as("gain"))
+  }
+
+  /** Cross-correlation function between two metrics of ONE global
+    * series at lags 0..`maxLag`: r_k = Σ(x_t−x̄)(y_{t+k}−ȳ) /
+    * √(Σ(x−x̄)²·Σ(y−ȳ)²) — the standard CCF estimator with global
+    * means and a lag-independent normalizer. Means come from
+    * DECIMAL-summed aggregates broadcast back; all lagged products
+    * ride ONE window pass; product sums go through DECIMAL
+    * (order-free). The single-partition window is fine BY DESIGN:
+    * this runs on an already-aggregated bounded series (daily
+    * rollups), thousands of rows however big the raw table — the
+    * heavy lifting (the daily aggregation) happened upstream in
+    * parallel. Output: one row, n plus r0..r`maxLag`.
+    */
+  def crossCorrelation(df: DataFrame, idxCol: String, xCol: String,
+                       yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val means = df.agg(
+      (sum(col(xCol).cast(DecTotals)).cast("double") / count(lit(1)))
+        .as("mx"),
+      (sum(col(yCol).cast(DecTotals)).cast("double") / count(lit(1)))
+        .as("my"))
+    val w = Window.orderBy(col(idxCol))
+    val lagged = df.crossJoin(broadcast(means))
+      .select(Seq(col(xCol).as("x"), col("mx"), col("my"),
+        col(yCol).as("y0")) ++
+        (1 to maxLag).map(k => lead(col(yCol), k).over(w).as(s"y$k")): _*)
+    val dx = col("x") - col("mx")
+    val sums =
+      sum((dx * dx).cast(dec)).as("sxx") +:
+      sum(((col("y0") - col("my")) * (col("y0") - col("my"))).cast(dec))
+        .as("syy") +:
+      (0 to maxLag).map(k =>
+        sum((dx * (col(s"y$k") - col("my"))).cast(dec)).as(s"s$k"))
+    val agg = lagged.agg(count(lit(1)).as("n"), sums: _*)
+    val den = sqrt(col("sxx").cast("double") * col("syy").cast("double"))
+    agg.select(col("n") +:
+      (0 to maxLag).map(k =>
+        round(col(s"s$k").cast("double") / den, 6).as(s"r$k")): _*)
+  }
+
+  private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }

@@ -72,6 +72,56 @@ class Wave7Spec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("adamicAdar: path graph predicts the endpoints, skips edges") {
+    // a-b-c-d: non-edges (a,c),(b,d) share one deg-2 neighbor each
+    // (score 1/ln 2); (a,d) shares none; edges are excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = graft.ops.Graph.adamicAdar(edges, maxDeg = 64L, topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.map(t => (t._1, t._2)).toSet == Set((1L, 3L), (2L, 4L)))
+    r.foreach { t =>
+      assert(t._3 == 1L)
+      assert(math.abs(t._4 - 1.0 / math.log(2.0)) < 1e-6)
+    }
+  }
+
+  test("adamicAdar: maxDeg cap drops wedges through hubs") {
+    // star: hub 1 connects 2,3,4 (deg 3). With maxDeg=2 no wedge
+    // survives (leaf centers have deg 1 -> no pairs).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(graft.ops.Graph.adamicAdar(edges, maxDeg = 2L, topK = 10)
+      .count() == 0L)
+  }
+
+  test("meanShiftChangepoint: finds the step in a step series") {
+    val df = Seq(("k", 1, 1.0), ("k", 2, 1.0), ("k", 3, 1.0),
+      ("k", 4, 5.0), ("k", 5, 5.0), ("k", 6, 5.0))
+      .toDF("g", "i", "v")
+    val r = graft.ops.Trend.meanShiftChangepoint(df, "g", "i", "v")
+      .collect().head
+    assert(r.getInt(1) == 3)                 // split after idx 3
+    assert((r.getLong(2), r.getLong(3)) == ((3L, 3L)))
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
+    // gain = (1-5)^2 * 3*3/6 = 24
+    assert(math.abs(r.getDouble(6) - 24.0) < 1e-9)
+  }
+
+  test("crossCorrelation: lagged copy peaks at its lag") {
+    val x = Seq(1.0, 7.0, 2.0, 9.0, 3.0, 8.0, 1.0, 6.0, 2.0, 9.0,
+      4.0, 7.0, 2.0, 8.0, 3.0, 9.0)
+    // y leads x by 2: y_t = x_{t+2} would peak at... we want
+    // y_{t+2} = x_t, i.e. y is x DELAYED by 2.
+    val y = Seq(0.0, 0.0) ++ x.dropRight(2)
+    val df = x.indices.map(i => (i, x(i), y(i))).toDF("i", "x", "y")
+    val r = graft.ops.Trend.crossCorrelation(df, "i", "x", "y", 3)
+      .collect().head
+    val rs = (0 to 3).map(k => r.getDouble(1 + k))
+    // the zero padding + lag-trimmed windows dilute the peak below a
+    // textbook 1.0; what matters is that lag 2 dominates every other lag
+    assert(rs(2) > 0.7 && rs(2) > rs(0) && rs(2) > rs(1) && rs(2) > rs(3))
+  }
+
   test("cohenKappa: perfect agreement 1, marginal-independent 0") {
     val same = Seq.fill(40)(("h", "h")) ++ Seq.fill(60)(("l", "l"))
     val r1 = Hypothesis.cohenKappa(same.toDF("a", "b"), "a", "b")
