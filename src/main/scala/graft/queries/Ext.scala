@@ -21,16 +21,37 @@ import java.nio.file.Paths
 object ExtQueries {
   import CoreQueries.{T, sfName}
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as long (legacy conf,
-    * runtime-settable) and rebuild a micros timestamp — the data is
-    * micros-precision (nanos % 1000 == 0), so `div 1000` is lossless.
-    * Integer division, NOT `/` (double division loses precision above
-    * 2^53 — epoch-nanos is ~1.7e18).
+  /** events.parquet has shipped `ts` two ways across data generations:
+    * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * unless the legacy nanosAsLong conf reads it as a long — and plain
+    * TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. Dispatch on
+    * the read schema rather than assuming either: LongType means
+    * epoch-nanos (rebuild a micros timestamp; integer `div`, NOT `/` —
+    * double division loses precision above 2^53 and epoch-nanos is
+    * ~1.7e18), timestamp types pass through cast to the session-TZ
+    * TimestampType (session TZ is pinned to UTC in Verify/Bench, so the
+    * wall-clock values match the DuckDB oracle exactly).
     */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampType => df
+    case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** `ts` as an epoch-micros long (stable sort key for typed-state
+    * encoders that declare `ts: Long`), same schema dispatch as
+    * [[normalizeTs]].
+    */
+  def tsAsMicros(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("ts div 1000"))
+    case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(T(s, dir, "events"))
   }
 
   /** documents + mutated near-copies of every 10th doc. */
@@ -338,7 +359,7 @@ object ExtQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     StreamOps.streamTumblingCounts(s, s"$dir/events.parquet", "ts",
       "user_id", "1 hour", "1 hour", "q23_stream",
-      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = normalizeTs)
   }
   val q23Sql: String = q12Sql
 
@@ -904,7 +925,7 @@ object ExtQueries {
           .as("segment"))
     StreamOps.streamStaticEnrich(s, s"$dir/events.parquet", "ts",
       "user_id", dim, "segment", "1 hour", "1 hour", "q49_stream",
-      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = normalizeTs)
   }
   val q49Sql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -1134,7 +1155,7 @@ object ExtQueries {
       "event_type", "click", "purchase", "ts", "event_id", "user_id",
       within = "30 minutes", watermark = "1 hour",
       queryName = "q60_stream_join",
-      prepare = _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = normalizeTs)
       .select(col("user_id"), col("left_id").as("click_id"),
         col("right_id").as("purchase_id"))
   }
@@ -1571,7 +1592,7 @@ object ExtQueries {
        |${round("r0", 1)},
        |${round("r1", 2)},
        |${round("r2", 3)}
-       |SELECT node, rank FROM r3""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
   }
 
   // ---------------------------------------------------------------- q78
@@ -1613,7 +1634,7 @@ object ExtQueries {
         min("k").as("min_k"), max("k").as("max_k"))
   val q79Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin

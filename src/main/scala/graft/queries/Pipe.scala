@@ -203,7 +203,7 @@ object PipeQueries {
       |    sum(n_tokens) OVER (ORDER BY key, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
       |  FROM docs)
-      |SELECT (c - n_tokens) // 20000 AS shard,
+      |SELECT CAST((c - n_tokens) // 20000 AS BIGINT) AS shard,
       |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
       |FROM cum GROUP BY 1""".stripMargin
 
@@ -399,7 +399,7 @@ object PipeQueries {
   val q95Sql: String =
     """SELECT lang, source, count(*) AS n_docs,
       |  sum(len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
-      |                      t -> len(t)>0))) AS n_tokens,
+      |                      t -> len(t)>0)))::BIGINT AS n_tokens,
       |  quantile_cont(n_chars, 0.5) AS median_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
@@ -508,7 +508,7 @@ object PipeQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
   val q99Sql: String =
-    """SELECT fmt, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    """SELECT fmt, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
       |FROM (SELECT doc_id, n_chars, unnest(['parquet','orc','avro','jsonl']) AS fmt
       |      FROM documents)
       |GROUP BY fmt""".stripMargin
@@ -574,7 +574,7 @@ object PipeQueries {
        |    sum(n_tokens) OVER (ORDER BY key, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
        |  FROM toks)
-       |SELECT (c - n_tokens) // 5000 AS shard,
+       |SELECT CAST((c - n_tokens) // 5000 AS BIGINT) AS shard,
        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
        |FROM cum GROUP BY 1""".stripMargin
   }

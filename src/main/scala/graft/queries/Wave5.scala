@@ -201,7 +201,7 @@ object Wave5Queries {
       |      FROM u GROUP BY layout, file)
       |SELECT layout, count(*) AS files_total,
       |       sum(CASE WHEN mn <= 60000.0e0 AND mx >= 50000.0e0
-      |                THEN 1 ELSE 0 END) AS files_overlap
+      |                THEN 1 ELSE 0 END)::BIGINT AS files_overlap
       |FROM f GROUP BY layout ORDER BY layout""".stripMargin
 
   // ---------------------------------------------------------------- q128
@@ -223,7 +223,7 @@ object Wave5Queries {
       |       round(any_value(dev.med), 6) AS med,
       |       round(any_value(mad.mad), 6) AS mad,
       |       sum(CASE WHEN adev > 3.0e0 * 1.4826e0 * mad.mad
-      |                THEN 1 ELSE 0 END) AS n_outliers
+      |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
       |FROM dev JOIN mad ON dev.lang = mad.lang
       |GROUP BY dev.lang ORDER BY lang""".stripMargin
 
@@ -270,7 +270,7 @@ object Wave5Queries {
        |seg2 AS (${reseg("seg1", "t2")}),
        |p3 AS (${pairs("seg2")}),
        |t3 AS (${top("p3", 3)})
-       |SELECT round, lhs, rhs, merged, cnt AS pair_count FROM (
+       |SELECT round, lhs, rhs, merged, CAST(cnt AS BIGINT) AS pair_count FROM (
        |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL
        |  SELECT * FROM t3)
        |ORDER BY round""".stripMargin
@@ -618,7 +618,7 @@ object Wave5Queries {
       |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b))
       |SELECT round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,18)))
       |         AS DOUBLE), 6) AS chi2,
-      |  (na - 1) * (nb - 1) AS dof, n, na * nb AS n_cells
+      |  (na - 1) * (nb - 1) AS dof, CAST(n AS BIGINT) AS n, na * nb AS n_cells
       |FROM (SELECT o, CAST(ra AS DOUBLE) * cb / n AS e, n, na, nb
       |      FROM filled, tot)
       |GROUP BY n, na, nb""".stripMargin
@@ -691,7 +691,8 @@ object Wave5Queries {
       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    sum(w) OVER (PARTITION BY l_returnflag) AS total_w FROM b)
-      |SELECT l_returnflag, total_w, min(l_extendedprice) AS wmedian
+      |SELECT l_returnflag, CAST(total_w AS BIGINT) AS total_w,
+      |  min(l_extendedprice) AS wmedian
       |FROM c WHERE cum * 2 >= total_w
       |GROUP BY l_returnflag, total_w ORDER BY l_returnflag""".stripMargin
 
@@ -1106,8 +1107,8 @@ object Wave5Queries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(s"$dir/events.parquet")
     val schema = s.read.parquet(f.toString).schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    val src = ExtQueries.tsAsMicros(s.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Stateful.TimedEvent]
     StreamOps.withStatePartitions(s, 8) {

@@ -155,7 +155,8 @@ object Wave6Queries {
        |    max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END) AS ts
        |  FROM rk GROUP BY event_type, n_pairs),
        |ns AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1)
-       |SELECT ns.event_type, ns.n, ag.n_pairs, ag.s_stat,
+       |SELECT ns.event_type, ns.n, ag.n_pairs,
+       |  CAST(ag.s_stat AS BIGINT) AS s_stat,
        |  round(ag.ts, 6) AS theil_sen
        |FROM ns JOIN ag USING (event_type)
        |ORDER BY event_type""".stripMargin
@@ -407,7 +408,7 @@ object Wave6Queries {
       |arr AS (SELECT list(struct_pack(t := t, n_risk := n_risk, d := d,
       |    c := c) ORDER BY t) AS a FROM r),
       |sel AS (SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr)
-      |SELECT a[i].t AS dur, a[i].n_risk AS n_risk, a[i].d AS d,
+      |SELECT a[i].t AS dur, CAST(a[i].n_risk AS BIGINT) AS n_risk, a[i].d AS d,
       |  a[i].c AS c,
       |  round(list_reduce(list_prepend(1.0e0,
       |    list_transform(a[1:i],
