@@ -115,7 +115,20 @@ object Bench {
     val qs = obj(results.map { case (k, (mn, _)) => k -> mn } :+
       ("e2e_sample_inference" -> e2eSample))
     val qsMed = obj(results.map { case (k, (_, md)) => k -> md })
-    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfName"}""")
+    val full =
+      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfName"}"""
+    // The full line is ~10 KB with 175 queries — longer than a log-tail
+    // capture can hold. Persist it to a file, print it for whole-log
+    // readers, and make the LAST stdout line a compact headline record
+    // that survives any tail truncation (round-3's bench artifact was
+    // lost mid-map to exactly this).
+    val fullPath = Paths.get("bench_full.json").toAbsolutePath
+    Files.writeString(fullPath, full + "\n")
+    println(full)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = obj(results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
+      .map { case (k, (mn, _)) => k -> r3(mn) })
+    println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","sf":"$sfName","n_queries":${results.size},"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries_file":"$fullPath","slowest_min_sec":$slowest}""")
     spark.stop()
   }
 }
