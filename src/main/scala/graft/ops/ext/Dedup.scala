@@ -79,16 +79,40 @@ object Dedup {
     * string-shingle construction the DuckDB oracles use — shingle
     * VALUES never surface in any result.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(split(lower(text), "[^a-z0-9]+"), n)
+
+  /** Shingle hashes over a PRE-SPLIT token array — the shared-scan form:
+    * the near-dup paths tokenize the corpus once ([[prepTokens]]) and
+    * derive shingles from the persisted token arrays instead of
+    * re-splitting the text per path.
+    */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
     import org.apache.spark.sql.GraftExpressionBridge
     // no higher-order filter here: empty tokens are skipped inside the
     // kernel, keeping the whole expression tree codegen-able
     // (ArrayFilter would push the enclosing Project out of
     // whole-stage codegen — plan-asserted in PlanSpec)
-    val toks = split(lower(text), "[^a-z0-9]+")
     GraftExpressionBridge.column(
       graft.expr.ShingleHashes(GraftExpressionBridge.expression(toks), n))
   }
+
+  /** ONE text scan shared by every near-dup path: (id, content digest,
+    * token array). Callers persist this frame and derive routing counts,
+    * exact-dup classes, shingles, and simhash votes from it — round-3's
+    * hybrid path re-read and re-tokenized the corpus ~6x per run because
+    * each sub-path started from the raw text.
+    */
+  private[ext] def prepTokens(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), sha2(col(textCol), 256).as("__h"),
+      split(lower(col(textCol)), "[^a-z0-9]+").as("__toks"))
+
+  /** Non-empty token count of a prepped frame's row ([[prepTokens]]) —
+    * same value as size(filter(split(lower(text)))) on the raw text.
+    */
+  private[ext] def prepTokenCount: Column =
+    size(filter(col("__toks"), t => length(t) > 0))
 
   /** Containment near-dup pairs — the ASYMMETRIC dedup signal (doc A
     * wholesale-included in doc B: quotes, mirrors, supersets — pairs
@@ -152,29 +176,40 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.8,
-                      includeExactDuplicates: Boolean = false): DataFrame = {
+                      includeExactDuplicates: Boolean = false): DataFrame =
+    minhashNearDupsPrepped(prepTokens(df, textCol, idCol).persist(),
+      shingleSize, k, bands, threshold, includeExactDuplicates)
+
+  /** [[minhashNearDups]] over an already-persisted [[prepTokens]] frame —
+    * the entry [[hybridNearDups]] uses so both routes share one scan.
+    */
+  private[ext] def minhashNearDupsPrepped(prep: DataFrame,
+      shingleSize: Int, k: Int, bands: Int, threshold: Double,
+      includeExactDuplicates: Boolean): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     // EXACT-DUPLICATE PRE-PASS: identical texts share every band, so a
     // thousand-way exact-duplicate class (routine in crawl corpora) makes
     // the band self-join quadratic in the class size. Collapse each class
-    // to its min-id representative (one window shuffle) before any
-    // signature work — LSH then sees each distinct text once. The
-    // representative carries its class; `includeExactDuplicates = true`
-    // re-expands pairs to all members (cross-class pairs inherit the
-    // representative jaccard — the texts are identical — and
-    // within-class pairs are jaccard 1.0 by construction).
+    // to its min-id representative before any signature work — LSH then
+    // sees each distinct text once. The window runs on the SLIM (id,
+    // digest) projection — 40-byte rows through the shuffle, never token
+    // arrays — and the representative set joins back to the persisted
+    // prep frame by id for its tokens. The representative carries its
+    // class; `includeExactDuplicates = true` re-expands pairs to all
+    // members (cross-class pairs inherit the representative jaccard —
+    // the texts are identical — and within-class pairs are jaccard 1.0
+    // by construction).
     val wExact = Window.partitionBy(col("__h"))
-    val tagged = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("__h", sha2(col("__text"), 256))
-      .withColumn("__rep", min(col("id")).over(wExact))
-    val memb = tagged.select(col("id"), col("__rep").as("rep"))
-    val reps = tagged.filter(col("id") === col("__rep"))
-      .select(col("id"), col("__text"))
+    val memb = prep.select(col("id"), col("__h"))
+      .withColumn("rep", min(col("id")).over(wExact))
+      .select(col("id"), col("rep"))
     // persisted: feeds the signature path AND both sides of the exact-
-    // jaccard verify join — without it the scan + shingling run 3x
-    val sh = reps.select(col("id"),
-      shingles(col("__text"), shingleSize).as("sh"))
+    // jaccard verify join — without it the shingling runs 3x
+    val sh = prep.join(memb.filter(col("id") === col("rep"))
+        .select(col("id")), Seq("id"))
+      .select(col("id"),
+        shinglesOfTokens(col("__toks"), shingleSize).as("sh"))
       .persist()
     // shingles are already xxhash64 longs — they ARE the base hashes
     val hashed = sh.select(col("id"), explode(col("sh")).as("h"))
@@ -288,10 +323,15 @@ object Dedup {
     * sum +1/-1 votes of each token's xxhash64 bit; fingerprint bit = sign.
     * Pure expressions (explode + groupBy) — two shuffles on the id.
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)).as("tok"))
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashPrepped(prepTokens(df, textCol, idCol))
+
+  /** [[simhash]] over a [[prepTokens]] frame — identical fingerprints
+    * (same per-token xxhash64 votes), no text re-scan.
+    */
+  private[ext] def simhashPrepped(prep: DataFrame): DataFrame = {
+    val toks = prep.select(col("id"), explode(col("__toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
@@ -406,19 +446,28 @@ object Dedup {
                               shingleSize: Int = 3, maxHamming: Int = 7,
                               bands: Int = 8, threshold: Double = 0.8,
                               minTokens: Int = 50)
-      : DataFrame = {
-    val long = df.filter(
-      size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)) >= minTokens)
+      : DataFrame =
+    simhashVerifiedPrepped(prepTokens(df, textCol, idCol).persist(),
+      shingleSize, maxHamming, bands, threshold, minTokens)
+
+  /** [[simhashNearDupsVerified]] over an already-persisted
+    * [[prepTokens]] frame (shared-scan entry for [[hybridNearDups]]).
+    */
+  private[ext] def simhashVerifiedPrepped(prep: DataFrame,
+      shingleSize: Int, maxHamming: Int, bands: Int, threshold: Double,
+      minTokens: Int): DataFrame = {
+    val long = prep.filter(prepTokenCount >= minTokens)
     // the candidate set is orders of magnitude smaller than the corpus:
     // broadcast it through both verify joins so the wide shingle frame
     // is probed in place (never shuffle-sorted with its arrays)
-    val cand = broadcast(simhashNearDups(long, textCol, idCol, maxHamming, bands)
+    val cand = broadcast(
+      hammingNearDups(simhashPrepped(long), "simhash", "id",
+        maxHamming, bands)
       .select(col("id_a"), col("id_b")))
     // persisted: both sides of the verify join probe it — without the
-    // persist the corpus text scan + shingling run twice
-    val sh = long.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh")).persist()
+    // persist the shingling runs twice
+    val sh = long.select(col("id"),
+      shinglesOfTokens(col("__toks"), shingleSize).as("sh")).persist()
     broadcast(cand
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a")))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -443,18 +492,22 @@ object Dedup {
   def hybridNearDups(df: DataFrame, textCol: String, idCol: String,
                      shingleSize: Int = 3, threshold: Double = 0.8,
                      minTokens: Int = 50): DataFrame = {
-    val nToks = size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      t => length(t) > 0))
+    // ONE persisted token-prep frame feeds both routes: the corpus text
+    // is scanned and tokenized once, and the routing count, MinHash
+    // shingles, simhash votes, and both verify joins all derive from it
+    // (round-3's independent per-path scans were most of q46's cost).
+    val prep = prepTokens(df, textCol, idCol).persist()
     // shingle counts are n-(shingleSize-1); the ratio bound plus the
     // shingle/token offset gives the short path's upper cutoff
     val shortCutoff = ((minTokens - (shingleSize - 1)) / threshold).toInt +
       shingleSize // tokens strictly below this go short
-    val short = df.filter(nToks < shortCutoff)
-    val shortPairs = minhashNearDups(short, textCol, idCol, shingleSize,
-        threshold = threshold, includeExactDuplicates = true)
+    val short = prep.filter(prepTokenCount < shortCutoff)
+    val shortPairs = minhashNearDupsPrepped(short, shingleSize, k = 32,
+        bands = 16, threshold = threshold, includeExactDuplicates = true)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    val longPairs = simhashNearDupsVerified(df, textCol, idCol, shingleSize,
-      threshold = threshold, minTokens = minTokens)
+    val longPairs = simhashVerifiedPrepped(prep, shingleSize,
+      maxHamming = 7, bands = 8, threshold = threshold,
+      minTokens = minTokens)
     shortPairs.unionByName(longPairs).dropDuplicates("id_a", "id_b")
   }
 
