@@ -409,6 +409,85 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log^2 n)-round alternative to [[connectedComponents]]'
+    * O(diameter) min-label propagation. Same output contract: (id,
+    * component = smallest id in the component) for every node of the
+    * pair graph.
+    *
+    * Why it exists alongside label propagation: near-dup clusters are
+    * shallow stars, where label prop already converges in 2–3 rounds —
+    * but a 100 TB crawl corpus contains pathological CHAINS (mirror-of-
+    * mirror series), and label prop pays one full edge shuffle per hop
+    * of the longest chain. Star contraction collapses chains
+    * exponentially: each round rewires every node to (towards) its
+    * neighborhood minimum, so round count is logarithmic in component
+    * size regardless of diameter.
+    *
+    * Per round each phase is one window-min + filter over the edge
+    * frame — no per-node neighbor lists are ever collected (the window
+    * runs partitioned by node; a giant hub is a big partition but never
+    * a driver-side or single-row aggregate). Edges stay strictly
+    * (child > parent)-oriented after the first large-star, the edge
+    * count never grows (each input row emits at most one output row per
+    * phase), and convergence is probed with a deterministic count +
+    * hash-sum fingerprint — one tiny aggregate per round, same pattern
+    * as [[connectedComponents]]' label-sum probe.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 15)
+      : DataFrame = {
+    require(maxIter > 0)
+    val w = Window.partitionBy(col("u"))
+    // large-star over an UNDIRECTED neighborhood: m = min(N(u) ∪ {u});
+    // emit (v, m) for the larger neighbors only
+    def largeStar(dir: DataFrame): DataFrame = dir
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+    // small-star over (child > parent)-oriented edges: m = min parent;
+    // each edge row emits exactly one edge — the min-parent row rewires
+    // u itself, every other row rewires its parent v
+    def smallStar(e: DataFrame): DataFrame = e
+      .withColumn("m", min(col("v")).over(w))
+      .select(when(col("v") === col("m"), col("u")).otherwise(col("v"))
+          .as("u"),
+        col("m").as("v"))
+      .distinct()
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .localCheckpoint(true)
+    var prev = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val dir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v"))).distinct()
+      // LAZY checkpoint: the fingerprint probe is the materializing
+      // action, so each round costs one job
+      edges = smallStar(largeStar(dir)).localCheckpoint(false)
+      val now = fingerprint(edges)
+      converged = now == prev
+      prev = now
+      iter += 1
+    }
+    // at the fixpoint the edge set IS the star forest (node -> root);
+    // roots themselves carry their own id
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    nodes.join(edges.select(col("u").as("id"), col("v").as("__c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -141,6 +141,50 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Star contraction must assign exactly the same components as label
+  * propagation — on shapes (chains) where the two differ most in round
+  * count, and on seeded random graphs.
+  */
+class StarContractionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponentsStar(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  private def ccProp(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, star, and two components match label propagation") {
+    for (pairs <- Seq(
+        (1 until 12).map(i => (i.toLong, i.toLong + 1)),
+        Seq((1L, 100L), (2L, 100L), (3L, 100L)),
+        Seq((5L, 9L), (2L, 7L), (7L, 11L), (3L, 4L)))) {
+      assert(ccStar(pairs) == ccProp(pairs), s"diverged on $pairs")
+    }
+  }
+
+  test("seeded random graphs match label propagation") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val pairs = (1 to 80).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b) + 1)
+      }.filter(p => p._1 != p._2)
+      assert(ccStar(pairs) == ccProp(pairs), s"diverged on trial $trial")
+    }
+  }
+
+  test("a 40-node chain converges within the default round budget") {
+    val got = ccStar((1 until 40).map(i => (i.toLong, i.toLong + 1)))
+    assert(got == (1 to 40).map(i => i.toLong -> 1L).toMap)
+  }
+}
+
 class BloomDecontaminateSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
