@@ -180,6 +180,43 @@ object Dedup {
     minhashNearDupsPrepped(prepTokens(df, textCol, idCol).persist(),
       shingleSize, k, bands, threshold, includeExactDuplicates)
 
+  /** MinHash band buckets for a shingle frame (id, sh): k derived hash
+    * minima (xxhash64 of base-hash + seed index — two-word hashing,
+    * codegen'd, no per-seed string rehash), banded into (band, key)
+    * bucket structs, one exploded row per band. The shuffle after the
+    * per-id min aggregation carries k longs per doc (map-side combine),
+    * never shingles. Shared by the self-join path and the incremental
+    * cross-corpus path — identical hash family, so signatures computed
+    * today keep matching a history computed last month.
+    */
+  private[ext] def bandSignatures(sh: DataFrame, k: Int,
+                                  bands: Int): DataFrame = {
+    val rows = k / bands
+    // shingles are already xxhash64 longs — they ARE the base hashes
+    val hashed = sh.select(col("id"), explode(col("sh")).as("h"))
+    val aggs = (0 until k).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bucketArr = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rows until (bnd + 1) * rows)
+          .map(i => col(s"m$i")): _*).as("key"))
+    }: _*)
+    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
+    sigs.select(col("id"), sigArr.as("sig"), explode(bucketArr).as("bucket"))
+  }
+
+  /** Matching-position fraction of two k-long signature arrays
+    * (columns `sig_a`, `sig_b`) — the unbiased jaccard estimator used
+    * as the candidate prefilter.
+    */
+  private[ext] def sigEstimate(k: Int): Column =
+    aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
   /** [[minhashNearDups]] over an already-persisted [[prepTokens]] frame —
     * the entry [[hybridNearDups]] uses so both routes share one scan.
     */
@@ -187,7 +224,6 @@ object Dedup {
       shingleSize: Int, k: Int, bands: Int, threshold: Double,
       includeExactDuplicates: Boolean): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
     // EXACT-DUPLICATE PRE-PASS: identical texts share every band, so a
     // thousand-way exact-duplicate class (routine in crawl corpora) makes
     // the band self-join quadratic in the class size. Collapse each class
@@ -211,33 +247,14 @@ object Dedup {
       .select(col("id"),
         shinglesOfTokens(col("__toks"), shingleSize).as("sh"))
       .persist()
-    // shingles are already xxhash64 longs — they ARE the base hashes
-    val hashed = sh.select(col("id"), explode(col("sh")).as("h"))
-    // k derived hash functions: xxhash64 of (base hash, seed index) —
-    // two-word hashing, codegen'd, no overflow (ANSI-safe)
-    val aggs = (0 until k).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
-    }
-    val sigs = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val bucketArr = array((0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64((bnd * rows until (bnd + 1) * rows)
-          .map(i => col(s"m$i")): _*).as("key"))
-    }: _*)
-    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
-    val buckets = pinFanOutParallelism(
-      sigs.select(col("id"), sigArr.as("sig"),
-        explode(bucketArr).as("bucket")))
+    val buckets = pinFanOutParallelism(bandSignatures(sh, k, bands))
     // Candidate pairs carry both signatures; the ESTIMATE PREFILTER
     // (matching signature positions / k >= threshold/2) kills the junk
     // candidates r=2 banding admits — a 5+ sigma margin below any true
     // pair at `threshold`, so recall stays with the banding (which at
     // r=2 misses j>=0.8 pairs with probability ~1e-7) while exact
     // jaccard runs only on plausible pairs.
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
+    val est = sigEstimate(k)
     val cand = buckets.as("x")
       .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.id") < col("y.id"))
@@ -266,6 +283,58 @@ object Dedup {
           lit(1.0).as("jaccard"))
       cross.unionByName(within)
     }
+  }
+
+  /** INCREMENTAL MinHash near-dup: (history_id, batch_id, jaccard) pairs
+    * between an existing corpus and an incoming batch — the append-only
+    * production shape ([[incremental]]'s fuzzy twin): a nightly batch is
+    * screened against the accumulated corpus WITHOUT re-pairing the
+    * corpus against itself. Band keys come from the same
+    * [[bandSignatures]] hash family as the self-join path, so a
+    * persisted history signature table keeps matching batches computed
+    * later; here both sides compute from text.
+    *
+    * Scale shape: the batch side (signatures + shingles) is broadcast —
+    * a nightly increment is orders of magnitude smaller than the
+    * corpus, and broadcasting it means the history side is ONE streamed
+    * scan: no shuffle of history signatures, no shuffle of history
+    * shingles, no self-join anywhere. For batch ≈ history, union the
+    * frames and use [[minhashNearDups]] instead. Exact duplicates
+    * WITHIN either side are out of scope by contract (run
+    * [[exactByHash]]/[[incremental]] first — the standard pipeline
+    * order); identical batch-vs-history texts surface here as
+    * jaccard-1.0 pairs.
+    */
+  def minhashNearDupsAcross(history: DataFrame, batch: DataFrame,
+                            textCol: String, idCol: String,
+                            shingleSize: Int = 3, k: Int = 32,
+                            bands: Int = 16, threshold: Double = 0.8)
+      : DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    def shOf(df: DataFrame) = prepTokens(df, textCol, idCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), shingleSize)
+        .as("sh"))
+    val shH = shOf(history).persist()
+    val shB = shOf(batch).persist()
+    val bH = bandSignatures(shH, k, bands)
+    val bB = bandSignatures(shB, k, bands)
+    val cand = bH.as("x")
+      .join(broadcast(bB).as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(sigEstimate(k) >= threshold / 2)
+      .select(col("id_a"), col("id_b"))
+    // candidates are tiny post-prefilter: broadcast them through the
+    // history probe so the wide shingle frame streams in place
+    broadcast(cand)
+      .join(shH.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(broadcast(shB.select(col("id").as("id_b"),
+        col("sh").as("sh_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs: pairs of rows whose embedding

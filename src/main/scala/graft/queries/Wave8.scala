@@ -33,9 +33,164 @@ object Wave8Queries {
   }
   val q176Sql: String = ExtQueries.q53Sql
 
+  // ---------------------------------------------------------------- q177
+  /** LEFT-OUTER stream-stream join: every click, with its purchase
+    * within 30 minutes or null — the funnel-with-dropoff shape q60's
+    * inner join cannot express. Outer emission is watermark-driven
+    * (a null-extended row fires only when the watermark clears the
+    * click's join window), so the bounded replay plants one future
+    * sentinel row PER SIDE: the global watermark is the min across
+    * both filtered inputs, and a single-side sentinel would hold it
+    * back forever. Oracle = the batch left join.
+    */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q177_events_sentinel"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
+      val ev = ExtQueries.events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+      val sentinels = ev.agg(max("ts").as("ts"))
+        .select(explode(array(
+          struct(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+            (col("ts") + expr("interval 3 hours")).as("ts"),
+            lit("click").as("event_type")),
+          struct(lit(-2L).as("user_id"), lit(-2L).as("event_id"),
+            (col("ts") + expr("interval 3 hours")).as("ts"),
+            lit("purchase").as("event_type")))).as("r"))
+        .select("r.*")
+      ev.unionByName(sentinels).write.mode("overwrite").parquet(tmp)
+    }
+    StreamOps.streamStreamJoin(s, tmp,
+      "event_type", "click", "purchase", "ts", "event_id", "user_id",
+      within = "30 minutes", watermark = "1 hour",
+      queryName = "q177_stream_outer", joinType = "left_outer")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("left_id").as("click_id"),
+        col("right_id").as("purchase_id"))
+  }
+  val q177Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click'""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** Zipf-law fit per source: OLS of ln(freq) on ln(rank) over the top
+    * 200 tokens (rank ties broken by token) — slope ≈ -1 for natural
+    * text, and the deviation is a standard synthetic-corpus detector.
+    * Reuses [[graft.ops.Profile.groupOls]]'s exact-moment machinery:
+    * ln values quantize to 1e-4 fixed point per ROW, moments sum as
+    * split longs (order-free), so engine and oracle reconstruct
+    * identical sums before the single rounded division.
+    */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val toks = T(s, dir, "documents").select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val freqs = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("tok"))
+    val xy = freqs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 200)
+      .select(col("source"), log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    graft.ops.Profile.groupOls(xy, "source", "x", "y").orderBy("source")
+  }
+  val q178Sql: String = {
+    def vq(e: String) = s"CAST(floor(($e) * 10000.0e0 + 0.5e0) AS BIGINT)"
+    val moments = Seq("sx" -> "x", "sy" -> "y",
+      "sxx" -> "x * x", "syy" -> "y * y", "sxy" -> "x * y")
+    val sums = moments.flatMap { case (nm, e) => Seq(
+      s"sum((${vq(e)} >> 20)) AS ${nm}_hi",
+      s"sum((${vq(e)} & 1048575)) AS ${nm}_lo")
+    }.mkString(",\n    ")
+    val recons = moments.map { case (nm, _) =>
+      s"CAST(CAST(${nm}_hi AS HUGEINT) * 1048576 + ${nm}_lo AS DOUBLE) / 10000.0e0 AS $nm"
+    }.mkString(",\n    ")
+    s"""WITH tk AS (SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                       t -> len(t)>0)) AS tok
+       |  FROM documents),
+       |f AS (SELECT source, tok, count(*) AS freq FROM tk GROUP BY 1, 2),
+       |rk AS (SELECT source, freq,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY freq DESC, tok) AS rank
+       |  FROM f),
+       |b AS (SELECT source, CAST(ln(rank) AS DOUBLE) AS x,
+       |    CAST(ln(freq) AS DOUBLE) AS y
+       |  FROM rk WHERE rank <= 200),
+       |a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+       |    $sums
+       |  FROM b GROUP BY source),
+       |r AS (SELECT source, n,
+       |    $recons
+       |  FROM a)
+       |SELECT source, CAST(n AS BIGINT) AS n,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    AS intercept,
+       |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM r ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q179
+  /** Incremental cross-corpus near-dup
+    * ([[Dedup.minhashNearDupsAcross]]): a synthetic "nightly batch"
+    * (every 7th doc, last 2 tokens dropped, id + 2,000,000) screened
+    * against the full documents corpus — history streams once, the
+    * batch broadcasts, no self-join. Oracle = exhaustive cross-side
+    * jaccard (the same construction as q13's, restricted to
+    * history x batch pairs).
+    */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val docs = T(s, dir, "documents").select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+          .as("text"))
+    Dedup.minhashNearDupsAcross(docs, batch, "text", "doc_id")
+  }
+  val q179Sql: String =
+    s"""WITH batch AS (SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks
+       |        FROM documents WHERE doc_id % 7 = 0)),
+       |sh_h AS (SELECT doc_id, ${ExtQueries.shinglesSql} AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks
+       |        FROM documents)),
+       |sh_b AS (SELECT doc_id, ${ExtQueries.shinglesSql} AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                      t -> len(t)>0) AS toks
+       |        FROM batch))
+       |SELECT h.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(h.sh, b.sh))::DOUBLE /
+       |    (len(h.sh) + len(b.sh) - len(list_intersect(h.sh, b.sh)))
+       |    AS jaccard
+       |FROM sh_h h JOIN sh_b b
+       |  ON len(list_intersect(h.sh, b.sh))::DOUBLE /
+       |     (len(h.sh) + len(b.sh) - len(list_intersect(h.sh, b.sh))) >= 0.8
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q176_cc_star" -> (q176 _))
+    "q176_cc_star" -> (q176 _),
+    "q177_stream_outer_join" -> (q177 _),
+    "q178_zipf" -> (q178 _),
+    "q179_incremental_neardup" -> (q179 _))
 
   val oracles: Map[String, String] = Map(
-    "q176_cc_star" -> q176Sql)
+    "q176_cc_star" -> q176Sql,
+    "q177_stream_outer_join" -> q177Sql,
+    "q178_zipf" -> q178Sql,
+    "q179_incremental_neardup" -> q179Sql)
 }

@@ -243,7 +243,8 @@ object StreamOps {
                        watermark: String = "1 hour",
                        queryName: String = "stream_join",
                        prepare: DataFrame => DataFrame = identity,
-                       statePartitions: Int = 8)
+                       statePartitions: Int = 8,
+                       joinType: String = "inner")
       : DataFrame = {
     val src = prepare(fileStream(spark, parquetPath))
     val left = src.filter(col(typeCol) === leftType)
@@ -254,10 +255,15 @@ object StreamOps {
       .select(col(keyCol).as("r_key"), col(idCol).as("right_id"),
         col(tsCol).as("right_ts"))
       .withWatermark("right_ts", watermark)
+    // outer variants emit the null-extended row only once the watermark
+    // has passed the row's join-window end — on a bounded replay the
+    // caller must push the FINAL watermark past (last real ts + within)
+    // on BOTH filtered inputs (the global watermark is their min), i.e.
+    // plant one future sentinel row per side (see q177's fixture).
     val joined = left.join(right,
       expr(s"""l_key = r_key AND
                right_ts >= left_ts AND
-               right_ts <= left_ts + interval $within"""))
+               right_ts <= left_ts + interval $within"""), joinType)
       .select(col("l_key").as(keyCol), col("left_id"), col("right_id"))
     withStatePartitions(spark, statePartitions) {
       val q = joined.writeStream
