@@ -847,8 +847,6 @@ object ExtQueries {
     import graft.streaming.{Stateful, StatefulTws}
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val f = new java.io.File(s"$dir/events.parquet")
     val schema = s.read.parquet(f.toString).schema
     val src = s.readStream.schema(schema)
@@ -856,11 +854,16 @@ object ExtQueries {
       .select(col("user_id"), col("value"))
       .filter(col("value").isNotNull)
       .as[Stateful.Event]
-    StreamOps.withStatePartitions(s, 8) {
-      val q = StatefulTws.runningUserStats(s, src)
-        .writeStream.outputMode("update")
-        .format("memory").queryName("q51_state").start()
-      try q.processAllAvailable() finally q.stop()
+    // provider RESTORED afterwards — a leaked RocksDB setting taxes
+    // every later in-session streaming query (see StreamOps scaladoc)
+    StreamOps.withStateStoreProvider(s,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      StreamOps.withStatePartitions(s, 8) {
+        val q = StatefulTws.runningUserStats(s, src)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("q51_state").start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table("q51_state")
       .select(col("user_id"), col("n_events"), col("max_value"))

@@ -36,6 +36,23 @@ object StreamOps {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Run `f` under a specific state-store provider, restoring the prior
+    * session setting afterwards. A bare conf.set leaks the provider to
+    * every LATER streaming query in the session — measured in round 4:
+    * q51's un-restored RocksDB setting tripled the cost of the
+    * unrelated stream-stream joins that happened to run after it.
+    */
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)
+      (f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** File-stream source over a parquet path, schema from a batch peek.
     * The file-stream source requires a directory; a single-file path is
     * rewritten to parent dir + pathGlobFilter.
