@@ -238,4 +238,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"group-stats join fell back to a shuffle join:\n$plan")
   }
+
+  test("q179 incremental near-dup broadcasts the batch side everywhere") {
+    val df = SparkEntry.queries("q179_incremental_neardup")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the history side must never sit under a broadcast: every join is
+    // (streamed history) x (broadcast batch/candidates)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"history side must stream through broadcast joins only:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"bucket join + both verify joins must broadcast:\n$plan")
+  }
+
+  test("q176 star contraction plans window-min phases, no cartesian") {
+    val df = SparkEntry.queries("q176_cc_star")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"star contraction must stay window + equi-join shaped:\n$plan")
+  }
 }
