@@ -182,15 +182,124 @@ object Wave8Queries {
        |     (len(h.sh) + len(b.sh) - len(list_intersect(h.sh, b.sh))) >= 0.8
        |""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** STREAMING sessionization ([[graft.streaming.StreamOps
+    * .streamSessionCounts]]): q22's session_window as merging session
+    * STATE — sessions grow/merge in the state store and emit when the
+    * watermark clears their end. Single-input watermark, so the
+    * bounded replay plants one sentinel row. Same oracle as q22 (the
+    * lag + cumulative-flag batch construction).
+    */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q180_events_sentinel"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
+      val ev = ExtQueries.events(s, dir).select("user_id", "ts")
+      val sentinel = ev.agg(max("ts").as("ts"))
+        .select(lit(-1L).as("user_id"),
+          (col("ts") + expr("interval 3 hours")).as("ts"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(tmp)
+    }
+    StreamOps.streamSessionCounts(s, tmp, "ts", "user_id",
+      gap = "30 minutes", watermark = "1 hour",
+      queryName = "q180_stream_sessions")
+      .filter(col("user_id") >= 0)
+  }
+  val q180Sql: String = ExtQueries.q22Sql
+
+  // ---------------------------------------------------------------- q181
+  /** LATE-DATA DROP semantics pinned end to end: an on-time batch (even
+    * event_ids) advances the watermark, then a late batch (odd ids)
+    * arrives — rows whose hourly window already closed
+    * (window_end <= watermark) are DROPPED by the aggregation, rows in
+    * still-open windows count. Spark filters late events against the
+    * PREVIOUS batch's eviction watermark (SPARK-24634's two-watermark
+    * split, measured here: a late file one batch behind the on-time
+    * file is not dropped at all), so the replay inserts a BRIDGE batch
+    * — one duplicate of the max on-time row — between them: during the
+    * late batch, late-filter wm = on-time max - 1h, and because the
+    * bridge advances nothing, the still-open windows are exactly the
+    * not-yet-emitted ones (no append-mode double emission). File order
+    * is deterministic (maxFilesPerTrigger=1, ascending mtimes), so the
+    * kept set is exactly computable and the oracle replays it: late
+    * row kept iff window_end > ms-floored(max on-time ts) - 1h, plus
+    * the bridge row's extra count in the max on-time window. A final
+    * sentinel file closes all real windows for the append-mode flush.
+    */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q181_late_v2"
+    val ready = Paths.get(s"$tmp/READY")
+    if (!Files.exists(ready)) {
+      val ev = ExtQueries.events(s, dir).select("event_id", "ts")
+      def dump(df: org.apache.spark.sql.DataFrame, name: String,
+               mtime: Long): Unit = {
+        val stage = s"$tmp/__stage_$name"
+        df.select("ts").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = Paths.get(s"$tmp/$name.parquet")
+        Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      Files.createDirectories(Paths.get(tmp))
+      val t0 = System.currentTimeMillis() - 60000
+      val onTime = ev.filter(col("event_id") % 2 === 0)
+      dump(onTime, "b0_ontime", t0)
+      dump(onTime.agg(max("ts").as("ts")), "b1_bridge", t0 + 10000)
+      dump(ev.filter(col("event_id") % 2 === 1), "b2_late", t0 + 20000)
+      dump(ev.agg((max("ts") + expr("interval 3 hours")).as("ts")),
+        "b3_sentinel", t0 + 30000)
+      // stage dirs carry _SUCCESS markers the file source must not see
+      Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.contains("__stage_")).foreach { d =>
+          Files.walk(Paths.get(d)).toArray.reverse
+            .foreach(p => Files.delete(p.asInstanceOf[java.nio.file.Path]))
+        }
+      Files.createFile(ready)
+    }
+    val schema = s.read.parquet(s"$tmp/b0_ontime.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+    StreamOps.withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("q181_late").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("q181_late")
+  }
+  val q181Sql: String =
+    """WITH ot AS (SELECT ts FROM events WHERE event_id % 2 = 0),
+      |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us
+      |       FROM ot),
+      |bridge AS (SELECT max(ts) AS ts FROM ot),
+      |kept_late AS (SELECT ts FROM events, wm
+      |  WHERE event_id % 2 = 1
+      |    AND epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) > wm_us),
+      |keep AS (SELECT ts FROM ot UNION ALL SELECT ts FROM bridge
+      |         UNION ALL SELECT ts FROM kept_late)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  count(*) AS n
+      |FROM keep GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
     "q178_zipf" -> (q178 _),
-    "q179_incremental_neardup" -> (q179 _))
+    "q179_incremental_neardup" -> (q179 _),
+    "q180_stream_sessions" -> (q180 _),
+    "q181_late_data" -> (q181 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
     "q177_stream_outer_join" -> q177Sql,
     "q178_zipf" -> q178Sql,
-    "q179_incremental_neardup" -> q179Sql)
+    "q179_incremental_neardup" -> q179Sql,
+    "q180_stream_sessions" -> q180Sql,
+    "q181_late_data" -> q181Sql)
 }

@@ -341,4 +341,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
+  /** STREAMING sessionization — [[sessionCounts]] under watermarked
+    * state: session windows merge in the state store as events arrive
+    * and emit (append mode) once the watermark passes a session's end.
+    * A session closes only when the watermark clears last-event + gap,
+    * so a bounded replay plants ONE future sentinel row (single input —
+    * one global watermark, unlike q177's two-sided join) to flush the
+    * final real sessions; the sentinel's own never-closed session stays
+    * in state and is filtered by the caller.
+    */
+  def streamSessionCounts(spark: SparkSession, parquetPath: String,
+                          tsCol: String, keyCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "1 hour",
+                          queryName: String = "stream_sessions",
+                          prepare: DataFrame => DataFrame = identity,
+                          statePartitions: Int = 8): DataFrame = {
+    val agg = prepare(fileStream(spark, parquetPath))
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
 }
