@@ -71,4 +71,32 @@ object KMeans {
     comps.select(col("cid"), col("dim"), col("n"),
       round(col("m"), 6).as("centroid"))
   }
+
+  /** Product-quantization codebook training: split each vector into
+    * `subspaces` contiguous `subDim`-wide slices and run the SAME
+    * deterministic [[lloyd]] per subspace — PQ is exactly m independent
+    * small k-means problems, so every reproducibility guarantee above
+    * carries over verbatim (and the oracle is m instances of the q97
+    * CTE over sliced lists). Output: (subspace, cid, dim, n, centroid).
+    *
+    * Scale shape: the m trainings share the corpus scan count of m
+    * lloyd runs but each works on a subDim-wide slice — the shuffle per
+    * round is (cid, dim, x) rows over subDim dims, so total bytes equal
+    * ONE full-dim lloyd regardless of m. At 100 TB the corpus is
+    * sampled before PQ training anyway (codebooks need ~100k vectors,
+    * not the corpus) — the deterministic id-hash sample operators
+    * compose in front.
+    */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              subspaces: Int, subDim: Int,
+              centroidEvery: Int, iters: Int): DataFrame =
+    (0 until subspaces).map { s0 =>
+      val sliced = df.select(col(idCol).as("id"),
+        slice(col(vecCol).cast("array<double>"),
+          s0 * subDim + 1, subDim).as("subv"))
+      lloyd(sliced, "subv", "id", centroidEvery, iters)
+        .withColumn("subspace", lit(s0.toLong))
+        .select(col("subspace"), col("cid"), col("dim"), col("n"),
+          col("centroid"))
+    }.reduce(_.unionByName(_))
 }

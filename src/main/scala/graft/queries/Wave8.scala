@@ -287,13 +287,101 @@ object Wave8Queries {
       |  count(*) AS n
       |FROM keep GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** Product-quantization codebooks ([[graft.ops.ext.KMeans.pqTrain]]):
+    * 4 subspaces x 16 dims over the embeddings, each trained by the
+    * same deterministic 2-round Lloyd as q97 — PQ is m independent
+    * small k-means problems, and the oracle is m instances of q97's
+    * CTE over sliced lists.
+    */
+  def q182(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ext.KMeans.pqTrain(T(s, dir, "embeddings"), "embedding",
+      "vec_id", subspaces = 4, subDim = 16, centroidEvery = 25, iters = 2)
+  val q182Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+    def sub(s0: Int): String = {
+      val lo = s0 * 16 + 1
+      val hi = (s0 + 1) * 16
+      val rounds = 2
+      val parts = new StringBuilder
+      parts ++= s"""(WITH v AS (SELECT vec_id AS id,
+                   |      [x::DOUBLE for x in embedding[$lo:$hi]] AS vec
+                   |    FROM embeddings),
+                   |vx AS (SELECT id, vec, ${dot("vec", "vec")} AS xx FROM v),
+                   |cents0 AS (SELECT id AS cid, vec AS centv FROM v WHERE id % 25 = 0)""".stripMargin
+      for (r <- 1 to rounds) {
+        parts ++= s""",
+          |cc${r - 1} AS (SELECT cid, centv, ${dot("centv", "centv")} AS cc
+          |        FROM cents${r - 1}),
+          |a$r AS (SELECT id, cid, vec FROM (
+          |    SELECT t.id, c.cid, t.vec,
+          |      row_number() OVER (PARTITION BY t.id ORDER BY
+          |        t.xx - 2 * ${dot("t.vec", "c.centv")} + c.cc ASC, c.cid) AS rn
+          |    FROM vx t, cc${r - 1} c) WHERE rn = 1),
+          |comps$r AS (SELECT cid, CAST(o - 1 AS BIGINT) AS dim, count(*) AS n,
+          |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+          |  FROM (SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS o
+          |        FROM a$r)
+          |  GROUP BY cid, dim)""".stripMargin
+        if (r < rounds) parts ++= s""",
+          |cents$r AS (SELECT cid, list(m ORDER BY dim) AS centv
+          |        FROM comps$r GROUP BY cid)""".stripMargin
+      }
+      parts ++= s"""
+        |SELECT CAST($s0 AS BIGINT) AS subspace, cid, dim, n,
+        |  round(m, 6) AS centroid FROM comps$rounds)""".stripMargin
+      parts.toString
+    }
+    (0 until 4).map(sub).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- q183
+  /** Mixture epoch scheduler ([[graft.ops.ext.Mixture.epochSchedule]]):
+    * the up-sampling plan for a 2x-corpus token budget at a fixed
+    * language mixture with a 4-epoch repetition cap — targets, full
+    * epochs, partial-epoch tail, repeat factor, all integer-exact
+    * until the single rounded division.
+    */
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.TextAnalysis
+    val docs = T(s, dir, "documents").select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.ext.Mixture.epochSchedule(docs, "lang", "n_tokens",
+      Map("en" -> 0.40, "de" -> 0.25, "fr" -> 0.20, "es" -> 0.15),
+      budgetMultiplier = 2.0, maxEpochs = 4).orderBy("lang")
+  }
+  val q183Sql: String =
+    """WITH toks AS (SELECT lang,
+      |    len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |                    t -> len(t)>0))::BIGINT AS n_tokens
+      |  FROM documents),
+      |avail AS (SELECT lang, sum(n_tokens)::BIGINT AS available,
+      |    (CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.25
+      |               WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15 END)::DOUBLE AS w
+      |  FROM toks GROUP BY lang),
+      |a2 AS (SELECT * FROM avail WHERE w IS NOT NULL),
+      |tot AS (SELECT sum(available)::BIGINT AS tot FROM a2),
+      |plan AS (SELECT lang, available,
+      |    CAST(floor(w * floor(2.0e0 * tot)) AS BIGINT) AS target,
+      |    least(CAST(floor(w * floor(2.0e0 * tot)) AS BIGINT),
+      |          4 * available) AS planned
+      |  FROM a2, tot)
+      |SELECT lang, available, target, planned,
+      |  planned // available AS full_epochs,
+      |  planned % available AS tail_tokens,
+      |  round(CAST(planned AS DOUBLE) / available, 6) AS repeat_factor
+      |FROM plan ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
     "q178_zipf" -> (q178 _),
     "q179_incremental_neardup" -> (q179 _),
     "q180_stream_sessions" -> (q180 _),
-    "q181_late_data" -> (q181 _))
+    "q181_late_data" -> (q181 _),
+    "q182_pq_codebooks" -> (q182 _),
+    "q183_epoch_schedule" -> (q183 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -301,5 +389,7 @@ object Wave8Queries {
     "q178_zipf" -> q178Sql,
     "q179_incremental_neardup" -> q179Sql,
     "q180_stream_sessions" -> q180Sql,
-    "q181_late_data" -> q181Sql)
+    "q181_late_data" -> q181Sql,
+    "q182_pq_codebooks" -> q182Sql,
+    "q183_epoch_schedule" -> q183Sql)
 }
