@@ -373,6 +373,65 @@ object Wave8Queries {
       |  round(CAST(planned AS DOUBLE) / available, 6) AS repeat_factor
       |FROM plan ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** HOPPING (sliding) windows: window(ts, 1 h, 15 min) — every event
+    * lands in exactly 4 overlapping windows, the load-curve shape
+    * tumbling windows can't express. Both engines align windows to the
+    * unix epoch (a 15-minute boundary), so the window starts are
+    * floor-to-15min(ts) - k·15min for k = 0..3 on both sides.
+    */
+  def q184(s: SparkSession, dir: String): DataFrame =
+    ExtQueries.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+  val q184Sql: String =
+    """SELECT ws AS window_start, event_type, count(*) AS n
+      |FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+      |        - k * INTERVAL 15 MINUTE AS ws, event_type
+      |      FROM (SELECT ts, event_type, unnest([0,1,2,3]) AS k
+      |            FROM events))
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** BUCKETED co-located join: orders and lineitem written as 8-bucket
+    * tables on the join key (sorted within buckets), then joined with
+    * NO exchange on either join side — the planned-data-layout move
+    * that turns the biggest shuffle of a 100 TB star join into a local
+    * merge (plan-asserted in PlanSpec: the only exchange left is the
+    * final small groupBy). Oracle = the same join + agg on the raw
+    * tables.
+    */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q185_buckets"
+    def prep(name: String, src: String, key: String): Unit = {
+      val have = s.catalog.tableExists(name) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/$name"))
+      if (!have) {
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+        T(s, dir, src).write.bucketBy(8, key).sortBy(key)
+          .option("path", s"$tmp/$name").mode("overwrite")
+          .saveAsTable(name)
+      }
+    }
+    prep("g185_orders", "orders", "o_orderkey")
+    prep("g185_lineitem", "lineitem", "l_orderkey")
+    s.table("g185_orders")
+      .join(s.table("g185_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+          .as("sum_qty"))
+  }
+  val q185Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -381,7 +440,9 @@ object Wave8Queries {
     "q180_stream_sessions" -> (q180 _),
     "q181_late_data" -> (q181 _),
     "q182_pq_codebooks" -> (q182 _),
-    "q183_epoch_schedule" -> (q183 _))
+    "q183_epoch_schedule" -> (q183 _),
+    "q184_hopping_window" -> (q184 _),
+    "q185_bucketed_join" -> (q185 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -391,5 +452,7 @@ object Wave8Queries {
     "q180_stream_sessions" -> q180Sql,
     "q181_late_data" -> q181Sql,
     "q182_pq_codebooks" -> q182Sql,
-    "q183_epoch_schedule" -> q183Sql)
+    "q183_epoch_schedule" -> q183Sql,
+    "q184_hopping_window" -> q184Sql,
+    "q185_bucketed_join" -> q185Sql)
 }

@@ -252,6 +252,19 @@ class PlanSpec extends AnyFunSuite {
       s"bucket join + both verify joins must broadcast:\n$plan")
   }
 
+  test("q185 bucketed join carries NO exchange on either join side") {
+    val df = SparkEntry.queries("q185_bucketed_join")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed tables must join without a shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a join in the plan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan must be bucket-aware:\n$plan")
+  }
+
   test("q176 star contraction plans window-min phases, no cartesian") {
     val df = SparkEntry.queries("q176_cc_star")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
