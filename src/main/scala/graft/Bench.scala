@@ -48,7 +48,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // -- headline: ingest -> melt -> parquet (reference semantics) -----
-    val tsv = s"/tmp/graft_fix/$sfName/bench_lineitem_tsv"
+    val tsv = graft.queries.CoreQueries.fixDir(sfDir) + "/bench_lineitem_tsv"
     if (!Files.exists(Paths.get(s"$tsv/_SUCCESS")))
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .write.mode("overwrite").option("sep", "\t").option("header", "true")

@@ -22,6 +22,27 @@ object CoreQueries {
   def sfName(dir: String): String =
     Paths.get(dir).getFileName.toString
 
+  /** Fixture root for derived test files, FINGERPRINTED by the source
+    * table sizes: fixtures under /tmp/graft_fix survive across build
+    * rounds, and a regenerated test-data set with changed values must
+    * land in a fresh fixture space instead of silently reusing stale
+    * derived files (a latent wrong-answer source — the _SUCCESS-gated
+    * builders would never notice).
+    */
+  def fixDir(dir: String): String = fixDirCache.computeIfAbsent(dir, { d =>
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val crc = new java.util.zip.CRC32
+    tables.foreach { t =>
+      val p = Paths.get(s"$d/$t.parquet")
+      val sz = if (Files.exists(p)) Files.size(p) else -1L
+      crc.update(s"$t=$sz;".getBytes("UTF-8"))
+    }
+    f"/tmp/graft_fix/${sfName(d)}_${crc.getValue}%08x"
+  })
+  private val fixDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   def writeFile(path: java.nio.file.Path, content: String): Unit = {
@@ -37,7 +58,7 @@ object CoreQueries {
     * (`run_annotate.py:20-28`) on Spark's CSV source.
     */
   def q01(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q01_tsv"
+    val tmp = s"${fixDir(dir)}/q01_tsv"
     // fixture dump is test INPUT, not engine work — write once per sf
     // (content is deterministic; _SUCCESS marks a complete dump)
     if (!Files.exists(Paths.get(s"$tmp/_SUCCESS")))
@@ -86,7 +107,7 @@ object CoreQueries {
     val rows = nation
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name", "r_name").collect()
-    val base = Paths.get(s"/tmp/graft_fix/${sfName(dir)}/q04/data")
+    val base = Paths.get(s"${fixDir(dir)}/q04/data")
     rows.groupBy(_.getString(2)).foreach { case (rname, rs) =>
       val content = "n_nationkey\tn_name\n" + rs.sortBy(_.getInt(0))
         .map(r => s"${r.getInt(0)}\t${r.getString(1)}").mkString("\n")
@@ -428,7 +449,7 @@ object CoreQueries {
     * (SURVEY §7.4.3).
     */
   def q36(s: SparkSession, dir: String): DataFrame = {
-    val base = Paths.get(s"/tmp/graft_fix/${sfName(dir)}/q36")
+    val base = Paths.get(s"${fixDir(dir)}/q36")
     writeFile(base.resolve("a").resolve("part.tsv"),
       "id\tscore\n1\t0.5\n2\t0.75\n")
     writeFile(base.resolve("b").resolve("part.tsv"),

@@ -19,7 +19,7 @@ import java.nio.file.Paths
   * doc_id + 1,000,000) — same construction on both engines.
   */
 object ExtQueries {
-  import CoreQueries.{T, sfName}
+  import CoreQueries.{T, sfName, fixDir}
 
   /** events.parquet has shipped `ts` two ways across data generations:
     * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
@@ -437,7 +437,7 @@ object ExtQueries {
     import graft.io.{Hdf5Source, Hdf5Writer}
     import graft.io.Hdf5Writer.{Ds, F64, I32, I64}
     import java.nio.file.{Files, Paths}
-    val fix = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q26_part.h5"
+    val fix = s"${CoreQueries.fixDir(dir)}/q26_part.h5"
     if (!Files.exists(Paths.get(fix))) {
       val rows = T(s, dir, "part")
         .select("p_partkey", "p_size", "p_retailprice")
@@ -1335,7 +1335,7 @@ object ExtQueries {
     * is lossless and the parquet table itself is the oracle.
     */
   def q67(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q67_jsonl"
+    val tmp = s"${fixDir(dir)}/q67_jsonl"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
       T(s, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars", "text")
@@ -1356,7 +1356,7 @@ object ExtQueries {
     * oracle.
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q68_partitioned"
+    val tmp = s"${fixDir(dir)}/q68_partitioned"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
       graft.io.Layout.partitionedWrite(T(s, dir, "documents"), "lang", tmp)
     s.read.parquet(tmp).filter(col("lang") === "en")
@@ -1506,7 +1506,7 @@ object ExtQueries {
     * table as oracle.
     */
   def q74(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q74_orc"
+    val tmp = s"${fixDir(dir)}/q74_orc"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
       T(s, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars", "text")
@@ -1524,7 +1524,7 @@ object ExtQueries {
     * window; oracle = hourly counts over DISTINCT events.
     */
   def q75(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q75_events_dup"
+    val tmp = s"${fixDir(dir)}/q75_events_dup"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
       val ev = events(s, dir).select("user_id", "ts", "value")
       val sentinel = ev.agg(max("ts").as("ts"))

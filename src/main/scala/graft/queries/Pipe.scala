@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   * through DECIMAL, ranks tie-broken by id.
   */
 object PipeQueries {
-  import CoreQueries.{T, sfName}
+  import CoreQueries.{T, sfName, fixDir}
   import ExtQueries.{nearDupCorpus, nearDupCorpusSql, shinglesSql}
 
   /** Spark's Avro source isn't service-registered in this distribution
@@ -29,7 +29,7 @@ object PipeQueries {
     * q74's ORC twin.
     */
   def q81(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q81_avro"
+    val tmp = s"${fixDir(dir)}/q81_avro"
     if (!Files.exists(Paths.get(s"$tmp/_SUCCESS")))
       T(s, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars", "text")
@@ -47,7 +47,7 @@ object PipeQueries {
     * base types explicitly (the reader's documented widening).
     */
   def q82(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q82_xml"
+    val tmp = s"${fixDir(dir)}/q82_xml"
     if (!Files.exists(Paths.get(s"$tmp/_SUCCESS")))
       T(s, dir, "nation")
         .write.mode("overwrite").option("rowTag", "nation")
@@ -266,7 +266,7 @@ object PipeQueries {
     * column — the lakehouse widening pattern.
     */
   def q90(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q90_epochs"
+    val tmp = s"${fixDir(dir)}/q90_epochs"
     if (!Files.exists(Paths.get(s"$tmp/epoch=2/_SUCCESS"))) {
       val docs = T(s, dir, "documents")
       docs.select("doc_id", "lang")
@@ -489,7 +489,7 @@ object PipeQueries {
     * (per-format source provenance kept as a column).
     */
   def q99(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${sfName(dir)}/q99_federated"
+    val tmp = s"${fixDir(dir)}/q99_federated"
     val base = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
     if (!Files.exists(Paths.get(s"$tmp/jsonl/_SUCCESS"))) {
       base.write.mode("overwrite").orc(s"$tmp/orc")

@@ -45,7 +45,7 @@ object Wave8Queries {
     */
   def q177(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q177_events_sentinel"
+    val tmp = s"${CoreQueries.fixDir(dir)}/q177_events_sentinel"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
       val ev = ExtQueries.events(s, dir)
         .select("user_id", "event_id", "ts", "event_type")
@@ -192,7 +192,7 @@ object Wave8Queries {
     */
   def q180(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q180_events_sentinel"
+    val tmp = s"${CoreQueries.fixDir(dir)}/q180_events_sentinel"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
       val ev = ExtQueries.events(s, dir).select("user_id", "ts")
       val sentinel = ev.agg(max("ts").as("ts"))
@@ -229,7 +229,7 @@ object Wave8Queries {
   def q181(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q181_late_v2"
+    val tmp = s"${CoreQueries.fixDir(dir)}/q181_late_v2"
     val ready = Paths.get(s"$tmp/READY")
     if (!Files.exists(ready)) {
       val ev = ExtQueries.events(s, dir).select("event_id", "ts")
@@ -405,7 +405,7 @@ object Wave8Queries {
     * tables.
     */
   def q185(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_fix/${CoreQueries.sfName(dir)}/q185_buckets"
+    val tmp = s"${CoreQueries.fixDir(dir)}/q185_buckets"
     def prep(name: String, src: String, key: String): Unit = {
       val have = s.catalog.tableExists(name) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/$name"))
