@@ -432,6 +432,37 @@ object Wave8Queries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** DYNAMIC PARTITION PRUNING: events re-laid-out as a date-partitioned
+    * fact (30 daily partitions), joined to a derived calendar dim
+    * filtered to Mondays + Tuesdays — the TPC-DS fact×date_dim shape.
+    * Catalyst injects a dynamicpruning subquery on the partition column
+    * so the fact scan reads only the matching day directories
+    * (plan-asserted in PlanSpec), the single biggest IO saver on a
+    * date-partitioned 100 TB fact. Oracle = the same dow filter inline.
+    */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${CoreQueries.fixDir(dir)}/q186_events_bydate"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+      ExtQueries.events(s, dir)
+        .select(col("event_type"), col("value"), to_date(col("ts")).as("d"))
+        .write.partitionBy("d").mode("overwrite").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    val dim = ExtQueries.events(s, dir)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .filter(weekday(col("d")) <= 1)
+    fact.join(dim, Seq("d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+  }
+  val q186Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events WHERE isodow(CAST(ts AS DATE)) <= 2
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -442,7 +473,8 @@ object Wave8Queries {
     "q182_pq_codebooks" -> (q182 _),
     "q183_epoch_schedule" -> (q183 _),
     "q184_hopping_window" -> (q184 _),
-    "q185_bucketed_join" -> (q185 _))
+    "q185_bucketed_join" -> (q185 _),
+    "q186_dpp_join" -> (q186 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -454,5 +486,6 @@ object Wave8Queries {
     "q182_pq_codebooks" -> q182Sql,
     "q183_epoch_schedule" -> q183Sql,
     "q184_hopping_window" -> q184Sql,
-    "q185_bucketed_join" -> q185Sql)
+    "q185_bucketed_join" -> q185Sql,
+    "q186_dpp_join" -> q186Sql)
 }

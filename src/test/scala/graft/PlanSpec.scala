@@ -265,6 +265,15 @@ class PlanSpec extends AnyFunSuite {
       s"scan must be bucket-aware:\n$plan")
   }
 
+  test("q186 join prunes fact partitions dynamically") {
+    val df = SparkEntry.queries("q186_dpp_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the partition column:\n$plan")
+    assert(plan.contains("PartitionFilters"),
+      s"expected partition filters at the fact scan:\n$plan")
+  }
+
   test("q176 star contraction plans window-min phases, no cartesian") {
     val df = SparkEntry.queries("q176_cc_star")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
