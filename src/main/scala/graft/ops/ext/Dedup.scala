@@ -534,6 +534,11 @@ object Dedup {
       .select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
       .localCheckpoint(true)
+    // node set from the CHECKPOINTED edges — deriving it from `pairs`
+    // would re-run the (possibly expensive) upstream pair generation a
+    // second time at the final join
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
     var prev = fingerprint(edges)
     var iter = 0
     var converged = false
@@ -550,8 +555,6 @@ object Dedup {
     }
     // at the fixpoint the edge set IS the star forest (node -> root);
     // roots themselves carry their own id
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     nodes.join(edges.select(col("u").as("id"), col("v").as("__c")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
