@@ -488,7 +488,8 @@ object Wave6Queries {
        |    AS rq FROM res),
        |sd AS (SELECT event_type AS et3, count(*) AS n,
        |    CAST(sum(rq) AS DOUBLE) / 1000000.0e0 AS sr,
-       |    CAST(sum(rq * rq) AS DOUBLE) / 1000000000000.0e0 AS srr
+       |    CAST(sum(CAST(rq AS HUGEINT) * rq) AS DOUBLE)
+       |      / 1000000000000.0e0 AS srr
        |  FROM q GROUP BY 1)
        |SELECT event_type, idx, daily, trend, seasonal, resid,
        |  round(resid / sqrt((srr - sr * sr / n) / (n - 1)), 6) AS z,
