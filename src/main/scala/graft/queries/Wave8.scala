@@ -463,6 +463,39 @@ object Wave8Queries {
       |FROM events WHERE isodow(CAST(ts AS DATE)) <= 2
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  /** Runtime BLOOM-FILTER join pruning — DPP's complement for
+    * NON-partitioned join columns: a selective dim filter (urgent
+    * orders) sprouts a bloom_filter_agg on the build side, and Catalyst
+    * injects might_contain onto the fact scan so non-matching rows die
+    * before the shuffle. The query itself is a plain shuffle join
+    * (merge hint keeps the dim off the broadcast path so the runtime
+    * filter has something to save); the injection is plan-asserted in
+    * PlanSpec under production-shaped thresholds — at the verify scale
+    * the fact side is below the 10 GB application-side default, which
+    * is exactly the knob a real deployment leaves alone. Oracle = the
+    * same join inline; the bloom filter is semantically transparent.
+    */
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val urgent = T(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    T(s, dir, "lineitem")
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+  }
+  val q187Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -474,7 +507,8 @@ object Wave8Queries {
     "q183_epoch_schedule" -> (q183 _),
     "q184_hopping_window" -> (q184 _),
     "q185_bucketed_join" -> (q185 _),
-    "q186_dpp_join" -> (q186 _))
+    "q186_dpp_join" -> (q186 _),
+    "q187_bloom_join" -> (q187 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -487,5 +521,6 @@ object Wave8Queries {
     "q183_epoch_schedule" -> q183Sql,
     "q184_hopping_window" -> q184Sql,
     "q185_bucketed_join" -> q185Sql,
-    "q186_dpp_join" -> q186Sql)
+    "q186_dpp_join" -> q186Sql,
+    "q187_bloom_join" -> q187Sql)
 }

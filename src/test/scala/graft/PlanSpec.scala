@@ -274,6 +274,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition filters at the fact scan:\n$plan")
   }
 
+  test("q187 join injects a runtime bloom filter under production thresholds") {
+    // the application-side scan threshold defaults to 10 GB — scale the
+    // knobs down to the verify corpus, plan, then restore
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // injection requires a probably-shuffle join: at test scale the
+      // dim is broadcast-able by size, which a real 100 TB fact's dim
+      // often is not — force the shuffle path the feature exists for
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = SparkEntry.queries("q187_bloom_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"expected the build-side bloom aggregate:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q176 star contraction plans window-min phases, no cartesian") {
     val df = SparkEntry.queries("q176_cc_star")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
