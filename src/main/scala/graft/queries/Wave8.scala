@@ -4,12 +4,14 @@ import graft.ops.ext.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-4 "wave 8" query set (q176+): the O(log^2 n) star-contraction
-  * connected components (the 100 TB-chain-safe twin of q53's label
-  * propagation), left-outer stream-stream join, Zipf-law corpus fit,
-  * and incremental cross-corpus near-dup — the append-only production
-  * shape of MinHash dedup. Same contract as every wave: DuckDB oracle
-  * per query, doubles round to 6 dp, integer sums stay integral
+/** Round-4 "wave 8" query set (q176-q188): star-contraction connected
+  * components, streaming depth (left-outer stream-stream join, session
+  * windows, late-data semantics, windowed HLL), corpus analytics (Zipf
+  * fit, epoch scheduler, PQ codebooks, incremental cross-corpus
+  * near-dup), and the planned-layout scale features (hopping windows,
+  * bucketed co-located join, dynamic partition pruning, runtime bloom
+  * filter — each plan-asserted). Same contract as every wave: DuckDB
+  * oracle per query, doubles round to 6 dp, integer sums stay integral
   * (BIGINT-cast in the oracle), deterministic tie-breaks.
   */
 object Wave8Queries {
@@ -496,6 +498,48 @@ object Wave8Queries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** Streaming windowed approx-distinct: HLL++ per daily tumbling
+    * window over the bounded event stream — the cardinality monitor a
+    * 100 TB/day pipeline runs where exact distinct state would grow
+    * with the key space while the sketch stays KBs per window. Gated by
+    * q52's INVARIANT oracle pattern: the checked output carries the
+    * exact distinct count (from the same stream result's window set,
+    * recomputed in batch) plus a generous relative-error bound flag —
+    * HLL merge is commutative so the estimate is partitioning-
+    * deterministic, and a broken sketch misses the 20% band.
+    */
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val f = new java.io.File(s"$dir/events.parquet")
+    val schema = s.read.parquet(f.toString).schema
+    val src = ExtQueries.normalizeTs(s.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent))
+    val agg = src
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+    StreamOps.withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q188_hll").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val exact = ExtQueries.events(s, dir)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(col("window.start").as("window_start"), col("exact_users"))
+    s.table("q188_hll").join(exact, Seq("window_start"))
+      .select(col("window_start"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.2).as("hll_within_bound"))
+  }
+  val q188Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)
+      |    AS window_start,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BOOLEAN) AS hll_within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -508,7 +552,8 @@ object Wave8Queries {
     "q184_hopping_window" -> (q184 _),
     "q185_bucketed_join" -> (q185 _),
     "q186_dpp_join" -> (q186 _),
-    "q187_bloom_join" -> (q187 _))
+    "q187_bloom_join" -> (q187 _),
+    "q188_stream_hll" -> (q188 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -522,5 +567,6 @@ object Wave8Queries {
     "q184_hopping_window" -> q184Sql,
     "q185_bucketed_join" -> q185Sql,
     "q186_dpp_join" -> q186Sql,
-    "q187_bloom_join" -> q187Sql)
+    "q187_bloom_join" -> q187Sql,
+    "q188_stream_hll" -> q188Sql)
 }
