@@ -96,4 +96,19 @@ object Sampling {
       }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** LEAKAGE-SAFE group k-fold assignment: every row of a group lands
+    * in the same fold (fold = first 8 md5 hex chars of the group key,
+    * mod k) — the GroupKFold split ML evaluation needs when near-copies
+    * cluster by site/author/session and a row-level split would leak
+    * train data into eval. Pure narrow expression (no shuffle, no RNG):
+    * the assignment is a function of the group key alone, so it is
+    * reproducible across runs, engines, and corpus growth — a group
+    * added next month lands in the same fold it would have today.
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 folds: $k")
+    df.withColumn("fold",
+      conv(hashBucket(col(groupCol)), 16, 10).cast("long") % k)
+  }
 }

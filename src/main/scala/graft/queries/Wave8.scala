@@ -540,6 +540,37 @@ object Wave8Queries {
       |  CAST(1 AS BOOLEAN) AS hll_within_bound
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Leakage-safe GROUP k-fold assignment
+    * ([[graft.ops.ext.Sampling.groupKFold]]): synthetic "sites" of 20
+    * consecutive docs, 5 folds — every doc of a site lands in the same
+    * fold via the md5-prefix hash, so near-copies within a site can
+    * never straddle a train/eval boundary. Output = per-fold doc and
+    * group counts; the oracle recomputes the identical hex-prefix
+    * arithmetic (digit fold over the md5 chars).
+    */
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Sampling
+    val docs = T(s, dir, "documents")
+      .withColumn("grp", expr("doc_id div 20"))
+    Sampling.groupKFold(docs, "grp", k = 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+      .orderBy("fold")
+  }
+  val q189Sql: String =
+    """WITH g AS (SELECT doc_id, doc_id // 20 AS grp FROM documents),
+      |h AS (SELECT grp, substr(md5(grp::VARCHAR), 1, 8) AS hx
+      |      FROM (SELECT DISTINCT grp FROM g)),
+      |f AS (SELECT grp,
+      |    list_reduce(list_transform(string_split(hx, ''),
+      |        c -> strpos('0123456789abcdef', c)::BIGINT - 1),
+      |      (a, x) -> a * 16 + x) % 5 AS fold
+      |  FROM h)
+      |SELECT fold, count(*) AS n_docs, count(DISTINCT g.grp) AS n_groups
+      |FROM g JOIN f USING (grp) GROUP BY fold ORDER BY fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -553,7 +584,8 @@ object Wave8Queries {
     "q185_bucketed_join" -> (q185 _),
     "q186_dpp_join" -> (q186 _),
     "q187_bloom_join" -> (q187 _),
-    "q188_stream_hll" -> (q188 _))
+    "q188_stream_hll" -> (q188 _),
+    "q189_group_kfold" -> (q189 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -568,5 +600,6 @@ object Wave8Queries {
     "q185_bucketed_join" -> q185Sql,
     "q186_dpp_join" -> q186Sql,
     "q187_bloom_join" -> q187Sql,
-    "q188_stream_hll" -> q188Sql)
+    "q188_stream_hll" -> q188Sql,
+    "q189_group_kfold" -> q189Sql)
 }
