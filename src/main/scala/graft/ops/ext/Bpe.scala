@@ -86,4 +86,23 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** ENCODE with a trained merge table — the other half of the
+    * tokenizer: apply the merges, in training order, to a distinct-word
+    * frame and return each word's subword count. The per-word fold is
+    * the same leftmost-non-overlapping [[mergeFold]] the trainer used,
+    * so encode(train(...)) round-trips exactly. Scale shape: the fold
+    * runs once per DISTINCT word (vocabulary-sized, like the training
+    * rounds); callers join the result back onto the corpus word stream
+    * — the corpus itself is never re-folded.
+    */
+  def encode(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val chars = words.select(col("word"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+    val folded = merges.foldLeft(chars) { case (df, (a, b)) =>
+      df.withColumn("syms", mergeFold(col("syms"), a, b))
+    }
+    folded.select(col("word"), size(col("syms")).as("n_subwords"))
+  }
 }

@@ -4,7 +4,7 @@ import graft.ops.ext.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-4 "wave 8" query set (q176-q188): star-contraction connected
+/** Round-4 "wave 8" query set (q176-q190): star-contraction connected
   * components, streaming depth (left-outer stream-stream join, session
   * windows, late-data semantics, windowed HLL), corpus analytics (Zipf
   * fit, epoch scheduler, PQ codebooks, incremental cross-corpus
@@ -571,6 +571,67 @@ object Wave8Queries {
       |SELECT fold, count(*) AS n_docs, count(DISTINCT g.grp) AS n_groups
       |FROM g JOIN f USING (grp) GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** BPE ENCODE — the other half of q129's tokenizer: train 3 merges on
+    * the corpus, then apply them ([[graft.ops.ext.Bpe.encode]]) and
+    * report per-document word and subword counts. The fold runs once
+    * per DISTINCT word (vocabulary-sized) and joins back onto the doc→
+    * word stream, so the corpus is tokenized without re-folding per
+    * occurrence. The 3-row merge table is driver state by design (it IS
+    * the tokenizer artifact); the oracle re-derives the same merges and
+    * resegmentations with q129's CTEs plus one more reseg round.
+    */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.{Bpe, TextAnalysis}
+    val docs = T(s, dir, "documents")
+    val merges = Bpe.train(Bpe.wordFreqs(docs, "text"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docWords = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val vocab = Bpe.encode(docWords.select("word").distinct(), merges)
+    docWords.join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).cast("long").as("n_subwords"))
+  }
+  val q190Sql: String = {
+    def pairs(seg: String) =
+      s"""SELECT z[1] AS lhs, z[2] AS rhs, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+         |                               list_slice(syms, 2, len(syms)))) AS z
+         |  FROM $seg)
+         |GROUP BY 1, 2""".stripMargin
+    def top(p: String, r: Int) =
+      s"""SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, cnt
+         |FROM $p ORDER BY cnt DESC, lhs, rhs LIMIT 1""".stripMargin
+    def reseg(prev: String, t: String) =
+      s"""SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+         |  (acc, x) -> CASE WHEN acc[-1] = $t.lhs AND x[1] = $t.rhs
+         |              THEN list_append(list_slice(acc, 1, len(acc)-1), $t.merged)
+         |              ELSE list_concat(acc, x) END) AS syms
+         |FROM $prev, $t""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)
+       |    AS toks FROM documents),
+       |dw AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+       |w AS (SELECT word, count(*) AS freq FROM dw GROUP BY 1),
+       |seg0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w),
+       |p1 AS (${pairs("seg0")}),
+       |t1 AS (${top("p1", 1)}),
+       |seg1 AS (${reseg("seg0", "t1")}),
+       |p2 AS (${pairs("seg1")}),
+       |t2 AS (${top("p2", 2)}),
+       |seg2 AS (${reseg("seg1", "t2")}),
+       |p3 AS (${pairs("seg2")}),
+       |t3 AS (${top("p3", 3)}),
+       |seg3 AS (${reseg("seg2", "t3")}),
+       |enc AS (SELECT word, len(syms) AS n_subwords FROM seg3)
+       |SELECT doc_id, count(*) AS n_words,
+       |  sum(n_subwords)::BIGINT AS n_subwords
+       |FROM dw JOIN enc USING (word) GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_cc_star" -> (q176 _),
     "q177_stream_outer_join" -> (q177 _),
@@ -585,7 +646,8 @@ object Wave8Queries {
     "q186_dpp_join" -> (q186 _),
     "q187_bloom_join" -> (q187 _),
     "q188_stream_hll" -> (q188 _),
-    "q189_group_kfold" -> (q189 _))
+    "q189_group_kfold" -> (q189 _),
+    "q190_bpe_encode" -> (q190 _))
 
   val oracles: Map[String, String] = Map(
     "q176_cc_star" -> q176Sql,
@@ -601,5 +663,6 @@ object Wave8Queries {
     "q186_dpp_join" -> q186Sql,
     "q187_bloom_join" -> q187Sql,
     "q188_stream_hll" -> q188Sql,
-    "q189_group_kfold" -> q189Sql)
+    "q189_group_kfold" -> q189Sql,
+    "q190_bpe_encode" -> q190Sql)
 }
