@@ -89,4 +89,33 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateEwma(alpha))
   }
+
+  /** Per-key exact running moments in 1e-4 fixed point: n, Σq, Σq²
+    * with q = floor(value·10⁴ + 0.5). Integer sums COMMUTE, so unlike
+    * the EWMA fold the final state is independent of batch boundaries
+    * AND arrival order — the strongest determinism class a stateful
+    * stream can have, and why the q193 oracle can be a plain batch
+    * GROUP BY. Σq² stays < 2⁵⁴ for |value| ≤ 5·10⁵ over 10⁸ events
+    * per key (fixture max 490 over ~10³ events: ~10¹⁶).
+    */
+  case class MomentsState(user_id: Long, n: Long, s1: Long, s2: Long)
+
+  def updateMoments(userId: Long, events: Iterator[TimedEvent],
+      state: GroupState[MomentsState]): Iterator[MomentsState] = {
+    var s = state.getOption.getOrElse(MomentsState(userId, 0L, 0L, 0L))
+    events.foreach { e =>
+      val q = math.floor(e.value * 10000.0 + 0.5).toLong
+      s = MomentsState(userId, s.n + 1, s.s1 + q, s.s2 + q * q)
+    }
+    state.update(s)
+    Iterator.single(s)
+  }
+
+  def runningMoments(spark: SparkSession, events: Dataset[TimedEvent])
+      : Dataset[MomentsState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateMoments)
+  }
 }
