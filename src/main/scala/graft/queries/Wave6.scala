@@ -237,12 +237,12 @@ object Wave6Queries {
     * Pair generation is O(lines²) per order (≤ 7 lines), so the build
     * is one bounded self-join however large lineitem grows.
     */
-  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def coOrderEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.coOccurrenceEdges(
       T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", minShared = 2L)
 
-  private val coOrderEdgesSql: String =
+  private[queries] val coOrderEdgesSql: String =
     """SELECT a.item AS src, b.item AS dst
       |  FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
       |        FROM lineitem) a

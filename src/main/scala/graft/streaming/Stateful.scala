@@ -118,4 +118,40 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateMoments)
   }
+
+  /** Misra-Gries heavy-hitter state: per stream key, at most `m`
+    * (item → counter) entries. The MG guarantees (counter ≤ true
+    * count; true − counter ≤ N/(m+1); every item with true count >
+    * N/(m+1) retained) hold for ANY arrival order, but the exact
+    * counter VALUES are order-sensitive — so q199 checks the
+    * guarantees (q52-style invariant oracle), not raw counters, and
+    * each micro-batch sorts its slice by (ts, event_id) like the EWMA
+    * fold so the bounded replay is reproducible anyway.
+    */
+  case class KeyedItem(key: String, item: Long, ts: Long, event_id: Long)
+  case class MgState(counters: Map[Long, Long])
+  case class MgCounter(key: String, item: Long, est: Long)
+
+  def updateMisraGries(m: Int)(key: String, events: Iterator[KeyedItem],
+      state: GroupState[MgState]): Iterator[MgCounter] = {
+    var c = state.getOption.map(_.counters).getOrElse(Map.empty[Long, Long])
+    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      c.get(e.item) match {
+        case Some(n) => c = c.updated(e.item, n + 1)
+        case None if c.size < m => c = c.updated(e.item, 1L)
+        case None =>
+          c = c.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    }
+    state.update(MgState(c))
+    c.iterator.map { case (item, est) => MgCounter(key, item, est) }
+  }
+
+  def runningHeavyHitters(spark: SparkSession, events: Dataset[KeyedItem],
+      m: Int): Dataset[MgCounter] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateMisraGries(m))
+  }
 }
