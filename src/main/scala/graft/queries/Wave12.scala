@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 "wave 12" query set (q206-q210): temporal-correct streaming
+  * enrichment (stream × SCD2 as-of join), rolling-origin forecast
+  * backtesting, LSH precision/recall evaluation against exhaustive
+  * truth, sketch-merged 2-hop graph reach, and CART Gini split
+  * finding. Same contract as every wave: DuckDB oracle per query,
+  * doubles round to 6 dp, integer sums BIGINT-cast in the oracle,
+  * deterministic tie-breaks everywhere.
+  */
+object Wave12Queries {
+  import CoreQueries.T
+
+  // ---------------------------------------------------------------- q206
+  /** Stream × SCD2 dimension AS-OF enrich: each click joins the
+    * purchase-derived dimension VERSION valid at the click's event
+    * time (valid_from <= ts < valid_to) — the temporally correct
+    * stream enrichment q49's latest-only lookup cannot express
+    * (late-arriving clicks must see the OLD segment). Stream-static
+    * inner join: the dim builds once per micro-batch planning, no
+    * state store, no watermark needed; at scale the dim is a broadcast
+    * or bucketed side, and the range predicate prunes versions at the
+    * join.
+    */
+  def q206(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val ev = ExtQueries.events(s, dir)
+    val wd = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    val dim = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("valid_from"), col("event_id"),
+        floor(col("value") / 100.0).cast("long").as("tier"))
+      .withColumn("valid_to", lead("valid_from", 1).over(wd))
+      .drop("event_id")
+    val f = new java.io.File(s"$dir/events.parquet")
+    val schema = s.read.parquet(f.toString).schema
+    val clicks = ExtQueries.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val joined = clicks.join(dim,
+      clicks("user_id") === dim("user_id") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("click_id"), clicks("user_id").as("user_id"), col("tier"))
+    StreamOps.withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("q206_scd2_enrich").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("q206_scd2_enrich").orderBy("click_id")
+  }
+  val q206Sql: String =
+    """WITH dim AS (SELECT user_id, ts AS valid_from,
+      |    CAST(floor(value / 100.0e0) AS BIGINT) AS tier,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, c.user_id, d.tier
+      |FROM events c JOIN dim d ON c.user_id = d.user_id
+      |  AND c.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+      |WHERE c.event_type = 'click'
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** Rolling-origin forecast backtest on the hourly event-count series
+    * per type: naive (t-1) vs seasonal-naive (t-24) over the last 48
+    * hours, on a DENSE integer hour grid (missing hours are real
+    * zeros, not absent rows — the classic backtest bug). Counts are
+    * integers, so both MAEs are exact rationals divided once. The
+    * degenerate fixture case (every hour populated) still exercises
+    * the spine join; at scale the spine is a range, never a collect.
+    */
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    val ev = ExtQueries.events(s, dir)
+      .select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("h"))
+    val cnt = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val span = ev.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = span.select(col("event_type"), col("h1"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val dense = spine.join(cnt, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("h1"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wt = Window.partitionBy("event_type").orderBy("h")
+    val fc = dense
+      .withColumn("naive", lag("n", 1).over(wt))
+      .withColumn("snaive", lag("n", 24).over(wt))
+      .filter(col("h") > col("h1") - 48 &&
+        col("naive").isNotNull && col("snaive").isNotNull)
+    fc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("n") - col("naive"))).as("sa"),
+        sum(abs(col("n") - col("snaive"))).as("ss"))
+      .select(col("event_type"), col("n_test"),
+        round(col("sa").cast("double") / col("n_test"), 6).as("mae_naive"),
+        round(col("ss").cast("double") / col("n_test"), 6).as("mae_snaive"))
+      .orderBy("event_type")
+  }
+  val q207Sql: String =
+    """WITH ev AS (SELECT event_type, epoch(ts)::BIGINT // 3600 AS h
+      |  FROM events),
+      |cnt AS (SELECT event_type, h, count(*)::BIGINT AS n
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |  FROM ev GROUP BY 1),
+      |spine AS (SELECT event_type, h1, unnest(range(h0, h1 + 1)) AS h
+      |  FROM span),
+      |dense AS (SELECT s.event_type, s.h, s.h1,
+      |    coalesce(c.n, 0)::BIGINT AS n
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON c.event_type = s.event_type AND c.h = s.h),
+      |fc AS (SELECT event_type, h1, h, n,
+      |    lag(n, 1) OVER w AS naive, lag(n, 24) OVER w AS snaive
+      |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h))
+      |SELECT event_type, count(*)::BIGINT AS n_test,
+      |  round(CAST(sum(abs(n - naive)) AS DOUBLE) / count(*), 6)
+      |    AS mae_naive,
+      |  round(CAST(sum(abs(n - snaive)) AS DOUBLE) / count(*), 6)
+      |    AS mae_snaive
+      |FROM fc WHERE h > h1 - 48 AND naive IS NOT NULL
+      |  AND snaive IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** LSH evaluation harness: precision/recall/F1 of md5-MinHash band
+    * candidates (k=16 minima, 8 bands × 2 rows) against the EXHAUSTIVE
+    * exact-jaccard ≥ 0.8 truth on the near-dup corpus. This is the
+    * pre-flight any 100 TB dedup run needs — measure the band
+    * family's recall on a sample before burning the cluster. The md5
+    * hash family makes the sketch engine-portable, so candidates,
+    * truth, and every ratio are value-checked (the production xxhash
+    * family in [[graft.ops.ext.Dedup]] is faster but engine-private).
+    */
+  def q208(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val corpus = ExtQueries.nearDupCorpus(s, dir)
+    val toks = graft.ops.ext.TextAnalysis.tokens(col("text"))
+    val grams = corpus
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("g"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
+    val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bucketArr = array((0 until k / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("key"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), explode(bucketArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val shs = corpus.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3))))).as("sh"))
+    val truth = shs.as("x").join(shs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+        (size(col("x.sh")) + size(col("y.sh"))
+          - size(array_intersect(col("x.sh"), col("y.sh")))) >= 0.8)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val m = cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_tp")))
+    val p = col("n_tp").cast("double") / col("n_candidates")
+    val r = col("n_tp").cast("double") / col("n_truth")
+    m.select(col("n_candidates"), col("n_truth"), col("n_tp"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(lit(2.0) * p * r / (p + r), 6).as("f1"))
+  }
+  val q208Sql: String =
+    s"""WITH corpus AS (${ExtQueries.nearDupCorpusSql}),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |                t -> len(t)>0) AS toks
+       |  FROM corpus),
+       |g AS (SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      [array_to_string(toks[i:i+2], ' ')
+       |       for i in range(1, len(toks)-1)])) AS g
+       |    FROM tk WHERE len(toks) >= 3)),
+       |sig AS (SELECT doc_id,
+       |    ${(0 until 16).map(i =>
+            s"min(md5('$i:' || g)) AS m$i").mkString(",\n       |    ")}
+       |  FROM g GROUP BY doc_id),
+       |banded AS (${(0 until 8).map(b =>
+            s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS key FROM sig")
+            .mkString("\n       |  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, $shinglesLocal AS sh
+       |  FROM tk),
+       |truth AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+       |        >= 0.8),
+       |m AS (SELECT
+       |    (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       |    (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |    (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b))::BIGINT
+       |      AS n_tp)
+       |SELECT n_candidates, n_truth, n_tp,
+       |  round(n_tp::DOUBLE / n_candidates, 6) AS precision,
+       |  round(n_tp::DOUBLE / n_truth, 6) AS recall,
+       |  round(2.0e0 * (n_tp::DOUBLE / n_candidates)
+       |        * (n_tp::DOUBLE / n_truth)
+       |        / (n_tp::DOUBLE / n_candidates + n_tp::DOUBLE / n_truth), 6)
+       |    AS f1
+       |FROM m""".stripMargin
+
+  private def shinglesLocal: String = ExtQueries.shinglesSql
+
+  // ---------------------------------------------------------------- q209
+  /** 2-hop reach per node, exact vs KMV-MERGED estimate: each node's
+    * 1-hop KMV sketch (8 smallest md5(neighbor)) merges across its
+    * neighbors into a 2-hop sketch WITHOUT materializing the 2-hop
+    * pair set — the k-smallest of a union of per-set k-smallest IS the
+    * union's k-smallest, so merge is lossless at the sketch level.
+    * That merge identity is the whole 100 TB story: exact 2-hop
+    * explodes quadratically in degree; sketch rows are Σdeg·k. md5
+    * keys make the estimate engine-exact, so both columns value-check.
+    */
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = Wave6Queries.coOrderEdges(s, dir)
+    val sym = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val exact = sym.as("a")
+      .join(sym.as("b"), col("a.nbr") === col("b.node"))
+      .select(col("a.node").as("node"), col("b.nbr").as("y"))
+      .distinct()
+      .groupBy("node").agg(count(lit(1)).as("n_2hop"))
+    val hop1 = sym.select(col("node"),
+        conv(substring(md5(col("nbr").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("v"))
+      .distinct()
+    val wk = Window.partitionBy("node").orderBy("v")
+    val sk1 = hop1.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k).select("node", "v")
+    val merged = sym
+      .join(sk1.withColumnRenamed("node", "nbr"), "nbr")
+      .select(col("node"), col("v")).distinct()
+    val sk2 = merged.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+    val est = sk2.groupBy("node")
+      .agg(max("v").as("theta"), count(lit(1)).as("kk"))
+      .select(col("node"),
+        when(col("kk") < k, col("kk").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("theta").cast("double"))
+          .as("e"))
+    exact.join(est, "node")
+      .select(col("node"), col("n_2hop"), round(col("e"), 6).as("est_2hop"))
+      .orderBy("node")
+  }
+  val q209Sql: String =
+    s"""WITH e AS (${Wave6Queries.coOrderEdgesSql}),
+       |sym AS (SELECT src AS node, dst AS nbr FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |exact AS (SELECT node, count(*)::BIGINT AS n_2hop FROM (
+       |    SELECT DISTINCT a.node, b.nbr AS y
+       |    FROM sym a JOIN sym b ON a.nbr = b.node)
+       |  GROUP BY node),
+       |h1 AS (SELECT DISTINCT node,
+       |    ('0x' || substr(md5(nbr::VARCHAR), 1, 8))::BIGINT AS v
+       |  FROM sym),
+       |sk1 AS (SELECT node, v FROM (
+       |    SELECT node, v, row_number() OVER (PARTITION BY node ORDER BY v)
+       |      AS rn FROM h1) WHERE rn <= 8),
+       |merged AS (SELECT DISTINCT s.node, k.v
+       |  FROM sym s JOIN sk1 k ON k.node = s.nbr),
+       |sk2 AS (SELECT node, v FROM (
+       |    SELECT node, v, row_number() OVER (PARTITION BY node ORDER BY v)
+       |      AS rn FROM merged) WHERE rn <= 8),
+       |est AS (SELECT node, max(v) AS theta, count(*) AS kk
+       |  FROM sk2 GROUP BY node)
+       |SELECT x.node, x.n_2hop,
+       |  round(CASE WHEN e.kk < 8 THEN e.kk::DOUBLE
+       |        ELSE 30064771072.0e0 / e.theta::DOUBLE END, 6) AS est_2hop
+       |FROM exact x JOIN est e ON e.node = x.node
+       |ORDER BY x.node""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** CART split finding: per source, the doc-length threshold that
+    * maximizes GINI impurity reduction for the is-English label. Gini
+    * (unlike entropy) is pure arithmetic on integer prefix counts — no
+    * libm in the ranking, so the argmax is bit-deterministic across
+    * engines (the q173 pinned-argmax discipline). One sorted window
+    * pass builds every candidate split's confusion counts; candidates
+    * are the distinct feature values.
+    */
+  def q210(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("source"),
+      col("n_chars").as("x"), (col("lang") === "en").cast("long").as("y"))
+    val byVal = d.groupBy("source", "x")
+      .agg(count(lit(1)).as("c"), sum("y").as("cp"))
+    val wv = Window.partitionBy("source").orderBy("x")
+    val wall = Window.partitionBy("source")
+    val pre = byVal
+      .withColumn("nl", sum("c").over(wv))
+      .withColumn("pl", sum("cp").over(wv))
+      .withColumn("n", sum("c").over(wall))
+      .withColumn("p", sum("cp").over(wall))
+      .filter(col("nl") < col("n")) // split must leave a right side
+    def gini(pos: Column, n: Column): Column = {
+      val q = pos.cast("double") / n
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    val gain = gini(col("p"), col("n")) -
+      col("nl") / col("n").cast("double") * gini(col("pl"), col("nl")) -
+      (col("n") - col("nl")) / col("n").cast("double") *
+        gini(col("p") - col("pl"), col("n") - col("nl"))
+    val wr = Window.partitionBy("source")
+      .orderBy(col("gain").desc, col("x"))
+    pre.withColumn("gain", gain)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("x").as("threshold"),
+        col("nl").as("n_left"), (col("n") - col("nl")).as("n_right"),
+        round(col("gain"), 6).as("gini_gain"))
+      .orderBy("source")
+  }
+  val q210Sql: String =
+    """WITH d AS (SELECT source, n_chars AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bv AS (SELECT source, x, count(*)::BIGINT AS c,
+      |    CAST(sum(y) AS BIGINT) AS cp
+      |  FROM d GROUP BY 1, 2),
+      |pre AS (SELECT source, x,
+      |    CAST(sum(c) OVER wv AS BIGINT) AS nl,
+      |    CAST(sum(cp) OVER wv AS BIGINT) AS pl,
+      |    CAST(sum(c) OVER wa AS BIGINT) AS n,
+      |    CAST(sum(cp) OVER wa AS BIGINT) AS p
+      |  FROM bv WINDOW wv AS (PARTITION BY source ORDER BY x),
+      |                wa AS (PARTITION BY source)),
+      |g AS (SELECT source, x, nl, n,
+      |    (1.0e0 - (p::DOUBLE / n) * (p::DOUBLE / n)
+      |       - (1.0e0 - p::DOUBLE / n) * (1.0e0 - p::DOUBLE / n))
+      |    - nl / n::DOUBLE
+      |      * (1.0e0 - (pl::DOUBLE / nl) * (pl::DOUBLE / nl)
+      |         - (1.0e0 - pl::DOUBLE / nl) * (1.0e0 - pl::DOUBLE / nl))
+      |    - (n - nl) / n::DOUBLE
+      |      * (1.0e0 - ((p - pl)::DOUBLE / (n - nl))
+      |                 * ((p - pl)::DOUBLE / (n - nl))
+      |         - (1.0e0 - (p - pl)::DOUBLE / (n - nl))
+      |           * (1.0e0 - (p - pl)::DOUBLE / (n - nl))) AS gain
+      |  FROM pre WHERE nl < n)
+      |SELECT source, x AS threshold, nl AS n_left, (n - nl) AS n_right,
+      |  round(gain, 6) AS gini_gain
+      |FROM (SELECT source, x, nl, n, gain,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY gain DESC, x) AS rn
+      |      FROM g)
+      |WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_stream_scd2_enrich" -> (q206 _),
+    "q207_backtest" -> (q207 _),
+    "q208_lsh_eval" -> (q208 _),
+    "q209_twohop_kmv" -> (q209 _),
+    "q210_gini_split" -> (q210 _))
+
+  val oracles: Map[String, String] = Map(
+    "q206_stream_scd2_enrich" -> q206Sql,
+    "q207_backtest" -> q207Sql,
+    "q208_lsh_eval" -> q208Sql,
+    "q209_twohop_kmv" -> q209Sql,
+    "q210_gini_split" -> q210Sql)
+}
