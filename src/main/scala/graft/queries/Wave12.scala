@@ -128,30 +128,43 @@ object Wave12Queries {
 
   // ---------------------------------------------------------------- q208
   /** LSH evaluation harness: precision/recall/F1 of md5-MinHash band
-    * candidates (k=16 minima, 8 bands × 2 rows) against the EXHAUSTIVE
+    * candidates (k=16 minima, 4 bands × 4 rows) against the EXHAUSTIVE
     * exact-jaccard ≥ 0.8 truth on the near-dup corpus. This is the
     * pre-flight any 100 TB dedup run needs — measure the band
-    * family's recall on a sample before burning the cluster. The md5
-    * hash family makes the sketch engine-portable, so candidates,
-    * truth, and every ratio are value-checked (the production xxhash
-    * family in [[graft.ops.ext.Dedup]] is faster but engine-private).
+    * family's recall on a sample before burning the cluster. 4-row
+    * bands fire at j⁴ per band, which this corpus needs: its 31-token
+    * vocabulary gives RANDOM pairs jaccard ~0.2-0.3, and 2-row bands
+    * would pass millions of them (exactly the tradeoff the harness
+    * measures). The md5 hash family makes the sketch engine-portable,
+    * so candidates, truth, and every ratio are value-checked (the
+    * production xxhash family in [[graft.ops.ext.Dedup]] is faster but
+    * engine-private).
     */
   def q208(s: SparkSession, dir: String): DataFrame = {
     val k = 16
+    // A pre-flight measures the family on a SAMPLE — that's its whole
+    // point. doc_id % 4 keeps base docs and their mutated twins
+    // together (1000000 ≡ 0 mod 4), so planted near-dup pairs survive
+    // sampling intact.
     val corpus = ExtQueries.nearDupCorpus(s, dir)
+      .filter(col("doc_id") % 4 === 0)
     val toks = graft.ops.ext.TextAnalysis.tokens(col("text"))
-    val grams = corpus
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("g"))
+    // ONE tokenize+shingle scan feeds signature minima AND the truth
+    // join (the Dedup.prepTokens discipline): gx is the only persisted
+    // frame, (doc_id, gram) rows.
+    val shs = corpus.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3))))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val gx = shs.select(col("doc_id"), explode(col("sh")).as("g")).persist()
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
-    val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bucketArr = array((0 until k / 2).map { b =>
+    val sig = gx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bucketArr = array((0 until k / 4).map { b =>
       struct(lit(b).as("band"),
-        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("key"))
+        concat_ws("|", col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("key"))
     }: _*)
     val banded = sig.select(col("doc_id"), explode(bucketArr).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -161,20 +174,32 @@ object Wave12Queries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val shs = corpus.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(3))))).as("sh"))
-    val truth = shs.as("x").join(shs.as("y"),
-        col("x.doc_id") < col("y.doc_id"))
-      .filter(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-        (size(col("x.sh")) + size(col("y.sh"))
-          - size(array_intersect(col("x.sh"), col("y.sh")))) >= 0.8)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    val m = cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(cand.join(truth, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_tp")))
+    // Exhaustive-exact truth WITHOUT the all-pairs join and WITHOUT a
+    // second array pass: any true pair shares >= 1 shingle, so the
+    // shared-gram co-occurrence join is a complete candidate generator
+    // (containmentPairs' exactness contract) — and because grams are
+    // DISTINCT per doc, the pair's group count IS |intersection|, so
+    // jaccard = shared/(na+nb-shared) needs only the two set sizes.
+    // Nothing wider than (id_a, id_b, count) ever shuffles. The DuckDB
+    // oracle does the n² literally — fine for an oracle, fatal for an
+    // engine.
+    val sizes = gx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val truth = gx.as("x").join(gx.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .filter(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    // one job for all three counts: full-outer the two pair sets
+    val u = cand.withColumn("is_c", lit(1L))
+      .join(truth.withColumn("is_t", lit(1L)), Seq("id_a", "id_b"), "full")
+    val m = u.agg(sum(coalesce(col("is_c"), lit(0L))).as("n_candidates"),
+      sum(coalesce(col("is_t"), lit(0L))).as("n_truth"),
+      sum(when(col("is_c").isNotNull && col("is_t").isNotNull, 1L)
+        .otherwise(0L)).as("n_tp"))
     val p = col("n_tp").cast("double") / col("n_candidates")
     val r = col("n_tp").cast("double") / col("n_truth")
     m.select(col("n_candidates"), col("n_truth"), col("n_tp"),
@@ -182,33 +207,34 @@ object Wave12Queries {
       round(lit(2.0) * p * r / (p + r), 6).as("f1"))
   }
   val q208Sql: String =
-    s"""WITH corpus AS (${ExtQueries.nearDupCorpusSql}),
+    s"""WITH corpus0 AS (${ExtQueries.nearDupCorpusSql}),
+       |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
        |tk AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
        |                t -> len(t)>0) AS toks
        |  FROM corpus),
-       |g AS (SELECT DISTINCT doc_id, g FROM (
-       |    SELECT doc_id, unnest(list_distinct(
-       |      [array_to_string(toks[i:i+2], ' ')
-       |       for i in range(1, len(toks)-1)])) AS g
-       |    FROM tk WHERE len(toks) >= 3)),
+       |g AS (SELECT doc_id, unnest(sh) AS g FROM (
+       |    SELECT doc_id, $shinglesLocal AS sh FROM tk)
+       |  WHERE len(sh) > 0),
        |sig AS (SELECT doc_id,
        |    ${(0 until 16).map(i =>
             s"min(md5('$i:' || g)) AS m$i").mkString(",\n       |    ")}
        |  FROM g GROUP BY doc_id),
-       |banded AS (${(0 until 8).map(b =>
-            s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS key FROM sig")
+       |banded AS (${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, m${4 * b} || '|' || m${4 * b + 1} || '|' || m${4 * b + 2} || '|' || m${4 * b + 3} AS key FROM sig")
             .mkString("\n       |  UNION ALL ")}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |sh AS (SELECT doc_id, $shinglesLocal AS sh
-       |  FROM tk),
-       |truth AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-       |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-       |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-       |        >= 0.8),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM g GROUP BY 1),
+       |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    count(*)::BIGINT AS shared
+       |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b
+       |  FROM shared JOIN sz a ON a.doc_id = id_a
+       |              JOIN sz b ON b.doc_id = id_b
+       |  WHERE shared::DOUBLE / (a.nsh + b.nsh - shared) >= 0.8e0),
        |m AS (SELECT
        |    (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
        |    (SELECT count(*) FROM truth)::BIGINT AS n_truth,
