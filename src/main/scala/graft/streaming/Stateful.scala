@@ -154,4 +154,32 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateMisraGries(m))
   }
+
+  /** Streaming latest-wins upsert (CDC materialization): per key, keep
+    * the record with the max (ts, event_id). Max over a total order
+    * COMMUTES, so like [[runningMoments]] the final state is
+    * independent of batch slicing and arrival order — the oracle is
+    * the batch row_number()=1 latest-wins, no replay.
+    */
+  case class LatestState(user_id: Long, ts: Long, event_id: Long,
+                         value: Double)
+
+  def updateLatest(userId: Long, events: Iterator[TimedEvent],
+      state: GroupState[LatestState]): Iterator[LatestState] = {
+    var s = state.getOption.orNull
+    events.foreach { e =>
+      if (s == null || e.ts > s.ts || (e.ts == s.ts && e.event_id > s.event_id))
+        s = LatestState(userId, e.ts, e.event_id, e.value)
+    }
+    state.update(s)
+    Iterator.single(s)
+  }
+
+  def runningLatest(spark: SparkSession, events: Dataset[TimedEvent])
+      : Dataset[LatestState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateLatest)
+  }
 }
