@@ -54,7 +54,9 @@ object Curation {
     // next to the LSH join that produced the pairs.
     val pairs = Dedup.minhashNearDups(exact, textCol, idCol,
       threshold = nearDupThreshold).select(col("id_a"), col("id_b"))
-    val dupIds = Dedup.connectedComponents(pairs)
+    // star contraction, not label propagation: same min-id components
+    // (q176 passes q53's oracle), O(log² n) rounds vs O(diameter)
+    val dupIds = Dedup.connectedComponentsStar(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     val deduped = exact.join(dupIds, Seq(idCol), "left_anti").persist()
