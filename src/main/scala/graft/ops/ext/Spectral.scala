@@ -49,12 +49,7 @@ object Spectral {
     // to 1e-8 longs; the -4·n un-shift uses the cell's exact count
     val q = floor((col("a.x") * col("b.x") + lit(4.0)) * lit(1e8)
       + lit(0.5)).cast("long")
-    // M is symmetric and the quantized cell sums are order-free longs,
-    // so the (j,i) cell is BIT-IDENTICAL to (i,j): build the upper
-    // triangle only (halves the n·d² product stream) and mirror.
-    val upper = e.as("a")
-      .join(broadcast(e.as("b")),
-        col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
+    val m = e.as("a").join(broadcast(e.as("b")), Seq("id"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(count(lit(1)).as("n"),
         sum(shiftright(q, 20)).as("hi"),
@@ -63,8 +58,6 @@ object Spectral {
         (((col("hi").cast("decimal(38,0)") * lit(1048576L) + col("lo"))
           .cast("double") / lit(1e8) - lit(4.0) * col("n")) / col("n"))
           .as("m"))
-    val m = upper.unionByName(upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("m")))
       .persist()
     var v = spark.range(0, dims.toLong)
       .select(col("id").as("i"),
