@@ -143,15 +143,18 @@ object Wave17Queries {
     * generations (dropped char, appended char), blocked Levenshtein
     * pairing (q111's machinery, both-direction candidates), and
     * component clustering into entities — dedup for STRUCTURED records
-    * where near-dup text machinery doesn't apply. Output is every
+    * where near-dup text machinery doesn't apply. The name's id field
+    * is an md5 token: serial ids would make every adjacent pair lev-1
+    * (the classic reason match keys exclude serial fields), so matches
+    * here are exactly the planted typo variants. Output is every
     * record in a multi-record entity with its canonical (min) id; the
     * oracle replays the closure with a recursive CTE.
     */
   def q226(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
       .select(col("doc_id").as("id"),
-        concat(col("source"), lit("-"), col("lang"), lit("-"), col("doc_id"))
-          .as("name"))
+        concat(col("source"), lit("-"), col("lang"), lit("-"),
+          substring(md5(col("doc_id").cast("string")), 1, 6)).as("name"))
     val v1 = base.filter(col("id") % 10 === 0)
       .select((col("id") + 1000000L).as("id"),
         concat(substring(col("name"), 1, 6), substring(col("name"), 8, 100))
@@ -160,8 +163,12 @@ object Wave17Queries {
       .select((col("id") + 2000000L).as("id"),
         concat(col("name"), lit("x")).as("name"))
     val recs = base.unionByName(v1).unionByName(v2)
+    // block on the full first field (typo-stable: the dropped char 7
+    // and appended char never touch it) — a short fixed prefix merges
+    // "src1" with "src10".."src19" into one quadratic block
     val pairs = recs.as("a").join(recs.as("b"),
-        substring(col("a.name"), 1, 4) === substring(col("b.name"), 1, 4) &&
+        substring_index(col("a.name"), "-", 1) ===
+          substring_index(col("b.name"), "-", 1) &&
           abs(length(col("a.name")) - length(col("b.name"))) <= 1 &&
           col("a.id") < col("b.id"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
@@ -171,7 +178,8 @@ object Wave17Queries {
   val q226Sql: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id AS id,
-      |    source || '-' || lang || '-' || doc_id AS name
+      |    source || '-' || lang || '-' ||
+      |      substr(md5(doc_id::VARCHAR), 1, 6) AS name
       |  FROM documents),
       |recs AS (
       |  SELECT id, name FROM base
@@ -183,7 +191,7 @@ object Wave17Queries {
       |pairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b
       |  FROM recs a JOIN recs b
-      |    ON substr(a.name, 1, 4) = substr(b.name, 1, 4)
+      |    ON split_part(a.name, '-', 1) = split_part(b.name, '-', 1)
       |   AND abs(len(a.name) - len(b.name)) <= 1
       |   AND a.id < b.id
       |  WHERE levenshtein(a.name, b.name) <= 1),
