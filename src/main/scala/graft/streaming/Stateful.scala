@@ -182,4 +182,42 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateLatest)
   }
+
+  /** Streaming 3σ anomaly alerts: each event tests against the running
+    * moments of its key BEFORE being folded in ((v−μ)² > 9σ², no sqrt
+    * — the compare runs on values derived from the exact integer
+    * sums). Alerts need n ≥ `minN` prior events. Like the EWMA fold,
+    * each batch sorts by (ts, event_id), so the bounded single-batch
+    * replay equals the batch prefix-window recurrence the q228 oracle
+    * computes.
+    */
+  case class Alert(user_id: Long, event_id: Long, value: Double,
+                   n_prior: Long)
+
+  def updateAnomaly(minN: Int)(userId: Long, events: Iterator[TimedEvent],
+      state: GroupState[MomentsState]): Iterator[Alert] = {
+    var s = state.getOption.getOrElse(MomentsState(userId, 0L, 0L, 0L))
+    val alerts = scala.collection.mutable.ListBuffer.empty[Alert]
+    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      if (s.n >= minN) {
+        val m = (s.s1.toDouble / s.n) / 10000.0
+        val varr = (s.s2.toDouble / s.n -
+          (s.s1.toDouble / s.n) * (s.s1.toDouble / s.n)) / 100000000.0
+        val d = e.value - m
+        if (d * d > 9.0 * varr) alerts += Alert(userId, e.event_id, e.value, s.n)
+      }
+      val q = math.floor(e.value * 10000.0 + 0.5).toLong
+      s = MomentsState(userId, s.n + 1, s.s1 + q, s.s2 + q * q)
+    }
+    state.update(s)
+    alerts.iterator
+  }
+
+  def runningAnomalies(spark: SparkSession, events: Dataset[TimedEvent],
+      minN: Int): Dataset[Alert] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(updateAnomaly(minN))
+  }
 }
