@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis estimators over per-unit metrics: CUPED
+  * variance reduction and difference-in-differences — the A/B
+  * readout layer that sits downstream of sessionization (q55) and
+  * the funnel/attribution queries.
+  *
+  * Everything reduces to exact integer moment sums over pre-quantized
+  * per-unit metrics (the caller quantizes values to fixed point), so
+  * the estimators are order-free under distributed aggregation; the
+  * handful of closing float ops (the theta ratio, the adjusted means)
+  * are written in one fixed shape that a SQL oracle replays verbatim.
+  *
+  * Scale shape: one hash aggregation per unit (map-side partials),
+  * then a single global aggregation of the 5 moment sums — a
+  * scalar frame that broadcasts back onto the per-arm rollup. No
+  * windows, no sorts, no driver-side math beyond plan construction.
+  */
+object Experiment {
+
+  /** CUPED ([[https://exp-platform.com/cuped]] Deng et al., WSDM'13):
+    * per-unit post-period metric `y` adjusted by the pre-period
+    * covariate `x`, `y' = y − θ(x − x̄)` with
+    * `θ = cov(x,y)/var(x)` pooled across arms.
+    *
+    * Input: one row per unit with exact integer columns `x`, `y`
+    * (fixed-point, scale `scale`) and a grouping column `armCol`.
+    * Output per arm: n, raw mean, CUPED-adjusted mean, θ, and the
+    * pooled variance-reduction ratio 1 − var(y−θx)/var(y).
+    *
+    * Integer-overflow envelope: |x|,|y| ≤ ~2e9 and n ≤ ~1e9 keeps
+    * n·Σxy inside a Long; past that, lift the moment sums to
+    * DECIMAL(38,0) — same plan shape, wider partials.
+    */
+  def cuped(units: DataFrame, armCol: String, scale: Double): DataFrame = {
+    val moments = units.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val g = moments.select(col("n"), col("sx"), col("sy"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("theta"),
+      col("sxy"), col("sxx"), col("syy"))
+    val arms = units.groupBy(col(armCol))
+      .agg(count(lit(1)).as("na"), sum("x").as("sxa"), sum("y").as("sya"))
+    arms.crossJoin(broadcast(g)).select(
+      col(armCol),
+      col("na").as("n_units"),
+      round(col("sya").cast("double") / col("na").cast("double") / scale, 6)
+        .as("mean_raw"),
+      round((col("sya").cast("double") / col("na").cast("double") -
+        col("theta") * (col("sxa").cast("double") / col("na").cast("double")
+          - col("sx").cast("double") / col("n").cast("double"))) / scale, 6)
+        .as("mean_cuped"),
+      round(col("theta"), 6).as("theta"),
+      round(lit(1.0) -
+        ((col("syy").cast("double")
+            - lit(2.0) * col("theta") * col("sxy").cast("double")
+            + col("theta") * col("theta") * col("sxx").cast("double"))
+          / col("n").cast("double")
+          - (col("sy").cast("double") / col("n").cast("double")
+              - col("theta") * col("sx").cast("double") / col("n").cast("double"))
+            * (col("sy").cast("double") / col("n").cast("double")
+              - col("theta") * col("sx").cast("double") / col("n").cast("double")))
+        / (col("syy").cast("double") / col("n").cast("double")
+          - col("sy").cast("double") / col("n").cast("double")
+            * col("sy").cast("double") / col("n").cast("double")), 6)
+        .as("var_reduction"))
+  }
+
+  /** Difference-in-differences over per-unit pre/post means: the
+    * (treated, post) interaction effect
+    * `(ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)` from exact
+    * integer cell sums. Input: one row per (unit, period) with
+    * integer `y`, boolean-ish `treated` and `post` columns. Output:
+    * one row per cell plus the DiD estimate repeated (scalar
+    * broadcast), all means at fixed-point `scale`.
+    */
+  def diffInDiff(cells: DataFrame, scale: Double): DataFrame = {
+    val agg = cells.groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .withColumn("mean_y",
+        col("sy").cast("double") / col("n").cast("double") / scale)
+    val wide = agg.groupBy()
+      .pivot(concat(when(col("treated"), lit("t")).otherwise(lit("c")),
+        when(col("post"), lit("_post")).otherwise(lit("_pre"))),
+        Seq("t_post", "t_pre", "c_post", "c_pre"))
+      .agg(first("mean_y"))
+    agg.crossJoin(broadcast(wide.select(
+      ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+        .as("did"))))
+      .select(col("treated"), col("post"), col("n"),
+        round(col("mean_y"), 6).as("mean_y"), round(col("did"), 6).as("did"))
+  }
+}
