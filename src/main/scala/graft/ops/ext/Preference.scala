@@ -32,17 +32,22 @@ object Preference {
   def bradleyTerry(duels: DataFrame, rounds: Int = 3): DataFrame = {
     // symmetric games per ordered pair: g_ij = n_ij + n_ji, built by
     // folding the reversed frame in (no outer join, no null paths)
+    // persisted: the pair frame is re-read every MM round (and the
+    // duel construction upstream is typically a corpus-sized
+    // self-join that must not replay per round)
     val pairs = duels
       .select(col("i"), col("j"), col("wins").as("w"), col("wins").as("g"))
       .unionAll(duels.select(col("j").as("i"), col("i").as("j"),
         lit(0L).as("w"), col("wins").as("g")))
       .groupBy("i", "j").agg(sum("w").as("w"), sum("g").as("g"))
+      .persist()
     val totals = pairs.groupBy("i")
       .agg(sum("w").as("wins"), sum("g").as("games"))
+      .persist()
     var piq = totals.select(col("i"), lit(S.toLong).as("piq"))
     for (_ <- 1 to rounds) {
       val opp = piq.select(col("i").as("j"), col("piq").as("pjq"))
-      piq = pairs.join(broadcast(piq), "i").join(broadcast(opp), "j")
+      val next = pairs.join(broadcast(piq), "i").join(broadcast(opp), "j")
         .select(col("i"),
           floor(col("g").cast("double") /
             ((col("piq") + col("pjq")).cast("double") / S) * S + 0.5)
@@ -53,6 +58,12 @@ object Preference {
           floor(col("wins").cast("double") /
             (col("den").cast("double") / S) * S + 0.5)
             .cast("long").as("piq"))
+        // truncate lineage between rounds: the round frame feeds TWO
+        // broadcasts next round, and without a hard cut the replay
+        // grows 2^r (persist alone does NOT dedupe the broadcast
+        // subqueries under AQE — measured on the q232 pipeline)
+        .localCheckpoint(true)
+      piq = next
     }
     totals.join(broadcast(piq), "i")
       .select(col("i").as("player"), col("wins"), col("games"),

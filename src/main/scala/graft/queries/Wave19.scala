@@ -229,11 +229,21 @@ object Wave19Queries {
         floor(col("l_extendedprice") / col("l_quantity") * 100.0 + 0.5)
           .cast("long").as("upq"))
       .groupBy("part", "supp").agg(min("upq").as("m"))
+      .persist() // both sides of the pair self-join read this frame
     val b = m.select(col("part"), col("supp").as("j"), col("m").as("mj"))
-    val duels = m.join(b, Seq("part"))
-      .filter(col("supp") =!= col("j") && col("m") < col("mj"))
+    // one UNORDERED pair per (part, i<j) — half the join fan-out of
+    // the ordered form; both win directions fall out of the same row
+    val up = m.join(b, Seq("part"))
+      .filter(col("supp") < col("j"))
       .groupBy(col("supp").as("i"), col("j"))
-      .agg(count(lit(1)).as("wins"))
+      .agg(sum(when(col("m") < col("mj"), 1L).otherwise(0L)).as("wij"),
+        sum(when(col("mj") < col("m"), 1L).otherwise(0L)).as("wji"))
+      .persist() // read twice (once per win direction)
+    val duels = up.filter(col("wij") > 0)
+        .select(col("i"), col("j"), col("wij").as("wins"))
+      .unionAll(up.filter(col("wji") > 0)
+        .select(col("j").as("i"), col("i").as("j"),
+          col("wji").as("wins")))
     val out = Preference.bradleyTerry(duels, rounds = 3)
     val w = Window.orderBy(col("strength").desc, col("player"))
     out.withColumn("rank", row_number().over(w).cast("long"))
