@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment-analysis estimators over per-unit metrics: CUPED
@@ -72,6 +73,58 @@ object Experiment {
           - col("sy").cast("double") / col("n").cast("double")
             * col("sy").cast("double") / col("n").cast("double")), 6)
         .as("var_reduction"))
+  }
+
+  /** Stratified (blocked) average-treatment-effect estimate: units
+    * stratify on a pre-treatment covariate via rank quantiles
+    * (deterministic tie-break on the unit id — no model, no libm),
+    * and the ATE is the stratum-size-weighted mean of within-stratum
+    * arm differences — the IPW/propensity-stratification readout for
+    * non-randomized arms. Each stratum term quantizes to 1e-9 before
+    * the cross-stratum sum.
+    *
+    * Input: one row per unit with integer `x` (covariate), `y`
+    * (metric, fixed point at `scale`), boolean `treated`, and a
+    * unique `unit` id. Output per stratum: counts, arm means, the
+    * within-stratum difference, and the pooled ATE (repeated).
+    *
+    * The ntile window is a single global sort — fine for unit-level
+    * frames (one row per experiment unit); at extreme unit counts
+    * swap for approx-quantile stratum edges, same downstream shape.
+    */
+  def stratifiedAte(units: DataFrame, nStrata: Int,
+      scale: Double): DataFrame = {
+    val w = Window.orderBy(col("x"), col("unit"))
+    val st = units.withColumn("stratum",
+      ntile(nStrata).over(w).cast("long"))
+    val arms = st.groupBy(col("stratum"), col("treated"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val t = arms.filter(col("treated"))
+      .select(col("stratum"), col("n").as("n_treat"),
+        col("sy").as("sy_t"))
+    val c = arms.filter(!col("treated"))
+      .select(col("stratum"), col("n").as("n_ctrl"),
+        col("sy").as("sy_c"))
+    val joined = t.join(c, "stratum")
+      .withColumn("diff",
+        (col("sy_t").cast("double") / col("n_treat").cast("double")
+          - col("sy_c").cast("double") / col("n_ctrl").cast("double"))
+          / scale)
+    val tot = joined.agg(sum(col("n_treat") + col("n_ctrl")).as("nn"))
+    val withAte = joined.crossJoin(broadcast(tot))
+      .withColumn("tq",
+        floor((col("n_treat") + col("n_ctrl")).cast("double")
+          / col("nn").cast("double") * col("diff") * 1000000000.0 + 0.5)
+          .cast("long"))
+    val ate = withAte.agg(sum("tq").as("sq"))
+    withAte.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        round(col("sy_t").cast("double") / col("n_treat").cast("double")
+          / scale, 6).as("mean_treat"),
+        round(col("sy_c").cast("double") / col("n_ctrl").cast("double")
+          / scale, 6).as("mean_ctrl"),
+        round(col("diff"), 6).as("diff"),
+        round(col("sq").cast("double") / 1000000000.0, 6).as("ate"))
   }
 
   /** Difference-in-differences over per-unit pre/post means: the

@@ -220,4 +220,45 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(updateAnomaly(minN))
   }
+
+  // ------------------------------------------------------- leaderboard
+  /** Streaming exact top-k leaderboard per key: cumulative integer
+    * totals per (key, member) in state; each batch re-emits the full
+    * current top-k stamped with a `version` (= events absorbed for
+    * that key so far), so the FINAL standings are the max-version
+    * rows per key under ANY batch slicing — integer sums commute, and
+    * the oracle is the plain batch groupBy + rank. State size is the
+    * per-key member alphabet; for open-ended alphabets cap with the
+    * Misra–Gries sketch above instead.
+    */
+  case class ValueEvent(key: String, user_id: Long, qv: Long)
+  case class LbState(totals: Map[Long, Long], version: Long)
+  case class LbRow(key: String, version: Long, rank: Long,
+      user_id: Long, total: Long)
+
+  def updateLeaderboard(k: Int)(key: String,
+      events: Iterator[ValueEvent],
+      state: GroupState[LbState]): Iterator[LbRow] = {
+    val prev = state.getOption.getOrElse(LbState(Map.empty, 0L))
+    var totals = prev.totals
+    var n = prev.version
+    events.foreach { e =>
+      totals = totals.updated(e.user_id,
+        totals.getOrElse(e.user_id, 0L) + e.qv)
+      n += 1
+    }
+    state.update(LbState(totals, n))
+    totals.toSeq.sortBy { case (u, t) => (-t, u) }.take(k)
+      .zipWithIndex.iterator.map { case ((u, t), i) =>
+        LbRow(key, n, i + 1L, u, t)
+      }
+  }
+
+  def runningLeaderboard(spark: SparkSession, events: Dataset[ValueEvent],
+      k: Int): Dataset[LbRow] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateLeaderboard(k))
+  }
 }
