@@ -202,13 +202,72 @@ object Graph {
         round(col("score").cast("double"), 6).as("score"))
   }
 
+  /** Fixed-round HITS (Kleinberg 1999) in integer-scaled arithmetic:
+    * hub/authority scores are longs scaled by `scale`, each round
+    * max-normalized — `score·scale div max(score)` through a
+    * DECIMAL(38,0) product so the intermediate (≤ n·scale²) cannot
+    * overflow a long (DuckDB mirrors it in HUGEINT). Like [[pageRank]],
+    * every step is exact integer math, so results are bit-identical
+    * across engines, partitionings and retries, and `rounds` is a
+    * fixed parameter, not a float-sensitive convergence loop.
+    *
+    * Each round is two edge-sized hash joins + two groupBys (the
+    * auth-gather on dst, the hub-gather on src) and two broadcast-sized
+    * max() scalars — the same two-shuffle shape as a PageRank round;
+    * AQE reuses the edge partitioning across rounds. Directed `edges`;
+    * for a bipartite graph hubs are the src side, authorities the dst
+    * side. Output: (node, hub, auth) — nodes never reached keep 0, not
+    * null, so downstream ordering is total.
+    */
+  def hits(edges: DataFrame, rounds: Int,
+           scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 20)
+    // the edge frame feeds 2 gathers per round and the max() scalar of
+    // each normalization triggers its own job — persist it (and each
+    // round's gather output) or every scalar re-derives the whole
+    // upstream lineage, turning r rounds into O(r²) recomputes
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    def maxNorm(raw: DataFrame, c: String): DataFrame = {
+      val r = raw.localCheckpoint()
+      val mx = r.agg(max(col(c)).as("mx"))
+      r.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"CAST($c AS DECIMAL(38,0)) * $scale div mx")
+            .cast("long").as(c))
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    // rank frames are node-sized (orders smaller than edges) —
+    // broadcast them so the edge frame never re-shuffles per round
+    for (_ <- 1 to rounds) {
+      auth = maxNorm(
+        e.join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("hub").as("auth")),
+        "auth")
+      hub = maxNorm(
+        e.join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("auth").as("hub")),
+        "hub")
+    }
+    nodes
+      .join(hub.withColumnRenamed("hub", "h"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("auth", "a"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // e is referenced once per iteration and nodes twice — persist, or
+    // an expensive edge build (q252's token self-join) re-runs every
+    // round inside the single final action
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val n = nodes.count()
     val base = 15L * scale / 100 / n
     var ranks = nodes.withColumn("rank", lit(scale / n))

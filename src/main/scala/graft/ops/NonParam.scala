@@ -95,6 +95,58 @@ object NonParam {
           (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the
+    * `valueCol` distributions of rows where `groupCol = a` vs `= b`,
+    * with the tie-corrected normal approximation. Same scale shape as
+    * [[ksTest]]: one hash aggregation to the DISTINCT-value domain,
+    * then the rank prefix-sum window walks |domain| rows, not |table|
+    * rows. DOUBLED average ranks (2·avg = 2·before + cnt + 1) keep
+    * every rank integral; rank sums ride DECIMAL(38,0) (doubled ranks
+    * reach 2n, so Σ c·r ≤ 2n² overflows long past ~2^31 rows — DuckDB
+    * mirrors in HUGEINT). The only float work is the closing
+    * σ = √(n_a·n_b·((n+1) − T/(n(n−1)))/12) and z — identical
+    * single-expression shapes on both engines. Output: `n_a`, `n_b`,
+    * `u_a`, `u_b` (exact halves, 6 dp), `tie_term` = Σ(t³−t), `z`
+    * (6 dp).
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+                  a: String, b: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val counts = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.withColumn("r2",
+      lit(2L) * coalesce(sum(col("ca") + col("cb")).over(before), lit(0L))
+        + col("ca") + col("cb") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast(d) * col("r2").cast(d)).as("r2a"),
+      sum((col("ca") + col("cb")).cast(d) * (col("ca") + col("cb")).cast(d)
+        * (col("ca") + col("cb")).cast(d)
+        - (col("ca") + col("cb")).cast(d)).as("tie"))
+    agg.select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a").cast(d) * (col("n_a").cast(d) + lit(1)))
+          .as("u2a"),
+        col("tie"), (col("n_a") + col("n_b")).as("n"))
+      .select(col("n_a"), col("n_b"),
+        round(col("u2a").cast("double") / lit(2.0), 6).as("u_a"),
+        round((col("n_a").cast(d) * col("n_b").cast(d) * lit(2) - col("u2a"))
+          .cast("double") / lit(2.0), 6).as("u_b"),
+        col("tie").cast("long").as("tie_term"),
+        round(
+          (col("u2a").cast("double")
+            - col("n_a").cast("double") * col("n_b").cast("double")) / lit(2.0)
+          / sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+            * ((col("n").cast("double") + lit(1.0))
+              - col("tie").cast("double")
+                / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+            / lit(12.0)), 6).as("z"))
+  }
+
   /** Block-jackknife standard error of the mean of `valueCol`:
     * rows land in `nBlocks` deterministic blocks by multiplicative
     * hash of `idCol` (portable — no xxhash), each block contributes

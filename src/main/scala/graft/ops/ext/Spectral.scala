@@ -22,13 +22,17 @@ import org.apache.spark.sql.types.DecimalType
   *     exactness at native speed, recombined once per cell (DuckDB:
   *     HUGEINT). The tiny d-row matvec/norm sums stay DECIMAL(38,18).
   *
-  * Scale shape: the Gram build is the only corpus-sized work — the
-  * per-row outer product rides an `id`-keyed self-join of the exploded
-  * components (broadcast, so the n·d² product stream never shuffles;
-  * the map-side combine reduces it to d² cells); every iteration after
-  * that joins the d²-row matrix against a d-row vector (both
-  * broadcast-sized for any practical d). Lineage grows linearly in
-  * rounds.
+  * Scale shape: the Gram build is the only corpus-sized work, and it
+  * runs as ONE native kernel — [[graft.expr.GramMoments]], a
+  * TypedImperativeAggregate whose per-partition buffer holds the 3·d²
+  * split-long cells, so the n·d² product stream never materializes as
+  * rows (the previous explode → id-self-join → groupBy form streamed
+  * 245 M rows through a hash aggregate at sf0.1 and was the entire
+  * 5–9 s of q146; the kernel is the same arithmetic in a
+  * register-resident loop, O(d²) traffic per partition independent of
+  * n). Every iteration after that joins the d²-row matrix against a
+  * d-row vector (both broadcast-sized for any practical d). Lineage
+  * grows linearly in rounds.
   */
 object Spectral {
 
@@ -42,21 +46,22 @@ object Spectral {
     require(iters >= 1 && dims >= 1)
     val spark = df.sparkSession
     val dec = DecimalType(38, 18)
-    val e = df.select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
-      .select(col("id"), col("i").cast("long").as("i"), col("x"))
-    // split-long Gram sums: shifted product q = x·y + 4 ≥ 0, quantized
-    // to 1e-8 longs; the -4·n un-shift uses the cell's exact count
-    val q = floor((col("a.x") * col("b.x") + lit(4.0)) * lit(1e8)
-      + lit(0.5)).cast("long")
-    val m = e.as("a").join(broadcast(e.as("b")), Seq("id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(shiftright(q, 20)).as("hi"),
-        sum(q.bitwiseAND(lit(1048575L))).as("lo"))
-      .select(col("i"), col("j"),
-        (((col("hi").cast("decimal(38,0)") * lit(1048576L) + col("lo"))
-          .cast("double") / lit(1e8) - lit(4.0) * col("n")) / col("n"))
+    // split-long Gram sums via the native GramMoments kernel: shifted
+    // product q = x·y + 4 ≥ 0, quantized to 1e-8 longs, hi/lo halves
+    // summed as plain longs per partition; the -4·n un-shift uses the
+    // cell's exact count (bit-identical to the explode/self-join form
+    // this replaced — see GramMoments scaladoc)
+    import org.apache.spark.sql.GraftExpressionBridge
+    val cellsAgg = GraftExpressionBridge.column(
+      graft.expr.GramMoments(
+        GraftExpressionBridge.expression(
+          col(vecCol).cast("array<double>")),
+        dims).toAggregateExpression())
+    val m = df.groupBy().agg(cellsAgg.as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (((col("c.hi").cast("decimal(38,0)") * lit(1048576L) + col("c.lo"))
+          .cast("double") / lit(1e8) - lit(4.0) * col("c.n")) / col("c.n"))
           .as("m"))
       .persist()
     var v = spark.range(0, dims.toLong)
