@@ -151,4 +151,27 @@ object Experiment {
       .select(col("treated"), col("post"), col("n"),
         round(col("mean_y"), 6).as("mean_y"), round(col("did"), 6).as("did"))
   }
+
+  /** McNemar's test for paired binary outcomes (one row per unit with
+    * boolean `aCol`/`bCol`): only the discordant cells inform the
+    * test — χ² = (b₀₁−b₁₀)²/(b₀₁+b₁₀), plus the continuity-corrected
+    * (|b₀₁−b₁₀|−1)²/(b₀₁+b₁₀). One map-side-combining aggregation
+    * over the unit frame; all counts exact integers, the two closing
+    * ratios the only float work. Output one row: `n`, `b01` (a∧¬b),
+    * `b10` (¬a∧b), `chi2`, `chi2_cc` (6 dp, null when no discordant
+    * pairs).
+    */
+  def mcnemar(units: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val agg = units.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("b01"),
+      sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("b10"))
+    agg.select(col("n"), col("b01"), col("b10"),
+      round((col("b01") - col("b10")).cast("double")
+        * (col("b01") - col("b10")).cast("double")
+        / (col("b01") + col("b10")).cast("double"), 6).as("chi2"),
+      round((abs(col("b01") - col("b10")) - lit(1)).cast("double")
+        * (abs(col("b01") - col("b10")) - lit(1)).cast("double")
+        / (col("b01") + col("b10")).cast("double"), 6).as("chi2_cc"))
+  }
 }

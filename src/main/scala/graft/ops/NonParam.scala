@@ -147,6 +147,44 @@ object NonParam {
             / lit(12.0)), 6).as("z"))
   }
 
+  /** Per-group Kendall τ-b between `xCol` and `yCol`: exact concordant
+    * / discordant / tie pair counts from ONE id-ordered self-join per
+    * group, τ = (C−D)/√((n₀−t_x)(n₀−t_y)). Every count is an integer
+    * from the same join, so the one closing sqrt/division is the only
+    * float work — identical expression shape on both engines.
+    *
+    * Scale shape: pair generation is O(g²) PER GROUP (the
+    * [[graft.ops.Graph.coOccurrenceEdges]] contract) — the caller
+    * bounds group size; the join itself is a hash equi-join on the
+    * group key, never corpus-quadratic. For corpus-sized series use
+    * [[spearman]] (rank-based, O(n log n)) instead — Kendall's exact
+    * pair semantics are what you pay the g² for.
+    * Output per group: `n` (items), `n0` (pairs), `nc`, `nd`, `tau`
+    * (6 dp; null when either tie product is zero).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(xCol).as("x"), col(yCol).as("y"))
+    val pairs = base.as("a").join(base.as("b"),
+      col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val cls = signum((col("a.x") - col("b.x")).cast("double")) *
+      signum((col("a.y") - col("b.y")).cast("double"))
+    val agg = pairs.groupBy(col("a.g").as("g"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(cls > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(cls < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L)).as("ty"))
+    val nItems = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    nItems.join(agg, Seq("g"))
+      .select(col("g").as(groupCol), col("n"), col("n0"), col("nc"),
+        col("nd"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("tx")).cast("double")
+            * (col("n0") - col("ty")).cast("double")), 6).as("tau"))
+  }
+
   /** Block-jackknife standard error of the mean of `valueCol`:
     * rows land in `nBlocks` deterministic blocks by multiplicative
     * hash of `idCol` (portable — no xxhash), each block contributes

@@ -49,4 +49,56 @@ object Privacy {
         round(col("seq").cast("double") / 1000000.0
           / col("n_groups").cast("double"), 6).as("mean_entropy"))
   }
+
+  /** t-closeness audit (Li et al., ICDE 2007) over an ORDERED
+    * sensitive attribute pre-bucketed into `0 .. nBuckets-1`: per
+    * QI class, t = EMD(class dist, global dist) = Σᵢ |cumP_i − cumQ_i|
+    * / (k−1). l-diversity (above) only counts distinct sensitive
+    * values; t-closeness catches the class whose value DISTRIBUTION
+    * differs from the population's.
+    *
+    * Determinism: all counts are integers; each cumulative-difference
+    * term is two exact-operand divisions and quantizes to 1e-9 fixed
+    * point BEFORE the per-class sum (the house rule for cross-row
+    * float sums). The dense class×bucket grid comes from one
+    * `sequence` explode, so absent buckets contribute an exact 0-count
+    * row on both engines, and the cum windows walk k rows per class,
+    * never the corpus.
+    *
+    * Scale shape: one corpus-sized hash aggregation to (class,
+    * bucket); everything after runs on |classes|·k rows. Output per
+    * class: `n`, `t` (6 dp), ordered by class.
+    */
+  def tCloseness(df: DataFrame, classCol: String, bucketCol: String,
+                 nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(classCol).as("cls"),
+        col(bucketCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("cls")).distinct()
+      .select(col("cls"),
+        explode(sequence(lit(0), lit(nBuckets - 1))).as("b"))
+    val dense = grid.join(cells, Seq("cls", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val byCls = Window.partitionBy("cls").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = cells.groupBy(col("b")).agg(sum(col("c")).as("gc"))
+    val gcum = glob.withColumn("gcum",
+      sum(col("gc")).over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cells.agg(sum(col("c")).as("nn"))
+    dense
+      .withColumn("ccum", sum(col("c")).over(byCls))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("cls")))
+      .join(broadcast(gcum.select(col("b"), col("gcum"))), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("cls"), col("n"))
+      .agg(sum(floor(abs(col("ccum").cast("double")
+          / col("n").cast("double")
+          - col("gcum").cast("double") / col("nn").cast("double"))
+        * lit(1e9) + lit(0.5)).cast("long")).as("sq"))
+      .select(col("cls").as(classCol), col("n"),
+        round(col("sq").cast("double") / lit(1e9)
+          / lit((nBuckets - 1).toDouble), 6).as("t"))
+  }
 }
