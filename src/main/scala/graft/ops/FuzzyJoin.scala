@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance join (record linkage): match dirty strings to
@@ -42,5 +42,19 @@ object FuzzyJoin {
         levenshtein(col("q_name"), col("m_name"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("query_id", "match_id", "q_name", "m_name", "dist")
+  }
+
+  /** Jaro-Winkler similarity Column over the native codegen'd kernel
+    * ([[graft.expr.JaroWinkler]]) — prefix weight 0.1, boost threshold
+    * 0.7, the de-facto standard variant (matches DuckDB's
+    * `jaro_winkler_similarity`). Pair with a blocking join: score only
+    * candidates sharing a cheap deterministic block key (prefix,
+    * length band) — never all-pairs.
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.expr.JaroWinkler(
+      GraftExpressionBridge.expression(a.cast("string")),
+      GraftExpressionBridge.expression(b.cast("string"))))
   }
 }

@@ -225,4 +225,49 @@ object Hypothesis {
         round(peD, 6).as("p_e"),
         round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
   }
+
+  /** Cochran–Mantel–Haenszel test of a binary exposure/outcome
+    * association across strata: per stratum the 2×2 cell a = |e∧o|
+    * with margins r1 = |e|, c1 = |o|, n; the statistic pools
+    * (a − E)² / V with E = r1·c1/n and hypergeometric
+    * V = r1(n−r1)·c1(n−c1) / (n²(n−1)) — the stratified test that
+    * chi-square (q139 [[chiSquare]]) collapses incorrectly when
+    * strata confound (Simpson's). CMH χ² = (Σa − ΣE)² / ΣV.
+    *
+    * Determinism: margins are exact integers from one hash
+    * aggregation; E and V are fixed IEEE chains whose operand products
+    * stay ≤ n²/4 (exactly representable — V is factored as
+    * (r1(n−r1)/n)·(c1(n−c1)/n)/(n−1) so no intermediate exceeds
+    * 2^53); per-stratum terms quantize to 1e-9 before the cross-strata
+    * sums. Output one row: `n_strata`, `o_sum`, `e_sum`, `v_sum`,
+    * `chi2` (6 dp).
+    */
+  def cmh(df: DataFrame, stratumCol: String, exposedCol: String,
+          outcomeCol: String): DataFrame = {
+    val cells = df.groupBy(col(stratumCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(exposedCol), 1L).otherwise(0L)).as("r1"),
+        sum(when(col(outcomeCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(exposedCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("a"))
+      .filter(col("n") > 1)
+    val e = (col("r1") * col("c1")).cast("double") / col("n").cast("double")
+    val v = (((col("r1") * (col("n") - col("r1"))).cast("double")
+        / col("n").cast("double"))
+      * ((col("c1") * (col("n") - col("c1"))).cast("double")
+        / col("n").cast("double"))
+      / (col("n") - lit(1)).cast("double"))
+    val agg = cells.agg(
+      count(lit(1)).as("n_strata"), sum(col("a")).as("o_sum"),
+      sum(floor(e * lit(1e9) + lit(0.5)).cast("long")).as("eq"),
+      sum(floor(v * lit(1e9) + lit(0.5)).cast("long")).as("vq"))
+    agg.select(col("n_strata"), col("o_sum"),
+        (col("eq").cast("double") / lit(1e9)).as("ed"),
+        (col("vq").cast("double") / lit(1e9)).as("vd"))
+      .select(col("n_strata"), col("o_sum"),
+        round(col("ed"), 6).as("e_sum"), round(col("vd"), 6).as("v_sum"),
+        round((col("o_sum").cast("double") - col("ed"))
+          * (col("o_sum").cast("double") - col("ed")) / col("vd"), 6)
+          .as("chi2"))
+  }
 }

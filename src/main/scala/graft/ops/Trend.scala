@@ -260,5 +260,57 @@ object Trend {
         round(col(s"s$k").cast("double") / den, 6).as(s"r$k")): _*)
   }
 
+  /** Durbin–Watson residual-autocorrelation statistic per key: fit
+    * y = a + b·x by OLS from exact moments (x integral, y a
+    * 6-dp-quantized value summed through DECIMAL(18,6) — the q157
+    * rule), then DW = Σ(e_t − e_{t−1})² / Σe_t² over the
+    * fit residuals in series order. DW ≈ 2 means uncorrelated
+    * residuals; → 0 positive, → 4 negative autocorrelation — the
+    * standard regression-diagnostic companion to the per-key OLS
+    * (q140) and autocorrelation (q147) queries.
+    *
+    * Determinism: the OLS moments are exact (long / DECIMAL), so a and
+    * b are fixed IEEE chains over exact operands; each residual is the
+    * same chain per row, and both cross-row sums quantize each term to
+    * 1e-9 fixed point first. The lag window partitions by key over the
+    * bounded per-key series — parallel, never a global sort. Output
+    * per key: `n`, `slope`, `intercept` (6 dp), `dw` (6 dp).
+    */
+  def durbinWatson(df: DataFrame, keyCol: String, idxCol: String,
+      valCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = df.select(col(keyCol).as("k"), col(idxCol).as("x"),
+      col(valCol).as("y"))
+    val mom = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y").cast(d6)).as("sy"),
+      sum(col("y").cast(d6) * col("x")).as("sxy"))
+    val fit = mom
+      .withColumn("b",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("k"), col("n"), col("b"),
+        ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+          / col("n").cast("double")).as("a"))
+    val res = base.join(broadcast(fit), Seq("k"))
+      .withColumn("e",
+        col("y").cast("double")
+          - (col("a") + col("b") * col("x").cast("double")))
+    val w = Window.partitionBy("k").orderBy("x")
+    val lagged = res.withColumn("ep", lag(col("e"), 1).over(w))
+    lagged.groupBy(col("k"), col("n"), col("a"), col("b"))
+      .agg(
+        sum(floor(col("e") * col("e") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("sse"),
+        sum(when(col("ep").isNotNull,
+          floor((col("e") - col("ep")) * (col("e") - col("ep")) * lit(1e9)
+            + lit(0.5)).cast("long")).otherwise(0L)).as("ssd"))
+      .select(col("k").as(keyCol), col("n"),
+        round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
+        round(col("ssd").cast("double") / col("sse").cast("double"), 6)
+          .as("dw"))
+  }
+
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }

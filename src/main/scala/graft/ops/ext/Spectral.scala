@@ -36,6 +36,52 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Spectral {
 
+  /** The d²-cell second-moment matrix (i, j, m) via the native
+    * [[graft.expr.GramMoments]] kernel: shifted product
+    * q = x·y + 4 ≥ 0, quantized to 1e-8 longs, hi/lo halves summed as
+    * plain longs per partition; the -4·n un-shift uses the cell's
+    * exact count (bit-identical to the explode/self-join form this
+    * replaced — see GramMoments scaladoc). Persisted — every power
+    * iteration re-joins it.
+    */
+  private def gramMatrix(df: DataFrame, vecCol: String,
+      dims: Int): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val cellsAgg = GraftExpressionBridge.column(
+      graft.expr.GramMoments(
+        GraftExpressionBridge.expression(
+          col(vecCol).cast("array<double>")),
+        dims).toAggregateExpression())
+    df.groupBy().agg(cellsAgg.as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (((col("c.hi").cast("decimal(38,0)") * lit(1048576L) + col("c.lo"))
+          .cast("double") / lit(1e8) - lit(4.0) * col("c.n")) / col("c.n"))
+          .as("m"))
+      .persist()
+  }
+
+  private val dec = DecimalType(38, 18)
+
+  /** One power round: w = M·v (DECIMAL matvec sums), ‖w‖, v' = w/‖w‖.
+    * Returns (w-frame with column `w`, norm scalar frame `nrm`). */
+  private def powerRound(m: DataFrame, v: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val w = m.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))),
+        Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum((col("m") * col("vj")).cast(dec)).as("sw"))
+      .select(col("i"), col("sw").cast("double").as("w"))
+    val nrm = w.agg(
+      sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+    (w, nrm)
+  }
+
+  private def unitStart(df: DataFrame, dims: Int): DataFrame =
+    df.sparkSession.range(0, dims.toLong)
+      .select(col("id").as("i"),
+        lit(1.0 / math.sqrt(dims.toDouble)).as("v"))
+
   /** `iters` power-iteration rounds on the d-dimensional second-moment
     * matrix of `vecCol`. Output: (dim, loading, eigenvalue) — the unit
     * dominant eigenvector and ‖M·v‖ from the last round (the Rayleigh
@@ -44,44 +90,87 @@ object Spectral {
   def dominantEigen(df: DataFrame, vecCol: String, idCol: String,
       dims: Int, iters: Int): DataFrame = {
     require(iters >= 1 && dims >= 1)
-    val spark = df.sparkSession
-    val dec = DecimalType(38, 18)
-    // split-long Gram sums via the native GramMoments kernel: shifted
-    // product q = x·y + 4 ≥ 0, quantized to 1e-8 longs, hi/lo halves
-    // summed as plain longs per partition; the -4·n un-shift uses the
-    // cell's exact count (bit-identical to the explode/self-join form
-    // this replaced — see GramMoments scaladoc)
-    import org.apache.spark.sql.GraftExpressionBridge
-    val cellsAgg = GraftExpressionBridge.column(
-      graft.expr.GramMoments(
-        GraftExpressionBridge.expression(
-          col(vecCol).cast("array<double>")),
-        dims).toAggregateExpression())
-    val m = df.groupBy().agg(cellsAgg.as("cells"))
-      .select(explode(col("cells")).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
-        (((col("c.hi").cast("decimal(38,0)") * lit(1048576L) + col("c.lo"))
-          .cast("double") / lit(1e8) - lit(4.0) * col("c.n")) / col("c.n"))
-          .as("m"))
-      .persist()
-    var v = spark.range(0, dims.toLong)
-      .select(col("id").as("i"),
-        lit(1.0 / math.sqrt(dims.toDouble)).as("v"))
+    val m = gramMatrix(df, vecCol, dims)
+    var v = unitStart(df, dims)
     var nrm: DataFrame = null
     for (_ <- 1 to iters) {
-      val w = m.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))),
-          Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum((col("m") * col("vj")).cast(dec)).as("sw"))
-        .select(col("i"), col("sw").cast("double").as("w"))
-      nrm = w.agg(
-        sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+      val (w, n) = powerRound(m, v)
+      nrm = n
       v = w.crossJoin(broadcast(nrm))
         .select(col("i"), (col("w") / col("nrm")).as("v"))
     }
     v.crossJoin(broadcast(nrm))
       .select(col("i").as("dim"), round(col("v"), 6).as("loading"),
         round(col("nrm"), 6).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** Top-TWO spectral directions by deflated power iteration: v₁ as in
+    * [[dominantEigen]] (λ₁ = ‖M·v₁‖ from its last round), then the
+    * second direction iterates u ← (M − λ₁·v₁v₁ᵀ)·u without ever
+    * materializing the deflated matrix — each round computes
+    * w = M·u − λ₁·(v₁ᵀu)·v₁ as the DECIMAL matvec minus a
+    * rank-1 correction (v₁ᵀu is one DECIMAL dot; the per-dim
+    * combination `w − λ₁·d·v₁ᵢ` is a fixed IEEE chain the oracle
+    * replays). The start vector for u is the same deterministic
+    * 1/√d — its v₁-component is removed by the deflation itself.
+    *
+    * Scale shape: identical to [[dominantEigen]] — the corpus-sized
+    * work is the one GramMoments pass; both eigen loops run on the
+    * d²-cell matrix and d-row vectors (broadcast-sized). Output per
+    * dim: loading1, loading2, eig1, eig2 (6 dp), plus the v₁ᵀv₂
+    * residual as a sanity column (6 dp, ~0).
+    */
+  def topTwoEigen(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && dims >= 1)
+    val m = gramMatrix(df, vecCol, dims)
+    // pass 1: dominant direction + lambda1
+    var v1 = unitStart(df, dims)
+    var nrm1: DataFrame = null
+    for (_ <- 1 to iters) {
+      val (w, n) = powerRound(m, v1)
+      nrm1 = n
+      v1 = w.crossJoin(broadcast(nrm1))
+        .select(col("i"), (col("w") / col("nrm")).as("v"))
+    }
+    val v1c = v1.localCheckpoint()
+    val lam1 = nrm1.select(col("nrm").as("lam")).localCheckpoint()
+    // pass 2: deflated iteration. Each round's vector localCheckpoints
+    // (64 rows): the round body embeds THREE scalar broadcast subplans
+    // (dot, λ₁, norm), and without cutting the lineage every broadcast
+    // exchange of round r re-executes the full round-(r−1) tree — a
+    // job-count blowup that dwarfs the actual arithmetic.
+    var u = unitStart(df, dims)
+    var nrm2: DataFrame = null
+    for (_ <- 1 to iters) {
+      val (w0, _) = powerRound(m, u)
+      val w = w0.localCheckpoint()
+      val d = u.join(v1c.select(col("i"), col("v").as("v1")), Seq("i"))
+        .agg(sum((col("v") * col("v1")).cast(dec)).cast("double").as("d"))
+      val wd = w.join(broadcast(v1c.select(col("i"), col("v").as("v1"))),
+          Seq("i"))
+        .crossJoin(broadcast(d)).crossJoin(broadcast(lam1))
+        .select(col("i"),
+          (col("w") - col("lam") * col("d") * col("v1")).as("w"))
+        .localCheckpoint()
+      nrm2 = wd.agg(
+        sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+      u = wd.crossJoin(broadcast(nrm2))
+        .select(col("i"), (col("w") / col("nrm")).as("v"))
+    }
+    val resid = u.join(v1c.select(col("i"), col("v").as("v1")), Seq("i"))
+      .agg(sum((col("v") * col("v1")).cast(dec)).cast("double").as("resid"))
+    v1c.select(col("i"), col("v").as("l1"))
+      .join(u.select(col("i"), col("v").as("l2")), Seq("i"))
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(nrm2))
+      .crossJoin(broadcast(resid))
+      .select(col("i").as("dim"),
+        round(col("l1"), 6).as("loading1"),
+        round(col("l2"), 6).as("loading2"),
+        round(col("lam"), 6).as("eig1"),
+        round(col("nrm"), 6).as("eig2"),
+        round(col("resid"), 6).as("v1_dot_v2"))
       .orderBy("dim")
   }
 }
