@@ -136,15 +136,21 @@ object NonParam {
         round(col("u2a").cast("double") / lit(2.0), 6).as("u_a"),
         round((col("n_a").cast(d) * col("n_b").cast(d) * lit(2) - col("u2a"))
           .cast("double") / lit(2.0), 6).as("u_b"),
-        col("tie").cast("long").as("tie_term"),
-        round(
-          (col("u2a").cast("double")
-            - col("n_a").cast("double") * col("n_b").cast("double")) / lit(2.0)
-          / sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+        col("tie").cast("long").as("tie_term"), {
+          // σ = 0 when every value ties (T = n³−n) — guard the divide
+          // (ANSI errors on it) and report null z for the degenerate case
+          val sigma = sqrt(col("n_a").cast("double")
+            * col("n_b").cast("double")
             * ((col("n").cast("double") + lit(1.0))
               - col("tie").cast("double")
-                / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
-            / lit(12.0)), 6).as("z"))
+                / (col("n").cast("double")
+                  * (col("n").cast("double") - lit(1.0))))
+            / lit(12.0))
+          round(when(sigma > 0.0,
+            (col("u2a").cast("double")
+              - col("n_a").cast("double") * col("n_b").cast("double"))
+              / lit(2.0) / sigma), 6).as("z")
+        })
   }
 
   /** Per-group Kendall τ-b between `xCol` and `yCol`: exact concordant

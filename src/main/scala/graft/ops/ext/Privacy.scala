@@ -82,10 +82,16 @@ object Privacy {
       .withColumn("c", coalesce(col("c"), lit(0L)))
     val byCls = Window.partitionBy("cls").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the global cum ALSO rides the dense bucket spine — an inner join
+    // on sparse global buckets would silently drop the |cumP − cumQ|
+    // terms of globally-absent buckets (and every cum step after them)
+    val spine = grid.select(col("b")).distinct()
     val glob = cells.groupBy(col("b")).agg(sum(col("c")).as("gc"))
-    val gcum = glob.withColumn("gcum",
-      sum(col("gc")).over(Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gcum = spine.join(glob, Seq("b"), "left")
+      .withColumn("gc", coalesce(col("gc"), lit(0L)))
+      .withColumn("gcum",
+        sum(col("gc")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tot = cells.agg(sum(col("c")).as("nn"))
     dense
       .withColumn("ccum", sum(col("c")).over(byCls))

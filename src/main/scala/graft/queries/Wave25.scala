@@ -74,8 +74,10 @@ object Wave25Queries {
       |  FROM (SELECT DISTINCT cls FROM cells), range(10) t(gb)),
       |dense AS (SELECT g.cls, g.b, coalesce(c.c, 0) AS c
       |  FROM grid g LEFT JOIN cells c ON g.cls = c.cls AND g.b = c.b),
-      |gdist AS (SELECT b, CAST(sum(c) AS BIGINT) AS gc
-      |  FROM cells GROUP BY b),
+      |gdist AS (SELECT CAST(gb AS BIGINT) AS b,
+      |    CAST(coalesce(g.gc, 0) AS BIGINT) AS gc
+      |  FROM range(10) t(gb) LEFT JOIN (SELECT b, CAST(sum(c) AS BIGINT)
+      |      AS gc FROM cells GROUP BY b) g ON CAST(gb AS BIGINT) = g.b),
       |gcum AS (SELECT b, CAST(sum(gc) OVER (ORDER BY b
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS gcum FROM gdist),
