@@ -258,6 +258,89 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth"))
   }
 
+  /** Personalized PageRank: the restart mass lands ONLY on the seed
+    * set (`seeds`: one column `node`) instead of uniformly — the
+    * "similar to these" retrieval primitive (seed-biased random walk
+    * stationary measure). Same integer-scaled exact arithmetic and
+    * two-shuffle round shape as [[pageRank]]: rank = 0.15·scale/|S|
+    * on seeds + 0.85·gathered, every step integer math, fixed round
+    * count. Seeds outside the graph still receive restart mass (the
+    * standard convention — they are part of the walk's teleport set).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col("node"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val seed = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(true)).persist()
+    val nSeeds = seed.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val base = 15L * scale / 100 / nSeeds
+    var ranks = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L))
+          .as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("sum_c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .join(seed, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+            + expr("85 * coalesce(sum_c, 0L) div 100")).as("rank"))
+    }
+    ranks
+  }
+
+  /** Bounded multi-source BFS: exact hop distance from the seed set,
+    * capped at `maxHops` rounds (unreached nodes report −1). Each
+    * round is one join of the edge frame against the CURRENT frontier
+    * only (the newly-settled nodes, broadcast-sized in the common
+    * case) plus an anti-join against settled — the textbook iterative
+    * frontier expansion, with the round count a fixed parameter like
+    * every iterative operator here (an unbounded loop over a 100 TB
+    * graph belongs to a checkpointed driver program). Distances are
+    * exact integers; no floats anywhere.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col("node"))).distinct().persist()
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).persist()
+    var frontier = settled
+    var hop = 1L
+    var more = true
+    while (hop <= maxHops && more) {
+      val next = e.join(broadcast(frontier.select(col("node").as("src"))),
+          "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node"), lit(true).as("seen")),
+          Seq("node"), "left")
+        .filter(col("seen").isNull)
+        .select(col("node"), lit(hop).as("dist"))
+        .persist()
+      more = next.limit(1).count() > 0
+      if (more) {
+        settled = settled.unionByName(next).persist()
+        frontier = next
+        hop += 1
+      }
+    }
+    nodes.join(settled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50)

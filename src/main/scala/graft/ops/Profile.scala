@@ -320,4 +320,32 @@ object Profile {
         round(sum(floor(col("contrib") * lit(1000000.0) + lit(0.5))
           .cast("long")).over(wAll).cast("double") / lit(1000000.0), 6))
   }
+
+  /** Approximate-functional-dependency audit for candidate A→B pairs:
+    * for each candidate, the minimum rows to delete for the FD to hold
+    * exactly is n − Σ_a max_b count(a,b) (the g3 error of Kivinen &
+    * Mannila) — `violations`, reported with the violation rate. Holds
+    * exactly iff violations = 0. Per candidate: one (A,B) hash
+    * aggregation, one A-grouped max — two map-side-combining shuffles
+    * on the candidate's key, no windows, no joins; candidates run
+    * independently and union. All integers; the rate is the only
+    * division. Output per candidate: fd, n, n_groups, violations,
+    * rate (6 dp).
+    */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)])
+      : DataFrame = {
+    val frames = candidates.map { case (a, b) =>
+      val cells = df.groupBy(col(a).as("a"), col(b).as("b"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("a"))
+        .agg(sum(col("c")).as("na"), max(col("c")).as("keep"))
+      .agg(sum(col("na")).as("n"), count(lit(1)).as("n_groups"),
+        (sum(col("na")) - sum(col("keep"))).as("violations"))
+      .select(lit(s"$a->$b").as("fd"), col("n"), col("n_groups"),
+        col("violations"),
+        round(col("violations").cast("double") / col("n").cast("double"),
+          6).as("rate"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

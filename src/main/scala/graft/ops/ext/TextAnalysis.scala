@@ -256,4 +256,34 @@ object TextAnalysis {
         round(log(col("n_tokens"))
           - col("__s").cast("double") / col("n_tokens"), 6).as("entropy"))
   }
+
+  /** Flesch reading-ease features per document: sentence count
+    * (terminal-punctuation runs, floored at 1), word count (the shared
+    * tokenizer), syllable count (vowel-group runs per word — the
+    * standard cheap heuristic), and
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words). All counts are exact integers from codegen'd regexps; the
+    * score is one fixed IEEE chain per row — engine-portable, so the
+    * per-language roll-up can quantize-and-sum as usual. Rows with
+    * zero words report null flesch.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("long")
+    val words = tokenCount(col(textCol)).cast("long")
+    val syllables = aggregate(
+      transform(tokens(col(textCol)),
+        w => regexp_count(w, lit("[aeiouy]+")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    df.withColumn("n_sentences", sentences)
+      .withColumn("n_words", words)
+      .withColumn("n_syllables", syllables)
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 6)))
+  }
 }
