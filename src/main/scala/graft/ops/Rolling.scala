@@ -76,4 +76,66 @@ object Rolling {
           (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s), 6).as("ewma"),
         round(col("__sum").cast("double") / col("n_events"), 6).as("mean")): _*)
   }
+
+  /** Exact trailing-window DISTINCT count: for each integer period
+    * `idx`, the number of distinct `keyCol` values seen in periods
+    * [idx − win + 1, idx]. The naive plans — a running distinct state
+    * or an idx-range self-join — blow up at scale; this fans each
+    * (period, key) pair out to the ≤ `win` windows it participates in
+    * (one bounded `sequence` explode) and counts per window with one
+    * hash aggregation. Shuffle volume = win × |distinct (idx, key)|,
+    * independent of row count. Output per idx: `n_distinct` (trailing)
+    * and `n_daily` (that period alone); only periods present in the
+    * data appear.
+    */
+  def trailingDistinct(df: DataFrame, idxCol: String, keyCol: String,
+                       win: Int): DataFrame = {
+    require(win >= 1 && win <= 400)
+    val pk = df.select(col(idxCol).as("i"), col(keyCol).as("k")).distinct()
+      .persist()
+    val present = pk.select(col("i")).distinct()
+    val fan = pk.select(explode(sequence(col("i"),
+        col("i") + lit(win - 1))).as("t"), col("k"))
+      .join(present.select(col("i").as("t")), Seq("t"))
+      .groupBy(col("t")).agg(countDistinct(col("k")).as("n_distinct"))
+    val daily = pk.groupBy(col("i").as("t"))
+      .agg(countDistinct(col("k")).as("n_daily"))
+    fan.join(daily, Seq("t")).select(col("t").as(idxCol),
+      col("n_distinct"), col("n_daily"))
+  }
+
+  /** Exact trailing-window quantile of an integer-quantized value:
+    * for each period `idx`, the q-th percentile (disc — smallest v
+    * with cum ≥ ⌈q·n⌉) over values from periods [idx − win + 1, idx].
+    * Same bounded fan-out shape as [[trailingDistinct]]: each
+    * (period, value) count fans to ≤ `win` windows, the per-window
+    * distribution aggregates by value, and the pick walks the
+    * VALUE-DOMAIN cum (a per-window window over distinct values, not
+    * rows). All counts integral; the ⌈q·n⌉ rank uses the exact
+    * integer form (num·n + den − 1) div den. Output per idx: `n`,
+    * `p` (the quantile value, still in the quantized domain).
+    */
+  def trailingQuantile(df: DataFrame, idxCol: String, valCol: String,
+                       win: Int, qNum: Int, qDen: Int): DataFrame = {
+    require(win >= 1 && win <= 400 && qNum > 0 && qDen >= qNum)
+    val pv = df.select(col(idxCol).as("i"), col(valCol).as("v"))
+      .groupBy("i", "v").agg(count(lit(1)).as("c")).persist()
+    val present = pv.select(col("i")).distinct()
+    val fan = pv.select(explode(sequence(col("i"),
+        col("i") + lit(win - 1))).as("t"), col("v"), col("c"))
+      .join(present.select(col("i").as("t")), Seq("t"))
+      .groupBy(col("t"), col("v")).agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("t")
+    fan
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tot))
+      .withColumn("k",
+        expr(s"($qNum * n + $qDen - 1) div $qDen"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("t"), col("n"))
+      .agg(min(col("v")).as("p"))
+      .select(col("t").as(idxCol), col("n"), col("p"))
+  }
 }

@@ -111,4 +111,47 @@ object Sampling {
     df.withColumn("fold",
       conv(hashBucket(col(groupCol)), 16, 10).cast("long") % k)
   }
+
+  /** Systematic (low-variance) weighted resampling: `nDraws` evenly
+    * spaced positions p_j = (2j+1)·W / (2n) over the cumulative
+    * integer-weight axis, each selecting the item whose cum interval
+    * contains it — the particle-filter standard, with ZERO variance in
+    * the per-item draw count given the weights (unlike the
+    * hash-threshold [[weightedSample]], items with weight ≥ W/n are
+    * guaranteed in). RNG-free and fully integer: draw j lands on item
+    * i iff 2n·cum_{i−1} < (2j+1)·W ≤ 2n·cum_i, so each item's draw
+    * list is the odd numbers in (2n·cum_{i−1} div W, 2n·cum_i div W]
+    * — computed arithmetically and emitted with one bounded `sequence`
+    * explode; no join against the draw list.
+    *
+    * Scale shape: the cumulative sum is the one ordered pass (a
+    * range-partitioned window over (orderCol)); everything else is
+    * per-row arithmetic. Weights must be positive longs. Output:
+    * (draw, key) — one row per draw j in [0, nDraws), ordered
+    * deterministically by the key order.
+    */
+  def systematicResample(df: DataFrame, keyCol: String, weightCol: String,
+                         nDraws: Int): DataFrame = {
+    require(nDraws >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(keyCol).as("k"), col(weightCol).as("wt"))
+      .filter(col("wt") > 0)
+    val tot = w.agg(sum(col("wt")).as("bigw"))
+    val cum = w.withColumn("cum",
+        sum(col("wt")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("a", (col("cum") - col("wt")) * lit(2L * nDraws))
+      .withColumn("b", col("cum") * lit(2L * nDraws))
+      .withColumn("olo", expr("a div bigw + 1"))
+      .withColumn("ohi", expr("b div bigw"))
+      // odd o in [olo, ohi] -> draw j = (o-1)/2
+      .withColumn("jlo", expr("olo div 2"))
+      .withColumn("jhi", expr("(ohi - 1) div 2"))
+      .filter(col("ohi") >= col("olo") && col("jhi") >= col("jlo"))
+    cum.select(col("k"), explode(sequence(col("jlo"), col("jhi")))
+        .as("draw"))
+      .filter(col("draw") < nDraws)
+      .select(col("draw"), col("k").as(keyCol))
+  }
 }

@@ -286,4 +286,67 @@ object TextAnalysis {
             - lit(84.6) * (col("n_syllables").cast("double")
               / col("n_words").cast("double")), 6)))
   }
+
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β estimated from
+    * `nPoints` corpus prefixes (by `idCol` order) via log-log OLS —
+    * the data-scaling diagnostic for "how much new vocabulary does
+    * more data buy". ONE pass computes each token's first-occurrence
+    * id (a hash aggregation); a prefix checkpoint then counts docs
+    * and first-occurrences ≤ its threshold — no per-checkpoint
+    * rescan of the corpus. The OLS runs on `nPoints` rows: logs are
+    * fixed IEEE chains over exact integer counts, the four moment
+    * sums quantize each term to 1e-9 first (house rule), and β/K/R²
+    * are closed-form over those exact longs. Output per checkpoint:
+    * (pt, docs, vocab) with the fitted `beta`, `k`, `r2` repeated
+    * (scalar broadcast, the diffInDiff convention).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  nPoints: Int): DataFrame = {
+    require(nPoints >= 3 && nPoints <= 200)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(min(col("id")).as("fid")).persist()
+    val bounds = df.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+    val pts = spark.range(1, nPoints + 1L).select(col("id").as("pt"))
+      .crossJoin(broadcast(bounds))
+      .select(col("pt"),
+        (col("lo") + expr(s"(hi - lo) * pt div $nPoints")).as("thr"))
+    val docsAt = pts.join(df.select(col(idCol).as("id")),
+        col("id") <= col("thr"))
+      .groupBy("pt", "thr").agg(count(lit(1)).as("docs"))
+    val vocabAt = pts.join(firstSeen, col("fid") <= col("thr"))
+      .groupBy(col("pt").as("p2")).agg(count(lit(1)).as("vocab"))
+    val points = docsAt.join(vocabAt, col("pt") === col("p2"))
+      .select(col("pt"), col("docs"), col("vocab")).persist()
+    val lx = log(col("docs").cast("double"))
+    val ly = log(col("vocab").cast("double"))
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val mom = points.agg(count(lit(1)).as("np"),
+      sum(q(lx)).as("sx"), sum(q(ly)).as("sy"),
+      sum(q(lx * lx)).as("sxx"), sum(q(lx * ly)).as("sxy"),
+      sum(q(ly * ly)).as("syy"))
+    // un-quantize to double space FIRST (the q-sums carry one 1e9
+    // factor for linear terms and would mismatch in products), then
+    // the closed forms are fixed IEEE chains over exact longs
+    val fit = mom.select(col("np").cast("double").as("nd"),
+        (col("sx").cast("double") / lit(1e9)).as("mx"),
+        (col("sy").cast("double") / lit(1e9)).as("my"),
+        (col("sxx").cast("double") / lit(1e9)).as("mxx"),
+        (col("sxy").cast("double") / lit(1e9)).as("mxy"),
+        (col("syy").cast("double") / lit(1e9)).as("myy"))
+      .select(col("nd"), col("mx"), col("my"),
+        (col("nd") * col("mxy") - col("mx") * col("my")).as("bn"),
+        (col("nd") * col("mxx") - col("mx") * col("mx")).as("bd"),
+        (col("nd") * col("myy") - col("my") * col("my")).as("dy"))
+      .select(
+        round(col("bn") / col("bd"), 6).as("beta"),
+        round(exp((col("my") - (col("bn") / col("bd")) * col("mx"))
+          / col("nd")), 6).as("k"),
+        round(col("bn") * col("bn") / (col("bd") * col("dy")), 6)
+          .as("r2"))
+    points.crossJoin(broadcast(fit)).orderBy("pt")
+  }
 }
