@@ -123,4 +123,54 @@ object Funnel {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Time-to-convert percentiles: per user, the first `fromType` event
+    * and the first `toType` event strictly after it; latency buckets
+    * to whole hours and the p25/p50/p75/p90 are EXACT order statistics
+    * walked on the bucketed-value domain (the q59/q266 recipe —
+    * ⌈q·n⌉ = (num·n + den − 1) div den, never a float percentile).
+    * One per-user aggregation + one domain-sized window. Output one
+    * row: n_from, n_converted, conv_rate (6 dp), p25/p50/p75/p90
+    * latency hours.
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, fromType: String,
+      toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol))
+    // two aggregations, no per-user event collection: first-from per
+    // user, then min-to-after-it via one equi-join — a heavy user
+    // costs its event count in the shuffle, never a collected array
+    val firsts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u")).agg(min(us).as("t_from"))
+      .persist()
+    val tos = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("u"), us.as("t"))
+      .join(firsts, Seq("u"))
+      .filter(col("t") > col("t_from"))
+      .groupBy(col("u")).agg(min(col("t") - col("t_from")).as("lat_us"))
+    val tot = firsts.join(tos, Seq("u"), "left")
+      .agg(count(lit(1)).as("n_from"),
+        sum(when(col("lat_us").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"))
+    val lat = tos
+      .select(expr("lat_us div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lat.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+    def pick(num: Int, den: Int, name: String) =
+      cum.filter(col("cum") >= expr(s"($num * n_converted + $den - 1) div $den"))
+        .agg(min(col("h")).as(name))
+    tot
+      .crossJoin(broadcast(pick(1, 4, "p25_h")))
+      .crossJoin(broadcast(pick(2, 4, "p50_h")))
+      .crossJoin(broadcast(pick(3, 4, "p75_h")))
+      .crossJoin(broadcast(pick(9, 10, "p90_h")))
+      .select(col("n_from"), col("n_converted"),
+        round(col("n_converted").cast("double")
+          / col("n_from").cast("double"), 6).as("conv_rate"),
+        col("p25_h"), col("p50_h"), col("p75_h"), col("p90_h"))
+  }
 }

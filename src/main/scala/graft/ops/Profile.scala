@@ -348,4 +348,43 @@ object Profile {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Run-length-encoding storage estimate per column: within each
+    * `groupCol` block (the physical clustering unit — row-group,
+    * file, or its key proxy) ordered by `orderCol`, a run breaks
+    * whenever the value changes; `avg_run_len` = n / runs and
+    * `rle_ratio` = runs / n approximate the RLE footprint a
+    * sorted-layout writer would get — the storage-layout diagnostic
+    * next to the z-order audit (q122). The lag windows partition by
+    * the block key (parallel, bounded per block, no global sort);
+    * runs never span blocks, matching how columnar encoders reset per
+    * row group. All counts exact; the two ratios are the only floats.
+    */
+  def rleEstimate(df: DataFrame, groupCol: String, orderCol: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = cols.map { c =>
+      // the measured value is the FINAL ordering key: physical order
+      // columns can tie (duplicate line numbers), and a tie broken
+      // differently across engines would flip run counts — grouping
+      // tied rows by value keeps the estimate deterministic
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(orderCol), col("v"))
+      val breaks = df.select(col(groupCol), col(orderCol),
+          col(c).cast("string").as("v"))
+        .withColumn("brk",
+          // null-safe inequality: first row of a block AND any value
+          // change (incl. null <-> non-null) breaks; a continued null
+          // run does not — DuckDB mirrors with IS DISTINCT FROM
+          when(!(lag(col("v"), 1).over(w) <=> col("v")), 1L)
+            .otherwise(0L))
+      breaks.agg(count(lit(1)).as("n"), sum(col("brk")).as("runs"))
+        .select(lit(c).as("column"), col("n"), col("runs"),
+          round(col("n").cast("double") / col("runs").cast("double"), 6)
+            .as("avg_run_len"),
+          round(col("runs").cast("double") / col("n").cast("double"), 6)
+            .as("rle_ratio"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }
