@@ -69,4 +69,44 @@ object RecMetrics {
         round(col("spq").cast("double") / 1000000.0
           / col("n_rows").cast("double"), 6).as("mean_popularity"))
   }
+
+  /** The p^(d−1) weight table for [[rbo]], built by repeated
+    * multiplication (NOT pow()): the same Scala doubles feed both the
+    * Spark plan and the builder-authored oracle literals, so no libm
+    * pow discrepancy can enter. */
+  def rboWeights(p: Double, k: Int): Array[Double] =
+    Array.iterate(1.0, k)(_ * p)
+
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * rankings `a` and `b` (columns: item, rank ∈ 1..k):
+    * RBO@k = (1−p) Σ_{d=1..k} p^(d−1) · X_d / d, where X_d is the
+    * overlap of the two depth-d prefixes. An item in both lists enters
+    * every depth d ≥ max(ra, rb), so X_d is one cumulative count over
+    * the max-rank histogram — a k-row window, never a pairwise scan.
+    * Per-depth terms quantize to 1e-9 before the sum. Output one row:
+    * k, overlap_at_k, rbo (6 dp).
+    */
+  def rbo(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1)
+    val spark = a.sparkSession
+    val w = rboWeights(p, k)
+    val matched = a.select(col("item"), col("rank").as("ra"))
+      .join(b.select(col("item"), col("rank").as("rb")), "item")
+      .select(greatest(col("ra"), col("rb")).as("mr"))
+      .groupBy("mr").agg(count(lit(1)).as("c"))
+    val depths = spark.range(1, k + 1L).select(col("id").as("d"))
+    val wmap = map(w.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i + 1L), lit(v)) }: _*)
+    val cum = depths.join(matched, col("mr") <= col("d"), "left")
+      .groupBy("d").agg(coalesce(sum(col("c")), lit(0L)).as("xd"))
+      .withColumn("term", element_at(wmap, col("d"))
+        * col("xd").cast("double") / col("d").cast("double"))
+    cum.agg(
+        max(when(col("d") === k, col("xd"))).as("overlap_at_k"),
+        sum(floor(col("term") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("tq"))
+      .select(lit(k.toLong).as("k"), col("overlap_at_k"),
+        round((col("tq").cast("double") / lit(1e9)) * lit(1.0 - p), 6)
+          .as("rbo"))
+  }
 }

@@ -112,6 +112,40 @@ object Sampling {
       conv(hashBucket(col(groupCol)), 16, 10).cast("long") % k)
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: each
+    * row draws a deterministic uniform u from two Lehmer steps on its
+    * integral key (the [[weightedSample]] generator — pure integer,
+    * engine-portable, no rand()) and ranks by ln(u)/w; the top-k keys
+    * per stratum are exactly a weight-proportional without-replacement
+    * sample (Efraimidis & Spirakis 2006). One scan + one per-stratum
+    * top-k window — no sequential draw loop, so the sample is
+    * partition- and retry-stable. `weightCol` must be a positive
+    * numeric; ln is the only libm call (shared by the entropy
+    * oracles). Output: (stratum, rank, key, weight, es_key 6 dp).
+    */
+  def esSample(df: DataFrame, keyCol: String, strataCol: String,
+               weightCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val p = 2147483647L
+    val base = df.select(col(strataCol).as("stratum"),
+        col(keyCol).as("key"), col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("x1", expr(s"((key % $p) * 48271) % $p"))
+      .withColumn("x2", expr(s"((x1 % $p) * 48271) % $p"))
+      .withColumn("rk",
+        log((col("x2") + lit(1.0)) / lit((p + 1).toDouble)) / col("w"))
+    val win = Window.partitionBy("stratum")
+      .orderBy(col("rk").desc, col("key"))
+    base.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("stratum"), col("rank").cast("long").as("rank"),
+        col("key"), col("w").as("weight"),
+        // + 0.0 folds IEEE negative zero into positive zero — DuckDB's
+        // round keeps -0.0 where Spark's BigDecimal path yields 0.0
+        (round(col("rk"), 6) + lit(0.0)).as("es_key"))
+  }
+
   /** Systematic (low-variance) weighted resampling: `nDraws` evenly
     * spaced positions p_j = (2j+1)·W / (2n) over the cumulative
     * integer-weight axis, each selecting the item whose cum interval

@@ -349,4 +349,53 @@ object TextAnalysis {
           .as("r2"))
     points.crossJoin(broadcast(fit)).orderBy("pt")
   }
+
+  /** Jensen–Shannon divergence between every pair of `groupCol`
+    * corpora over their token unigram distributions —
+    * JSD(P,Q) = (KL(P‖M) + KL(Q‖M))/2 with M = (P+Q)/2, the bounded
+    * (≤ ln 2) symmetric drift measure that PSI (q166) and KL
+    * approximate from binned numerics, here on the full vocabulary.
+    *
+    * The token self-join on the word key yields only SHARED tokens;
+    * tokens private to one side contribute exactly p·ln 2, so their
+    * total is ln 2 · (1 − shared-mass) per side — a closed form over
+    * the exact integer shared-count sums, no outer join over the
+    * vocabulary union needed. Per-token terms quantize to 1e-9 longs
+    * before the cross-token sum (house rule); the ln calls are the
+    * shared-libm ones every entropy oracle already relies on.
+    * Output per pair: n_a, n_b (token masses), shared_tokens, jsd
+    * (6 dp), ordered.
+    */
+  def jsDivergence(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val cnt = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = cnt.groupBy("g").agg(sum(col("c")).as("n"))
+    val a = cnt.join(tot, "g")
+      .select(col("g").as("ga"), col("w"), col("c").as("ca"),
+        col("n").as("na"))
+    val b = cnt.join(tot, "g")
+      .select(col("g").as("gb"), col("w"), col("c").as("cb"),
+        col("n").as("nb"))
+    val shared = a.join(b, Seq("w")).filter(col("ga") < col("gb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = (p * log(p / m) + q * log(q / m)) / lit(2.0)
+    val agg = shared.groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+        sum(floor(term * lit(1e9) + lit(0.5)).cast("long")).as("tq"))
+    agg.select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("shared_tokens"),
+        round(col("tq").cast("double") / lit(1e9)
+          + log(lit(2.0)) * ((lit(1.0)
+              - col("sca").cast("double") / col("na").cast("double"))
+            + (lit(1.0)
+              - col("scb").cast("double") / col("nb").cast("double")))
+            / lit(2.0), 6).as("jsd"))
+      .orderBy("group_a", "group_b")
+  }
 }
