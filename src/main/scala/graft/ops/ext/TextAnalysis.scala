@@ -384,10 +384,18 @@ object TextAnalysis {
     val q = col("cb").cast("double") / col("nb").cast("double")
     val m = (p + q) / lit(2.0)
     val term = (p * log(p / m) + q * log(q / m)) / lit(2.0)
-    val agg = shared.groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+    val sharedAgg = shared.groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("shared_tokens"),
         sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
         sum(floor(term * lit(1e9) + lit(0.5)).cast("long")).as("tq"))
+    // pair spine from the group totals, so fully-disjoint corpora
+    // still report (their jsd is exactly ln 2), instead of silently
+    // vanishing with the empty shared join
+    val ta = tot.select(col("g").as("ga"), col("n").as("na"))
+    val tb = tot.select(col("g").as("gb"), col("n").as("nb"))
+    val agg = ta.join(tb, col("ga") < col("gb"))
+      .join(sharedAgg, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("shared_tokens", "sca", "scb", "tq"))
     agg.select(col("ga").as("group_a"), col("gb").as("group_b"),
         col("na").as("n_a"), col("nb").as("n_b"), col("shared_tokens"),
         round(col("tq").cast("double") / lit(1e9)

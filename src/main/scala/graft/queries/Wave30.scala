@@ -181,13 +181,20 @@ object Wave30Queries {
       |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
       |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
       |  FROM a JOIN b USING (w) WHERE ga < gb),
-      |agg AS (SELECT ga, gb, na, nb,
+      |sagg AS (SELECT ga, gb,
       |    CAST(count(*) AS BIGINT) AS shared_tokens,
       |    CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
       |    CAST(sum(CAST(floor((p * ln(p / ((p + q) / 2.0e0))
       |        + q * ln(q / ((p + q) / 2.0e0))) / 2.0e0
       |      * 1000000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS tq
-      |  FROM shared GROUP BY ga, gb, na, nb)
+      |  FROM shared GROUP BY ga, gb),
+      |agg AS (SELECT ta.ga, tb.gb, ta.na, tb.nb,
+      |    coalesce(shared_tokens, 0) AS shared_tokens,
+      |    coalesce(sca, 0) AS sca, coalesce(scb, 0) AS scb,
+      |    coalesce(tq, 0) AS tq
+      |  FROM (SELECT g AS ga, n AS na FROM tot) ta
+      |  JOIN (SELECT g AS gb, n AS nb FROM tot) tb ON ta.ga < tb.gb
+      |  LEFT JOIN sagg ON sagg.ga = ta.ga AND sagg.gb = tb.gb)
       |SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
       |  shared_tokens,
       |  round(CAST(tq AS DOUBLE) / 1000000000.0e0
