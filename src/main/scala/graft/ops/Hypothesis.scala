@@ -226,6 +226,68 @@ object Hypothesis {
         round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
   }
 
+  /** Empirical-copula dependence grid: both numeric columns bucket
+    * into `nBuckets` exact marginal quantile bins (thresholds walked
+    * on the VALUE DOMAIN with the integer ⌈i·N/n⌉ ranks — never a
+    * float percentile), and the joint grid is reported with each
+    * cell's expected-under-independence count and the overall Χ²
+    * (quantized cell terms). Uniform marginals by construction, so
+    * any cell structure IS dependence structure — the 2-D rank
+    * companion to Spearman (q152)/Kendall (q253), localized to where
+    * in the distribution the dependence lives. Value-domain work only:
+    * two domain cums, one distinct-value bucket map join, one
+    * n²-cell spine. Inputs must be integral (caller quantizes).
+    * Output per cell: bx, by, n, expected (6 dp), ratio (6 dp), chi2
+    * (repeated scalar, 6 dp).
+    */
+  def copulaGrid(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64)
+    val spark = df.sparkSession
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y")).persist()
+    val nTotal = base.count()
+    def bucketMap(c: String): DataFrame = {
+      val dom = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = dom.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val spine = spark.range(1, nBuckets.toLong)
+        .select(col("id").as("i"))
+      val thr = cum.crossJoin(broadcast(spine))
+        .filter(col("cum") >= expr(s"(i * $nTotal + $nBuckets - 1) div $nBuckets"))
+        .groupBy("i").agg(min(col("v")).as("t"))
+      dom.select(col("v")).crossJoin(broadcast(thr))
+        .groupBy("v")
+        .agg(sum(when(col("v") > col("t"), 1L).otherwise(0L)).as(s"b$c"))
+    }
+    val bucketed = base
+      .join(bucketMap("x").withColumnRenamed("v", "x"), "x")
+      .join(bucketMap("y").withColumnRenamed("v", "y"), "y")
+    val cells = bucketed.groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+    val spine2 = spark.range(0, nBuckets.toLong).select(col("id").as("bx"))
+      .crossJoin(spark.range(0, nBuckets.toLong).select(col("id").as("by")))
+    val rowT = cells.groupBy("bx").agg(sum(col("n")).as("rx"))
+    val colT = cells.groupBy("by").agg(sum(col("n")).as("cy"))
+    val dense = spine2.join(cells, Seq("bx", "by"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(rowT), Seq("bx")).join(broadcast(colT), Seq("by"))
+      .withColumn("e", col("rx").cast("double") * col("cy").cast("double")
+        / lit(nTotal.toDouble))
+    val chi2 = dense.agg(
+      sum(floor((col("n").cast("double") - col("e"))
+        * (col("n").cast("double") - col("e")) / col("e")
+        * lit(1e9) + lit(0.5)).cast("long")).as("cq"))
+      .select(round(col("cq").cast("double") / lit(1e9), 6).as("chi2"))
+    dense.crossJoin(broadcast(chi2))
+      .select(col("bx"), col("by"), col("n"),
+        round(col("e"), 6).as("expected"),
+        round(col("n").cast("double") / col("e"), 6).as("ratio"),
+        col("chi2"))
+      .orderBy("bx", "by")
+  }
+
   /** Cochran–Mantel–Haenszel test of a binary exposure/outcome
     * association across strata: per stratum the 2×2 cell a = |e∧o|
     * with margins r1 = |e|, c1 = |o|, n; the statistic pools

@@ -77,4 +77,50 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
   }
+
+  /** Join/shuffle-key skew audit: the diagnostic that decides whether a
+    * key needs salting BEFORE the job melts an executor. Buckets rows
+    * by `key mod nBuckets` (a deterministic stand-in for the hash
+    * partitioner — engine-portable, unlike Murmur3), reports the
+    * bucket-size distribution (max/mean ratio, Gini over the sorted
+    * bucket sizes) and the top-`topK` hottest keys' row share. One
+    * hash aggregation per statistic; the Gini walks `nBuckets` rows.
+    * All counts exact; ratios are the only floats. Output one row:
+    * n_rows, n_keys, max_bucket, mean_bucket, skew_ratio, gini,
+    * topk_share (6 dp).
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, nBuckets: Int,
+      topK: Int): DataFrame = {
+    require(nBuckets >= 2 && topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(pmod(col(keyCol).cast("long"), lit(nBuckets.toLong))
+      .as("b"), col(keyCol).cast("long").as("k"))
+    val buckets = keyed.groupBy("b").agg(count(lit(1)).as("s"))
+    val ranked = buckets.withColumn("i",
+      row_number().over(Window.orderBy(col("s"), col("b"))).cast("long"))
+    val gini = ranked.agg(count(lit(1)).as("nb"), sum(col("s")).as("n"),
+        max(col("s")).as("mx"), sum(col("i") * col("s")).as("wsum"))
+      .select(col("nb"), col("n"), col("mx"),
+        (lit(2.0) * col("wsum").cast("double")
+          / (col("nb").cast("double") * col("n").cast("double"))
+          - (col("nb") + 1).cast("double") / col("nb").cast("double"))
+          .as("gini"))
+    val keys = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val topShare = keys
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("k"))).cast("long"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("r") <= topK, col("c")).otherwise(0L)).as("topc"))
+    gini.crossJoin(broadcast(topShare))
+      .select(col("n").as("n_rows"), col("n_keys"),
+        col("mx").as("max_bucket"),
+        round(col("n").cast("double") / col("nb").cast("double"), 6)
+          .as("mean_bucket"),
+        round(col("mx").cast("double")
+          / (col("n").cast("double") / col("nb").cast("double")), 6)
+          .as("skew_ratio"),
+        round(col("gini"), 6).as("gini"),
+        round(col("topc").cast("double") / col("n").cast("double"), 6)
+          .as("topk_share"))
+  }
 }

@@ -312,5 +312,55 @@ object Trend {
           .as("dw"))
   }
 
+  /** Matrix-profile-lite motif discovery: the closest pair of
+    * z-normalized length-`win` subsequences of each key's series —
+    * "which two weeks looked most alike", the basic shapelet/motif
+    * primitive. Subsequences come from ONE ordered window collect per
+    * key (bounded: |series| windows of `win` values each); the
+    * pairwise distance join is O(windows²) PER KEY — the bounded-
+    * domain contract, never corpus-quadratic.
+    *
+    * Determinism: every per-window statistic (mean, σ) and the
+    * distance are sequential left-folds over the same frame-ordered
+    * array on both engines (the q16 fold idiom), so the doubles are
+    * bit-identical; constant windows (σ = 0) are excluded. Output per
+    * key: (key, start_a, start_b, dist 6 dp) for the minimal pair,
+    * ties broken by (start_a, start_b).
+    */
+  def motif(df: DataFrame, keyCol: String, idxCol: String,
+            valCol: String, win: Int): DataFrame = {
+    require(win >= 2 && win <= 64)
+    val wFrame = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.currentRow, win - 1)
+    def fsum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val subs = df
+      .withColumn("arr", collect_list(col(valCol).cast("double"))
+        .over(wFrame))
+      .filter(size(col("arr")) === win)
+      .select(col(keyCol).as("k"), col(idxCol).as("start"), col("arr"))
+      .withColumn("m", fsum(col("arr")) / lit(win.toDouble))
+      .withColumn("sd", sqrt(fsum(transform(col("arr"),
+        x => (x - col("m")) * (x - col("m")))) / lit(win.toDouble)))
+      .filter(col("sd") > 0)
+      .persist()
+    val pairs = subs.as("a").join(subs.as("b"),
+      col("a.k") === col("b.k") && col("a.start") < col("b.start"))
+    val d2 = fsum(zip_with(col("a.arr"), col("b.arr"),
+      (x, y) => ((x - col("a.m")) / col("a.sd")
+        - (y - col("b.m")) / col("b.sd"))
+        * ((x - col("a.m")) / col("a.sd")
+          - (y - col("b.m")) / col("b.sd"))))
+    val scored = pairs.select(col("a.k").as(keyCol),
+      col("a.start").as("start_a"), col("b.start").as("start_b"),
+      d2.as("d2"))
+    val pick = Window.partitionBy(keyCol)
+      .orderBy(col("d2"), col("start_a"), col("start_b"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("start_a"), col("start_b"),
+        round(sqrt(col("d2")), 6).as("dist"))
+  }
+
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }

@@ -350,6 +350,38 @@ object TextAnalysis {
     points.crossJoin(broadcast(fit)).orderBy("pt")
   }
 
+  /** Character-bigram entropy per `groupCol` corpus: the cheap
+    * compressibility proxy one level below token entropy (q143) —
+    * low char-bigram entropy flags machine-generated or repetitive
+    * text a tokenizer-level audit misses. Text is lowercased and
+    * non-alphanumeric runs collapse to single spaces; the per-group
+    * H = ln N − (Σ c·ln c)/N runs over the bigram counts with each
+    * c·ln c term quantized to 1e-9 before the sum (the l-diversity
+    * recipe). One fan-out pass (|text| bigrams per row) + one hash
+    * aggregation. Output per group: n_bigrams, n_distinct, entropy
+    * (nats, 6 dp).
+    */
+  def charBigramEntropy(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val cleaned = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")
+    val counts = df.select(col(groupCol).as("g"), cleaned.as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("g"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .as("bg"))
+      .groupBy("g", "bg").agg(count(lit(1)).as("c"))
+    counts.groupBy(col("g").as(groupCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long")).as("slq"))
+      .select(col(groupCol), col("n_bigrams"), col("n_distinct"),
+        round(log(col("n_bigrams").cast("double"))
+          - col("slq").cast("double") / lit(1e9)
+            / col("n_bigrams").cast("double"), 6).as("entropy"))
+      .orderBy(groupCol)
+  }
+
   /** Jensen–Shannon divergence between every pair of `groupCol`
     * corpora over their token unigram distributions —
     * JSD(P,Q) = (KL(P‖M) + KL(Q‖M))/2 with M = (P+Q)/2, the bounded
