@@ -111,4 +111,41 @@ object GroupStats {
         round((lit(2L) * col("__six") - (col("n") + 1) * col("__sx"))
           .cast("double") / (col("n") * col("__sx")), 6).as("gini"))
   }
+
+  /** Hierarchy share rollup ("ratio to parent"): for each prefix level
+    * of `levels` (e.g. region → nation → segment), the level's integer
+    * value sum and its share of the PARENT aggregate — the OLAP
+    * drill-down companion to rollup (q39), which emits totals but not
+    * the parent-relative ratios dashboards actually plot. One hash
+    * aggregation at the deepest level; every coarser level re-sums the
+    * child frame (tiny), and shares join child to parent on the prefix
+    * key. All sums exact longs; each share is one division. Output
+    * long-form: (level, key, value, parent_share 6 dp), where `key`
+    * joins the level's member values with '/', and the root's share
+    * is 1.0.
+    */
+  def ratioToParent(df: DataFrame, levels: Seq[String],
+      valueCol: String): DataFrame = {
+    require(levels.nonEmpty)
+    val deepest = df.groupBy(levels.map(col): _*)
+      .agg(sum(col(valueCol)).as("v")).persist()
+    val total = deepest.agg(sum(col("v")).as("pv"))
+    val frames = levels.indices.map { i =>
+      val keys = levels.take(i + 1)
+      val lvl = deepest.groupBy(keys.map(col): _*)
+        .agg(sum(col("v")).as("v"))
+      val joined = if (i == 0) lvl.crossJoin(broadcast(total))
+      else {
+        val parent = deepest.groupBy(levels.take(i).map(col): _*)
+          .agg(sum(col("v")).as("pv"))
+        lvl.join(broadcast(parent), levels.take(i))
+      }
+      joined.select(lit(levels(i)).as("level"),
+        concat_ws("/", keys.map(c => col(c).cast("string")): _*).as("key"),
+        col("v").as("value"),
+        round(col("v").cast("double") / col("pv").cast("double"), 6)
+          .as("parent_share"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

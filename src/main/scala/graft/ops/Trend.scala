@@ -312,6 +312,40 @@ object Trend {
           .as("dw"))
   }
 
+  /** Alpha-beta (g-h) tracking filter per key: the constant-gain
+    * steady-state Kalman for a position+velocity state —
+    * x̂ = x + v; r = z − x̂; x ← x̂ + α·r; v ← v + β·r — the classic
+    * sensor-smoothing recurrence next to Holt (which smooths level +
+    * trend with a different gain law). Same distribution shape as
+    * [[holt]]: one collect-sort per key (bounded series), one
+    * sequential struct fold replayed op-for-op by the oracle's
+    * recursive CTE. Init: x = first value, v = 0. Output per key:
+    * n, x (position), v (velocity), forecast = x + v (6 dp).
+    */
+  def alphaBeta(df: DataFrame, keyCol: String, orderCol: String,
+                valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val sorted = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(valueCol).cast("double").as("__v"))))
+        .as("__s"), count(lit(1)).as("n"))
+    val vals = transform(col("__s"), e => e.getField("__v"))
+    val st = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      named_struct(lit("x"), element_at(vals, 1), lit("v"), lit(0.0)),
+      (acc, z) => {
+        val pred = acc.getField("x") + acc.getField("v")
+        val r = z - pred
+        named_struct(lit("x"), pred + lit(alpha) * r,
+          lit("v"), acc.getField("v") + lit(beta) * r)
+      })
+    sorted.select(col(keyCol), col("n"), st.as("__st"))
+      .select(col(keyCol), col("n"),
+        round(col("__st.x"), 6).as("x"),
+        round(col("__st.v"), 6).as("v"),
+        round(col("__st.x") + col("__st.v"), 6).as("forecast"))
+  }
+
   /** Matrix-profile-lite motif discovery: the closest pair of
     * z-normalized length-`win` subsequences of each key's series —
     * "which two weeks looked most alike", the basic shapelet/motif

@@ -134,4 +134,47 @@ object ClusterEval {
           - within(col("nj"), col("s2j"), col("cwj")), 6)
           .as("energy"))
   }
+
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998) against a
+    * gold labeling: per item, precision = the fraction of its
+    * cluster-mates sharing its gold class, recall = the fraction of
+    * its class-mates sharing its cluster; B³ P/R are the item means
+    * and decompose EXACTLY over the (cluster, gold) contingency cells
+    * — Σ_cells n_cg²/n_c / N and Σ_cells n_cg²/n_g / N — so the whole
+    * evaluation is three hash aggregations on exact integers, with
+    * the per-cell ratio terms quantized to 1e-9 before the sums.
+    * The metric pairwise-F (q208) can't see per-item imbalance; B³
+    * weights every item equally. Output one row: n_items, n_clusters,
+    * n_classes, b3_precision, b3_recall, b3_f1 (6 dp).
+    */
+  def bCubed(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val j = assign.select(col("item"), col("cluster"))
+      .join(truth.select(col("item"), col("gold")), "item")
+      .persist()
+    val cells = j.groupBy("cluster", "gold").agg(count(lit(1)).as("ncg"))
+    val nc = j.groupBy("cluster").agg(count(lit(1)).as("nc"))
+    val ng = j.groupBy("gold").agg(count(lit(1)).as("ng"))
+    val terms = cells.join(broadcast(nc), "cluster")
+      .join(broadcast(ng), "gold")
+    val agg = terms.agg(
+      sum(col("ncg")).as("n"),
+      countDistinct(col("cluster")).as("n_clusters"),
+      countDistinct(col("gold")).as("n_classes"),
+      sum(floor((col("ncg") * col("ncg")).cast("double")
+        / col("nc").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+        .as("pq"),
+      sum(floor((col("ncg") * col("ncg")).cast("double")
+        / col("ng").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+        .as("rq"))
+    agg.select(col("n").as("n_items"), col("n_clusters"), col("n_classes"),
+        (col("pq").cast("double") / lit(1e9) / col("n").cast("double"))
+          .as("p"),
+        (col("rq").cast("double") / lit(1e9) / col("n").cast("double"))
+          .as("r"))
+      .select(col("n_items"), col("n_clusters"), col("n_classes"),
+        round(col("p"), 6).as("b3_precision"),
+        round(col("r"), 6).as("b3_recall"),
+        round(lit(2.0) * col("p") * col("r") / (col("p") + col("r")), 6)
+          .as("b3_f1"))
+  }
 }

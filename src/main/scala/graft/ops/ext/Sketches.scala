@@ -60,4 +60,47 @@ object Sketches {
       .select(col(keyCol), col("cell.d").as("d"), col("cell.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy(keyCol).agg(min("counter").as("cms_estimate"))
+
+  /** md5-derived ±1 sign for the count-sketch row `d` (independent of
+    * the bucket hash via a distinct salt). */
+  private def csSign(key: Column, d: Int): Column =
+    when(conv(substring(md5(concat_ws(":", lit(s"s$d"), key.cast("string"))),
+      1, 8), 16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** Count-sketch (Charikar et al. 2002) build + estimate in one go:
+    * counters C[d][h_d(k)] += s_d(k), estimate = MEDIAN over rows of
+    * s_d(k)·C[d][h_d(k)] — unbiased (unlike CMS, whose min only
+    * over-counts), at the cost of two-sided error. `depth` must be
+    * odd so the median is a single exact element (picked by the
+    * integer rank (depth+1)/2 over the sorted per-key probes, not a
+    * float percentile). The sketch is depth·width counters — the
+    * bounded state that makes the pattern shippable to 100 TB — and
+    * the probe side broadcasts it exactly as [[cmsEstimate]] does.
+    * Output per probed key: key, n_true, cs_estimate.
+    */
+  def countSketchEstimate(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth % 2 == 1 && depth >= 3, "depth must be odd >= 3")
+    val cells = df.select(
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"), cmsBucket(col(keyCol), d, width).as("bucket"),
+            csSign(col(keyCol), d).as("s"))): _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .agg(sum(col("c.s")).as("counter"))
+    val truth = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_true"))
+    val probes = truth.select(col(keyCol),
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"), cmsBucket(col(keyCol), d, width).as("bucket"),
+            csSign(col(keyCol), d).as("s"))): _*)).as("c"))
+      .select(col(keyCol), col("c.d").as("d"), col("c.bucket").as("bucket"),
+        col("c.s").as("s"))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .select(col(keyCol), (col("s") * col("counter")).as("est"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("est"))
+    val med = probes.withColumn("r", row_number().over(w))
+      .filter(col("r") === (depth + 1) / 2)
+      .select(col(keyCol), col("est").as("cs_estimate"))
+    truth.join(med, Seq(keyCol))
+  }
 }
