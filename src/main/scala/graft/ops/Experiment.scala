@@ -152,6 +152,37 @@ object Experiment {
         round(col("mean_y"), 6).as("mean_y"), round(col("did"), 6).as("did"))
   }
 
+  /** p-chart (attribute control chart): per period, the success
+    * proportion with 3σ binomial control limits around the pooled
+    * p̄ — LCL/UCL = p̄ ∓ 3·√(p̄(1−p̄)/n_t), clamped to [0,1] — and the
+    * out-of-control flag. The SPC companion to the sequential SPRT
+    * (q212): SPRT decides one hypothesis; the p-chart monitors every
+    * period against common-cause variation. Counts are exact integers
+    * from one aggregation; p̄ broadcast; each limit is a fixed IEEE
+    * chain. The flag compares the UNROUNDED p against the limits.
+    * Output per period: n, x, p, lcl, ucl (6 dp), out_of_control.
+    */
+  def pChart(df: DataFrame, periodCol: String, successCol: String)
+      : DataFrame = {
+    val per = df.groupBy(col(periodCol).as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("x"))
+    val pooled = per.agg(sum(col("x")).as("sx"), sum(col("n")).as("sn"))
+      .select((col("sx").cast("double") / col("sn").cast("double"))
+        .as("pbar"))
+    val p = col("x").cast("double") / col("n").cast("double")
+    val half = lit(3.0) * sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+      / col("n").cast("double"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("t").as(periodCol), col("n"), col("x"),
+        round(p, 6).as("p"),
+        round(greatest(col("pbar") - half, lit(0.0)), 6).as("lcl"),
+        round(least(col("pbar") + half, lit(1.0)), 6).as("ucl"),
+        (p < greatest(col("pbar") - half, lit(0.0))
+          || p > least(col("pbar") + half, lit(1.0)))
+          .as("out_of_control"))
+  }
+
   /** McNemar's test for paired binary outcomes (one row per unit with
     * boolean `aCol`/`bCol`): only the discordant cells inform the
     * test — χ² = (b₀₁−b₁₀)²/(b₀₁+b₁₀), plus the continuity-corrected

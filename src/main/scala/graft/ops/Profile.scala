@@ -387,4 +387,39 @@ object Profile {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Join-cardinality estimation audit: per `groupCol`, the exact
+    * |left ⋈ right| against the estimate from KEY-sampled inputs —
+    * both sides keep a key iff the portable md5 bucket of the JOIN KEY
+    * falls under `num/den` (the correlated-sampling trick: a sampled
+    * key survives on BOTH sides, so its full join contribution is
+    * kept and the estimate is the sampled count scaled by den/num,
+    * unbiased over keys). This is the optimizer-calibration question
+    * — "can a p% key sample predict the join size" — answered with
+    * exact integers everywhere except the final scale/error division.
+    * Output per group: exact_rows, sampled_rows, est_rows (6 dp),
+    * rel_err (6 dp).
+    */
+  def joinCardinalityAudit(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, groupCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num > 0 && den >= num)
+    val thr = graft.ops.ext.Sampling.thresholdHex(num.toDouble / den)
+    def keep(c: Column) = graft.ops.ext.Sampling.hashBucket(c) < lit(thr)
+    val exact = left.join(right, col(leftKey) === col(rightKey))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("exact_rows"))
+    val sampled = left.filter(keep(col(leftKey)))
+      .join(right.filter(keep(col(rightKey))),
+        col(leftKey) === col(rightKey))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("sampled_rows"))
+    exact.join(sampled, Seq(groupCol), "left")
+      .na.fill(0L, Seq("sampled_rows"))
+      .select(col(groupCol), col("exact_rows"), col("sampled_rows"),
+        round(col("sampled_rows").cast("double")
+          * lit(den.toDouble) / lit(num.toDouble), 6).as("est_rows"),
+        round(abs(col("sampled_rows").cast("double")
+            * lit(den.toDouble) / lit(num.toDouble)
+            - col("exact_rows").cast("double"))
+          / col("exact_rows").cast("double"), 6).as("rel_err"))
+  }
 }

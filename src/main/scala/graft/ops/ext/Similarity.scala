@@ -196,4 +196,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Embedding anisotropy (Ethayarajh 2019): the mean pairwise cosine
+    * of the unit-normalized corpus, per group — high anisotropy means
+    * the embeddings cram into a narrow cone and cosine similarity
+    * stops discriminating, THE standard health check before trusting
+    * an ANN index. Closed form — mean_{i≠j} cos = (‖Σx̂‖² − n) /
+    * (n(n−1)) — so one pass computes it: per-dim sums of the
+    * normalized components (each x̂ᵢ term quantized to 1e-9 before
+    * the cross-row sum, house rule), then the d-term ‖·‖² folds the
+    * exact quantized sums through DECIMAL. No pairwise join ever
+    * materializes. Output per group: n, anisotropy (6 dp).
+    */
+  def anisotropy(df: DataFrame, vecCol: String, groupCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    val e = df.select(col(groupCol).as("g"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("g"), col("nrm"), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("q", floor(col("x") / col("nrm") * lit(1e9) + lit(0.5))
+        .cast("long"))
+    val dims = e.groupBy(col("g"), col("i"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    dims.groupBy(col("g"))
+      .agg(max(col("cnt")).as("n"),
+        sum(((col("sq").cast("double") / lit(1e9))
+          * (col("sq").cast("double") / lit(1e9))).cast(dec)).as("ss"))
+      .select(col("g").as(groupCol), col("n"),
+        round((col("ss").cast("double") - col("n").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double")), 6)
+          .as("anisotropy"))
+      .orderBy(groupCol)
+  }
 }

@@ -261,4 +261,50 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateLeaderboard(k))
   }
+
+  // --------------------------------------------------- histogram state
+  /** Bounded histogram state: per key, `nBuckets` integer counters —
+    * the streaming percentile recipe whose state NEVER grows with the
+    * stream (unlike a values list), and whose bucket counts are
+    * additive, so the final emission is identical under any batch
+    * slicing. Percentiles pick the exact ⌈q·n⌉-ranked bucket by the
+    * integer cum walk (the q59/q266 rule).
+    */
+  case class HistState(counts: Map[Int, Long], version: Long)
+  case class HistRow(key: String, version: Long, n: Long,
+      p50_bucket: Long, p90_bucket: Long)
+
+  def updateHistogram(nBuckets: Int)(key: String,
+      events: Iterator[ValueEvent],
+      state: GroupState[HistState]): Iterator[HistRow] = {
+    val prev = state.getOption.getOrElse(HistState(Map.empty, 0L))
+    var counts = prev.counts
+    var n = prev.version
+    events.foreach { e =>
+      val b = math.min(math.max(e.qv, 0L), nBuckets - 1L).toInt
+      counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+      n += 1
+    }
+    state.update(HistState(counts, n))
+    val total = counts.valuesIterator.sum
+    def pick(num: Long, den: Long): Long = {
+      val k = (num * total + den - 1) / den
+      var cum = 0L
+      var ans = -1L
+      for (b <- counts.keySet.toSeq.sorted if ans < 0) {
+        cum += counts(b)
+        if (cum >= k) ans = b.toLong
+      }
+      ans
+    }
+    Iterator.single(HistRow(key, n, total, pick(1, 2), pick(9, 10)))
+  }
+
+  def runningHistogram(spark: SparkSession, events: Dataset[ValueEvent],
+      nBuckets: Int): Dataset[HistRow] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(updateHistogram(nBuckets))
+  }
 }
