@@ -422,4 +422,39 @@ object Profile {
             - col("exact_rows").cast("double"))
           / col("exact_rows").cast("double"), 6).as("rel_err"))
   }
+
+  /** Dictionary-encoding benefit estimate per column: code width =
+    * bit_length(n_distinct − 1) (via the binary-string trick — no
+    * float log2, whose libm rounding at exact powers of two differs
+    * across engines), encoded payload = ⌈n·bits/8⌉ bytes plus the
+    * dictionary's string bytes, against the raw string payload — the
+    * columnar-footprint companion to the RLE estimate
+    * ([[rleEstimate]]). Integer arithmetic end to end except the
+    * final compression ratio. Restrict `cols` to integer/string
+    * columns: double→string renders differently across engines.
+    * Output per column: n, n_distinct, code_bits, encoded_bytes,
+    * dict_bytes, raw_bytes, ratio (6 dp).
+    */
+  def dictEstimate(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val frames = cols.map { c =>
+      val v = df.select(col(c).cast("string").as("v"))
+      val agg = v.agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("nd"),
+        sum(length(col("v")).cast("long")).as("raw_bytes"))
+      val dict = v.distinct()
+        .agg(sum(length(col("v")).cast("long")).as("dict_bytes"))
+      agg.crossJoin(dict)
+        .withColumn("code_bits",
+          when(col("nd") <= 1, 1L)
+            .otherwise(length(bin(col("nd") - 1)).cast("long")))
+        .select(lit(c).as("column"), col("n"), col("nd").as("n_distinct"),
+          col("code_bits"),
+          expr("(n * code_bits + 7) div 8").as("encoded_bytes"),
+          col("dict_bytes"), col("raw_bytes"),
+          round((expr("(n * code_bits + 7) div 8") + col("dict_bytes"))
+            .cast("double") / col("raw_bytes").cast("double"), 6)
+            .as("ratio"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

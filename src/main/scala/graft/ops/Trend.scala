@@ -396,5 +396,40 @@ object Trend {
         round(sqrt(col("d2")), 6).as("dist"))
   }
 
+  /** One-level Haar wavelet energy split per key: consecutive value
+    * pairs (in `idxCol` order) decompose into approximation
+    * a = (x₁+x₂)/2 and detail d = (x₁−x₂)/2; the detail-energy share
+    * Σd²/(Σa²+Σd²) measures how much of the series' energy lives in
+    * fast alternation vs slow structure — the cheapest
+    * frequency-split diagnostic beside autocorrelation (q147). The
+    * pairing walks a per-key window (parallel); dangling last rows
+    * drop; the energy sums quantize each term to 1e-9 first (house
+    * rule). Output per key: n_pairs, e_approx, e_detail,
+    * detail_ratio (6 dp).
+    */
+  def haarEnergy(df: DataFrame, keyCol: String, idxCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+    val paired = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col(valCol).cast("double"), 1).over(w))
+      .filter(col("rn") % 2 === 1 && col("nxt").isNotNull)
+      .select(col(keyCol).as("k"),
+        ((col(valCol).cast("double") + col("nxt")) / lit(2.0)).as("a"),
+        ((col(valCol).cast("double") - col("nxt")) / lit(2.0)).as("d"))
+    paired.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("a") * col("a") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("eaq"),
+        sum(floor(col("d") * col("d") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("edq"))
+      .select(col("k").as(keyCol), col("n_pairs"),
+        round(col("eaq").cast("double") / lit(1e9), 6).as("e_approx"),
+        round(col("edq").cast("double") / lit(1e9), 6).as("e_detail"),
+        round(col("edq").cast("double")
+          / (col("eaq") + col("edq")).cast("double"), 6)
+          .as("detail_ratio"))
+  }
+
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }

@@ -107,4 +107,39 @@ object Privacy {
         round(col("sq").cast("double") / lit(1e9)
           / lit((nBuckets - 1).toDouble), 6).as("t"))
   }
+
+  /** Generalization-ladder audit: how coarse must the numeric
+    * quasi-identifier get before k-anonymity holds? For each ladder
+    * level (a bucket width over `numCol`, with the last level
+    * dropping the numeric QI entirely), the per-group row counts give
+    * the k-covered row share — the decision table behind "generalize
+    * vs suppress". One hash aggregation per level on exact integers.
+    * Output per level: level, bucket_width (0 = dropped), n_groups,
+    * covered_rows, coverage (6 dp).
+    */
+  def generalizationLadder(df: DataFrame, baseCols: Seq[String],
+      numCol: String, widths: Seq[Long], k: Long): DataFrame = {
+    require(widths.nonEmpty && k >= 2)
+    val levels = widths.zipWithIndex.map { case (wd, i) =>
+      // integral div on a NON-NEGATIVE column (caller shifts): Spark's
+      // div truncates toward zero while DuckDB's // floors — they only
+      // agree for non-negative operands
+      val bucket = expr(s"CAST($numCol AS BIGINT) div $wd")
+      audit(df, baseCols.map(col) :+ bucket.as("__b"), i.toLong, wd, k)
+    } :+ audit(df, baseCols.map(col), widths.size.toLong, 0L, k)
+    levels.reduce(_ unionByName _)
+  }
+
+  private def audit(df: DataFrame,
+      qi: Seq[org.apache.spark.sql.Column], level: Long, width: Long,
+      k: Long): DataFrame =
+    df.groupBy(qi: _*).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") >= k, col("c")).otherwise(0L))
+          .as("covered_rows"),
+        sum(col("c")).as("n"))
+      .select(lit(level).as("level"), lit(width).as("bucket_width"),
+        col("n_groups"), col("covered_rows"),
+        round(col("covered_rows").cast("double")
+          / col("n").cast("double"), 6).as("coverage"))
 }
