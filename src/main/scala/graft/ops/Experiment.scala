@@ -152,6 +152,40 @@ object Experiment {
         round(col("mean_y"), 6).as("mean_y"), round(col("did"), 6).as("did"))
   }
 
+  /** Quantile treatment effects: the difference of EXACT per-arm
+    * order statistics at each requested quantile — where in the
+    * outcome distribution the treatment moves mass, which the mean
+    * effect (CUPED q231 / stratified ATE q245) averages away. Both
+    * arms' quantiles walk the integer value domain with the
+    * ⌈q·n⌉ = (num·n+den−1) div den rank (the exact-percentile house
+    * rule); QTE is one integer subtraction per quantile. `valueCol`
+    * must be integral (caller quantizes). Output per quantile:
+    * q_num, q_den, treat_q, control_q, qte.
+    */
+  def quantileTreatmentEffects(df: DataFrame, armCol: String,
+      valueCol: String, quantiles: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = df.select(col(armCol).as("t"), col(valueCol).as("v"))
+      .groupBy("t", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dom.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("t")))
+      .persist()
+    val frames = quantiles.map { case (num, den) =>
+      val q = cum
+        .filter(col("cum") >= expr(s"($num * n + $den - 1) div $den"))
+        .groupBy("t").agg(min(col("v")).as("qv"))
+      val tq = q.filter(col("t")).select(col("qv").as("treat_q"))
+      val cq = q.filter(!col("t")).select(col("qv").as("control_q"))
+      tq.crossJoin(cq).select(
+        lit(num.toLong).as("q_num"), lit(den.toLong).as("q_den"),
+        col("treat_q"), col("control_q"),
+        (col("treat_q") - col("control_q")).as("qte"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** p-chart (attribute control chart): per period, the success
     * proportion with 3σ binomial control limits around the pooled
     * p̄ — LCL/UCL = p̄ ∓ 3·√(p̄(1−p̄)/n_t), clamped to [0,1] — and the

@@ -202,6 +202,38 @@ object Graph {
         round(col("score").cast("double"), 6).as("score"))
   }
 
+  /** Directed-graph shape summary: reciprocity (the fraction of edges
+    * whose reverse also exists — one self-join on the swapped key) and
+    * the in/out-degree first moments — the 30-second "what kind of
+    * graph is this" card before any iterative algorithm runs. All
+    * counts exact; the ratios are the only floats. Output one row:
+    * n_edges, n_nodes, reciprocal_edges, reciprocity, mean_out_deg,
+    * max_out_deg, max_in_deg (6 dp where fractional).
+    */
+  def shapeSummary(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("reciprocal_edges"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_out"), sum(col("d")).as("n_edges"),
+        max(col("d")).as("max_out_deg"))
+    val ind = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("max_in_deg"))
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    outd.crossJoin(broadcast(recip)).crossJoin(broadcast(ind))
+      .crossJoin(broadcast(nodes))
+      .select(col("n_edges"), col("n_nodes"), col("reciprocal_edges"),
+        round(col("reciprocal_edges").cast("double")
+          / col("n_edges").cast("double"), 6).as("reciprocity"),
+        round(col("n_edges").cast("double") / col("n_out").cast("double"),
+          6).as("mean_out_deg"),
+        col("max_out_deg"), col("max_in_deg"))
+  }
+
   /** Fixed-round HITS (Kleinberg 1999) in integer-scaled arithmetic:
     * hub/authority scores are longs scaled by `scale`, each round
     * max-normalized — `score·scale div max(score)` through a

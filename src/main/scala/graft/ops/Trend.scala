@@ -403,9 +403,10 @@ object Trend {
     * fast alternation vs slow structure — the cheapest
     * frequency-split diagnostic beside autocorrelation (q147). The
     * pairing walks a per-key window (parallel); dangling last rows
-    * drop; the energy sums quantize each term to 1e-9 first (house
-    * rule). Output per key: n_pairs, e_approx, e_detail,
-    * detail_ratio (6 dp).
+    * drop; the energy sums ride DECIMAL(28,6) (each a2/d2 term is
+    * 6-dp-rounded by the cast -- a 1e9-scaled long would overflow at
+    * warehouse-scale daily sums). Output per key: n_pairs, e_approx,
+    * e_detail, detail_ratio (6 dp).
     */
   def haarEnergy(df: DataFrame, keyCol: String, idxCol: String,
       valCol: String): DataFrame = {
@@ -417,15 +418,14 @@ object Trend {
       .select(col(keyCol).as("k"),
         ((col(valCol).cast("double") + col("nxt")) / lit(2.0)).as("a"),
         ((col(valCol).cast("double") - col("nxt")) / lit(2.0)).as("d"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     paired.groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(floor(col("a") * col("a") * lit(1e9) + lit(0.5)).cast("long"))
-          .as("eaq"),
-        sum(floor(col("d") * col("d") * lit(1e9) + lit(0.5)).cast("long"))
-          .as("edq"))
+        sum((col("a") * col("a")).cast(dec)).as("eaq"),
+        sum((col("d") * col("d")).cast(dec)).as("edq"))
       .select(col("k").as(keyCol), col("n_pairs"),
-        round(col("eaq").cast("double") / lit(1e9), 6).as("e_approx"),
-        round(col("edq").cast("double") / lit(1e9), 6).as("e_detail"),
+        round(col("eaq").cast("double"), 6).as("e_approx"),
+        round(col("edq").cast("double"), 6).as("e_detail"),
         round(col("edq").cast("double")
           / (col("eaq") + col("edq")).cast("double"), 6)
           .as("detail_ratio"))

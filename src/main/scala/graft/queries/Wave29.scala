@@ -140,10 +140,16 @@ object Wave29Queries {
     // vocabulary, so 3-gram space (24^3) saturates — high-df shingles
     // would blunt the prefix filter's rare-token pruning; 24^5 keeps
     // posting lists short (token sets themselves would saturate
-    // completely: nearly all pairs share 0.6 of the vocabulary)
+    // completely: nearly all pairs share 0.6 of the vocabulary).
+    // Shingles join as xxhash64 LONGS (the ShingleHashes kernel, the
+    // minhash family's digest rule): the posting/verify joins move
+    // 8-byte keys instead of ~30-byte strings — the DuckDB oracle
+    // still intersects the exact strings, so a hash collision
+    // anywhere would break the hash-match (none at these scales)
     val corpus = ExtQueries.nearDupCorpus(s, dir)
       .select(col("doc_id"),
-        TextAnalysis.wordNgrams(col("text"), 5).as("toks"))
+        graft.ops.ext.Dedup.shinglesOfTokens(
+          TextAnalysis.tokens(col("text")), 5).as("toks"))
     graft.ops.ext.PrefixJoin.jaccardJoin(corpus, "doc_id", "toks", 3, 5)
       .orderBy("a", "b")
   }

@@ -138,18 +138,14 @@ object Wave34Queries {
       |    (daily - nxt) / 2.0e0 AS d
       |  FROM rn WHERE rn % 2 = 1 AND nxt IS NOT NULL)
       |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-      |  round(CAST(CAST(sum(CAST(floor(a * a * 1000000000.0e0 + 0.5e0)
-      |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0e0, 6)
+      |  round(CAST(sum(CAST(a * a AS DECIMAL(28,6))) AS DOUBLE), 6)
       |    AS e_approx,
-      |  round(CAST(CAST(sum(CAST(floor(d * d * 1000000000.0e0 + 0.5e0)
-      |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0e0, 6)
+      |  round(CAST(sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE), 6)
       |    AS e_detail,
-      |  round(CAST(CAST(sum(CAST(floor(d * d * 1000000000.0e0 + 0.5e0)
-      |      AS BIGINT)) AS BIGINT) AS DOUBLE)
-      |    / CAST(CAST(sum(CAST(floor(a * a * 1000000000.0e0 + 0.5e0)
-      |        AS BIGINT)) AS BIGINT)
-      |      + CAST(sum(CAST(floor(d * d * 1000000000.0e0 + 0.5e0)
-      |        AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS detail_ratio
+      |  round(CAST(sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(sum(CAST(a * a AS DECIMAL(28,6)))
+      |      + sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS detail_ratio
       |FROM paired GROUP BY k ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q291
