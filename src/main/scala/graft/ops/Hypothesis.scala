@@ -226,6 +226,56 @@ object Hypothesis {
         round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
   }
 
+  /** Theil's uncertainty coefficient U(X|Y) — the ASYMMETRIC
+    * categorical association: the fraction of X's entropy explained
+    * by knowing Y, (H(X) − H(X|Y)) / H(X) = I(X;Y)/H(X). Cramér's V
+    * (q169) and MI (q170) are symmetric; U tells you WHICH column
+    * predicts which. All three entropies come from one joint-count
+    * aggregation with the quantized c·ln c sums (the l-diversity
+    * recipe). Output one row per direction: direction, h_x, h_cond,
+    * u (6 dp).
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")).persist()
+    val n = cells.agg(sum(col("c")).as("n"))
+    def entropyOf(keyed: DataFrame): DataFrame =
+      // H = ln N − (Σ c·ln c)/N over the grouped counts
+      keyed.agg(
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long")).as("slq"))
+    def h(groups: Seq[String]): DataFrame =
+      entropyOf(cells.groupBy(groups.map(col): _*)
+        .agg(sum(col("c")).as("c")))
+    // H(X|Y) = H(X,Y) − H(Y)
+    val hxy = entropyOf(cells).select(col("slq").as("q_xy"))
+    val hx = h(Seq("a")).select(col("slq").as("q_x"))
+    val hy = h(Seq("b")).select(col("slq").as("q_y"))
+    val base = n.crossJoin(broadcast(hxy)).crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+      .select(col("n").cast("double").as("nd"),
+        (log(col("n").cast("double"))
+          - col("q_xy").cast("double") / lit(1e9)
+            / col("n").cast("double")).as("h_xy"),
+        (log(col("n").cast("double"))
+          - col("q_x").cast("double") / lit(1e9)
+            / col("n").cast("double")).as("h_x"),
+        (log(col("n").cast("double"))
+          - col("q_y").cast("double") / lit(1e9)
+            / col("n").cast("double")).as("h_y"))
+    val xGivenY = base.select(lit("x|y").as("direction"),
+      round(col("h_x"), 6).as("h_x"),
+      round(col("h_xy") - col("h_y"), 6).as("h_cond"),
+      round((col("h_x") - (col("h_xy") - col("h_y"))) / col("h_x"), 6)
+        .as("u"))
+    val yGivenX = base.select(lit("y|x").as("direction"),
+      round(col("h_y"), 6).as("h_x"),
+      round(col("h_xy") - col("h_x"), 6).as("h_cond"),
+      round((col("h_y") - (col("h_xy") - col("h_x"))) / col("h_y"), 6)
+        .as("u"))
+    xGivenY.unionByName(yGivenX)
+  }
+
   /** Empirical-copula dependence grid: both numeric columns bucket
     * into `nBuckets` exact marginal quantile bins (thresholds walked
     * on the VALUE DOMAIN with the integer ⌈i·N/n⌉ ranks — never a

@@ -104,6 +104,37 @@ object Rolling {
       col("n_distinct"), col("n_daily"))
   }
 
+  /** Trailing-window OLS slope: for each period idx, the regression
+    * slope of the quantized value over the periods [idx − win + 1,
+    * idx] — the rolling-trend feature. Same bounded ×win fan-out as
+    * [[trailingDistinct]] (each (period, value) row feeds ≤ win
+    * windows), then the per-window slope is the closed form over
+    * EXACT integer moment sums (Σx, Σy, Σxy, Σx², all longs — x is
+    * the period index, y the quantized value). One hash aggregation;
+    * no self-join, no per-window sort. Windows with < 2 distinct
+    * periods report null slope. Output per idx: n, slope (6 dp).
+    */
+  def trailingOlsSlope(df: DataFrame, idxCol: String, valCol: String,
+                       win: Int): DataFrame = {
+    require(win >= 2 && win <= 400)
+    val pv = df.select(col(idxCol).as("i"), col(valCol).as("y"))
+    val present = pv.select(col("i")).distinct()
+    val fan = pv.select(explode(sequence(col("i"),
+        col("i") + lit(win - 1))).as("t"), col("i").as("x"), col("y"))
+      .join(present.select(col("i").as("t")), Seq("t"))
+    val mom = fan.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        countDistinct(col("x")).as("nx"))
+    mom.select(col("t").as(idxCol), col("n"),
+      round(when(col("nx") > 1,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")), 6).as("slope"))
+  }
+
   /** Exact trailing-window quantile of an integer-quantized value:
     * for each period `idx`, the q-th percentile (disc — smallest v
     * with cum ≥ ⌈q·n⌉) over values from periods [idx − win + 1, idx].

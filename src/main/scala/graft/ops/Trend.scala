@@ -396,6 +396,55 @@ object Trend {
         round(sqrt(col("d2")), 6).as("dist"))
   }
 
+  /** Inter-arrival exponential goodness of fit per key: gaps between
+    * consecutive event times (seconds), the MLE rate λ = 1/mean from
+    * exact integer gap sums, and the exact KS distance between the
+    * empirical gap CDF and Exp(λ) — D·n = max over the gap DOMAIN of
+    * max(|cum − n·F(t)|, |cum − c_t − n·F(t)|) evaluated at each
+    * distinct gap (the one-sample KS needs both the pre- and
+    * post-step gap). F(t) = 1 − e^(−λt) is the only libm call (exp,
+    * already shared by the entropy oracles). Domain-sized window
+    * work only. Output per key: n_gaps, mean_gap_s (6 dp), lambda
+    * (6 dp), ks_d (6 dp).
+    */
+  def interarrivalFit(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gaps = df
+      .withColumn("prev", lag(col(tsCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(keyCol).as("k"),
+        // explicit floor: a bare double->int cast truncates in Spark
+        // but ROUNDS in DuckDB -- floor() agrees everywhere
+        floor((col(tsCol) - col("prev")).cast("double") / lit(1e6))
+          .cast("long").as("g"))
+      .filter(col("g") >= 0)
+    val dom = gaps.groupBy("k", "g").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("k").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+      .select(col("k"), col("n"), col("sg"),
+        (col("n").cast("double") / col("sg").cast("double"))
+          .as("lambda"))
+    val cum = dom.withColumn("cum", sum(col("c")).over(cumW))
+      .join(tot, Seq("k"))
+      .withColumn("f", lit(1.0)
+        - exp(lit(-1.0) * col("lambda") * col("g").cast("double")))
+      .withColumn("d", greatest(
+        abs(col("cum").cast("double")
+          - col("n").cast("double") * col("f")),
+        abs((col("cum") - col("c")).cast("double")
+          - col("n").cast("double") * col("f"))))
+    cum.groupBy(col("k"), col("n"), col("sg"), col("lambda"))
+      .agg(max(col("d")).as("dmax"))
+      .select(col("k").as(keyCol), col("n").as("n_gaps"),
+        round(col("sg").cast("double") / col("n").cast("double"), 6)
+          .as("mean_gap_s"),
+        round(col("lambda"), 6).as("lambda"),
+        round(col("dmax") / col("n").cast("double"), 6).as("ks_d"))
+  }
+
   /** One-level Haar wavelet energy split per key: consecutive value
     * pairs (in `idxCol` order) decompose into approximation
     * a = (x₁+x₂)/2 and detail d = (x₁−x₂)/2; the detail-energy share

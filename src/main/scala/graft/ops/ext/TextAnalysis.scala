@@ -382,6 +382,38 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Token burstiness (variance-to-mean ratio of per-document counts)
+    * for the `topN` highest-df tokens: VMR ≈ 1 means Poisson-like
+    * scatter, VMR >> 1 means the token clumps into few documents —
+    * the corpus-linguistics dispersion diagnostic TF-IDF statistics
+    * miss. Zero counts matter: the moments use the FULL document
+    * count (absent (doc, token) pairs contribute exact zeros via the
+    * closed form, not materialized rows). All moments are exact
+    * integers; VMR = (N·Σc² − (Σc)²) / ((N−1)·Σc) is one fixed chain.
+    * Output per token: df, total, mean (6 dp), vmr (6 dp).
+    */
+  def burstiness(df: DataFrame, textCol: String, idCol: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("w", "id").agg(count(lit(1)).as("c"))
+    val tok = perDoc.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("ss"))
+    val top = tok.withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("w"))))
+      .filter(col("r") <= topN)
+    top.select(col("w").as("token"), col("df"), col("tot").as("total"),
+      round(col("tot").cast("double") / lit(nDocs.toDouble), 6)
+        .as("mean"),
+      round((lit(nDocs) * col("ss") - col("tot") * col("tot"))
+        .cast("double")
+        / (lit(nDocs - 1) * col("tot")).cast("double"), 6).as("vmr"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
   /** Jensen–Shannon divergence between every pair of `groupCol`
     * corpora over their token unigram distributions —
     * JSD(P,Q) = (KL(P‖M) + KL(Q‖M))/2 with M = (P+Q)/2, the bounded
