@@ -467,16 +467,25 @@ object Trend {
       .select(col(keyCol).as("k"),
         ((col(valCol).cast("double") + col("nxt")) / lit(2.0)).as("a"),
         ((col(valCol).cast("double") - col("nxt")) / lit(2.0)).as("d"))
-    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // 1e6-quantized split-long sums (the q124 recipe): floor(x*1e6+0.5)
+    // is pure IEEE (identical everywhere), where a DECIMAL cast of a
+    // large double rounds differently across engines at the last ulp
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    def recomb(hi: String, lo: String) =
+      (graft.Cols.ref(hi).cast("decimal(38,0)") * lit(1048576L)
+        + graft.Cols.ref(lo)).cast("double") / lit(1e6)
     paired.groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum((col("a") * col("a")).cast(dec)).as("eaq"),
-        sum((col("d") * col("d")).cast(dec)).as("edq"))
+        sum(shiftright(q6(col("a") * col("a")), 20)).as("ea_hi"),
+        sum(q6(col("a") * col("a")).bitwiseAND(lit(1048575L))).as("ea_lo"),
+        sum(shiftright(q6(col("d") * col("d")), 20)).as("ed_hi"),
+        sum(q6(col("d") * col("d")).bitwiseAND(lit(1048575L))).as("ed_lo"))
       .select(col("k").as(keyCol), col("n_pairs"),
-        round(col("eaq").cast("double"), 6).as("e_approx"),
-        round(col("edq").cast("double"), 6).as("e_detail"),
-        round(col("edq").cast("double")
-          / (col("eaq") + col("edq")).cast("double"), 6)
+        round(recomb("ea_hi", "ea_lo"), 6).as("e_approx"),
+        round(recomb("ed_hi", "ed_lo"), 6).as("e_detail"),
+        round(recomb("ed_hi", "ed_lo")
+          / (recomb("ea_hi", "ea_lo") + recomb("ed_hi", "ed_lo")), 6)
           .as("detail_ratio"))
   }
 

@@ -136,17 +136,29 @@ object Wave34Queries {
       |  FROM s),
       |paired AS (SELECT k, (daily + nxt) / 2.0e0 AS a,
       |    (daily - nxt) / 2.0e0 AS d
-      |  FROM rn WHERE rn % 2 = 1 AND nxt IS NOT NULL)
-      |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-      |  round(CAST(sum(CAST(a * a AS DECIMAL(28,6))) AS DOUBLE), 6)
-      |    AS e_approx,
-      |  round(CAST(sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE), 6)
-      |    AS e_detail,
-      |  round(CAST(sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE)
-      |    / CAST(sum(CAST(a * a AS DECIMAL(28,6)))
-      |      + sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE), 6)
-      |    AS detail_ratio
-      |FROM paired GROUP BY k ORDER BY event_type""".stripMargin
+      |  FROM rn WHERE rn % 2 = 1 AND nxt IS NOT NULL),
+      |q AS (SELECT k,
+      |    CAST(floor(a * a * 1000000.0e0 + 0.5e0) AS BIGINT) AS qa,
+      |    CAST(floor(d * d * 1000000.0e0 + 0.5e0) AS BIGINT) AS qd
+      |  FROM paired),
+      |agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(qa >> 20) AS BIGINT) AS ea_hi,
+      |    CAST(sum(qa & 1048575) AS BIGINT) AS ea_lo,
+      |    CAST(sum(qd >> 20) AS BIGINT) AS ed_hi,
+      |    CAST(sum(qd & 1048575) AS BIGINT) AS ed_lo
+      |  FROM q GROUP BY k)
+      |SELECT k AS event_type, n_pairs,
+      |  round(CAST(CAST(ea_hi AS DECIMAL(38,0)) * 1048576 + ea_lo
+      |    AS DOUBLE) / 1000000.0e0, 6) AS e_approx,
+      |  round(CAST(CAST(ed_hi AS DECIMAL(38,0)) * 1048576 + ed_lo
+      |    AS DOUBLE) / 1000000.0e0, 6) AS e_detail,
+      |  round((CAST(CAST(ed_hi AS DECIMAL(38,0)) * 1048576 + ed_lo
+      |      AS DOUBLE) / 1000000.0e0)
+      |    / ((CAST(CAST(ea_hi AS DECIMAL(38,0)) * 1048576 + ea_lo
+      |        AS DOUBLE) / 1000000.0e0)
+      |      + (CAST(CAST(ed_hi AS DECIMAL(38,0)) * 1048576 + ed_lo
+      |        AS DOUBLE) / 1000000.0e0)), 6) AS detail_ratio
+      |FROM agg ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q291
   /** Dictionary-encoding estimate ([[graft.ops.Profile.dictEstimate]])
