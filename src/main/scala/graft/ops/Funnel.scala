@@ -124,6 +124,77 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Behavioral entropy rate: the conditional entropy H(next | current)
+    * of the per-user event-type transition process — 0 means fully
+    * predictable next actions, ln(k) means uniform. Transition counts
+    * come from one per-user lag window + one hash aggregation;
+    * H(next|cur) = H(pair) − H(cur) with both entropies from the
+    * quantized c·ln c sums (the l-diversity recipe). Output one row:
+    * n_transitions, n_states, h_pair, h_cur, entropy_rate (6 dp).
+    */
+  def transitionEntropy(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val trans = events
+      .withColumn("nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    def slq(grouped: DataFrame): org.apache.spark.sql.Column =
+      sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+        * lit(1e9) + lit(0.5)).cast("long"))
+    val qPair = trans.agg(sum(col("c")).as("n"),
+      countDistinct(col("cur")).as("n_states"), slq(trans).as("qp"))
+    val curs = trans.groupBy("cur").agg(sum(col("c")).as("c"))
+    val qCur = curs.agg(slq(curs).as("qc"))
+    qPair.crossJoin(broadcast(qCur))
+      .select(col("n").as("n_transitions"), col("n_states"),
+        (log(col("n").cast("double")) - col("qp").cast("double")
+          / lit(1e9) / col("n").cast("double")).as("h_pair"),
+        (log(col("n").cast("double")) - col("qc").cast("double")
+          / lit(1e9) / col("n").cast("double")).as("h_cur"))
+      .select(col("n_transitions"), col("n_states"),
+        round(col("h_pair"), 6).as("h_pair"),
+        round(col("h_cur"), 6).as("h_cur"),
+        round(col("h_pair") - col("h_cur"), 6).as("entropy_rate"))
+  }
+
+  /** Cohort LTV curve: users grouped by first-seen day, cumulative
+    * per-user value by day offset — the "how much is a day-0 user
+    * worth by day k" table that retention counts alone can't answer.
+    * Two hash aggregations (first-seen, per-(cohort, offset) value
+    * sums) + one bounded cum window over the offset domain; values
+    * quantize via the caller's integral column so every cumulative sum
+    * is exact. Output per (cohort_day, day_offset): n_users,
+    * cum_value, ltv_per_user (6 dp).
+    */
+  def ltvCurve(events: DataFrame, userCol: String, tsCol: String,
+      valueQCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol).as("u"),
+      date_trunc("day", col(tsCol)).cast("date").as("day"),
+      col(valueQCol).as("qv"))
+    val cohort = ev.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    val sized = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"))
+    val daily = ev.join(cohort, "u")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(sum(col("qv")).as("v"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_value", sum(col("v")).over(w))
+      .join(sized, "cohort_day")
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset"), col("n_users"), col("cum_value"),
+        round(col("cum_value").cast("double")
+          / col("n_users").cast("double"), 6).as("ltv_per_user"))
+  }
+
   /** Time-to-convert percentiles: per user, the first `fromType` event
     * and the first `toType` event strictly after it; latency buckets
     * to whole hours and the p25/p50/p75/p90 are EXACT order statistics

@@ -60,4 +60,35 @@ object Robust {
         round(col("n_inliers").cast("double")
           / col("n_total").cast("double"), 6).as("inlier_rate"))
   }
+
+  /** Pairwise-difference robust scale (the Qn idea at its exact core):
+    * per group, the LOWER median of all |xᵢ − xⱼ| over i < j — a
+    * 50%-breakdown scale estimate that needs no location estimate
+    * first (unlike MAD). Pair generation is O(g²) PER GROUP on a
+    * bounded g (the [[graft.ops.Trend.mannKendall]] contract); the
+    * median is the exact integer-ranked pick over the pair frame,
+    * tie-broken by the pair ids. Input must be integral. Output per
+    * group: n, n_pairs, qn_scale.
+    */
+  def pairwiseScale(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(valCol).as("v"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.g").as("g"), col("a.id").as("i"), col("b.id").as("j"),
+        abs(col("a.v") - col("b.v")).as("d"))
+    val w = Window.partitionBy("g").orderBy(col("d"), col("i"), col("j"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy("g")))
+    val med = ranked.filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("g"), col("np").as("n_pairs"), col("d").as("qn_scale"))
+    base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .join(med, "g")
+      .select(col("g").as(groupCol), col("n"), col("n_pairs"),
+        col("qn_scale"))
+  }
 }

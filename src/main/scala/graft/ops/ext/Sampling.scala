@@ -188,4 +188,42 @@ object Sampling {
       .filter(col("draw") < nDraws)
       .select(col("draw"), col("k").as(keyCol))
   }
+
+  /** Rendezvous (highest-random-weight) placement audit: keys choose
+    * the node with the max md5(key:node) score; removing one node
+    * must move ONLY that node's keys (~1/n of them) — the
+    * minimal-disruption property that makes rendezvous/consistent
+    * hashing the shard-placement standard over `key mod n` (which
+    * moves ~all keys). The audit assigns every key under n and n−1
+    * nodes (two narrow argmax expressions — no shuffle beyond the
+    * final counts) and reports per-node key counts plus the moved
+    * share. All decisions compare fixed-width md5 hex strings —
+    * engine-portable and RNG-free. Output per node: keys_before,
+    * keys_after, plus the scalar moved_share (6 dp).
+    */
+  def rendezvousAudit(df: DataFrame, keyCol: String, nNodes: Int)
+      : DataFrame = {
+    require(nNodes >= 3)
+    def score(node: Int) =
+      struct(md5(concat_ws(":", col(keyCol).cast("string"),
+        lit(node.toString))).as("h"), lit(node.toLong).as("node"))
+    def assign(n: Int) =
+      greatest((0 until n).map(score): _*).getField("node")
+    val assigned = df.select(col(keyCol).as("k"),
+        assign(nNodes).as("before"), assign(nNodes - 1).as("after"))
+      .persist()
+    val moved = assigned.agg(
+      (sum(when(col("before") =!= col("after"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("ms"))
+    val b = assigned.groupBy(col("before").as("node"))
+      .agg(count(lit(1)).as("keys_before"))
+    val a = assigned.groupBy(col("after").as("node"))
+      .agg(count(lit(1)).as("keys_after"))
+    b.join(a, Seq("node"), "left")
+      .na.fill(0L, Seq("keys_after"))
+      .crossJoin(broadcast(moved))
+      .select(col("node"), col("keys_before"), col("keys_after"),
+        round(col("ms"), 6).as("moved_share"))
+      .orderBy("node")
+  }
 }
