@@ -44,6 +44,43 @@ object FuzzyJoin {
       .select("query_id", "match_id", "q_name", "m_name", "dist")
   }
 
+  /** All within-frame id pairs at Levenshtein distance ≤ 1, via the
+    * deletion-neighborhood candidate join (FastSS, Bocek et al. 2007 /
+    * SymSpell): each record emits its name plus every single-character
+    * deletion as join keys; any two strings within edit distance 1
+    * share at least one such key (equal → the identity key;
+    * substitution → both delete the differing position;
+    * insert/delete → the shorter string IS a deletion of the longer).
+    * Candidates then verify with the thresholded `levenshtein`.
+    *
+    * Scale shape: fan-out is len(name)+1 keys per record — LINEAR in
+    * the corpus, independent of any blocking key's cardinality. This
+    * replaces block-quadratic candidate generation (Σ_block |b|²),
+    * which the sf1 bench showed growing ~100× on a 10× corpus when
+    * records concentrate in few blocks (q226: blocking on `source`).
+    * Deletion keys are near-unique for hash-bearing names; the
+    * operator's residual hazard is a single name shared by many
+    * records (its identity key goes quadratic) — same class as a hot
+    * block, and visible to the key-skew audit (q280).
+    *
+    * Output: (id_a, name_a, id_b, name_b), id_a < id_b, distinct,
+    * lev(name_a, name_b) ≤ 1 exactly.
+    */
+  def lev1SelfPairs(df: DataFrame, idCol: String, nameCol: String)
+      : DataFrame = {
+    val keys = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+      .withColumn("delkey", explode(expr(
+        "transform(sequence(0, length(name)), i -> " +
+        "if(i = 0, name, concat(substr(name, 1, i-1), substr(name, i+1))))")))
+      .distinct() // deleting either of two equal adjacent chars repeats
+    keys.as("a").join(keys.as("b"),
+        col("a.delkey") === col("b.delkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
+  }
+
   /** Jaro-Winkler similarity Column over the native codegen'd kernel
     * ([[graft.expr.JaroWinkler]]) — prefix weight 0.1, boost threshold
     * 0.7, the de-facto standard variant (matches DuckDB's

@@ -202,6 +202,84 @@ object Graph {
         round(col("score").cast("double"), 6).as("score"))
   }
 
+  /** Common-neighbors / Jaccard link prediction: for each non-adjacent
+    * pair (u, v) with ≥ 1 common neighbor of degree ≤ `maxDeg`,
+    * cn = #(capped) common neighbors and jaccard = cn/(dᵤ + dᵥ − cn).
+    * Same wedge shape and hub cap as [[adamicAdar]] (candidate fan-out
+    * Σ_w deg(w)², bounded by the cap; the cap must appear in any
+    * oracle). Ranking is pinned WITHOUT floats: the top-k orders by
+    * qj = cn·10⁹ div (dᵤ + dᵥ − cn) — an exact integer quotient — then
+    * (u, v); the 6-dp double jaccard is display-only. Degrees are FULL
+    * degrees; only the common-neighbor count is cap-restricted (the
+    * hub-robust convention — a celebrity shared neighbor is weak
+    * evidence AND a quadratic blowup).
+    */
+  def jaccardLinkPred(edges: DataFrame, maxDeg: Long, topK: Int)
+      : DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val ctr = sym.join(deg.where(col("deg") <= maxDeg), Seq("node"))
+    val cn = ctr.select(col("node"), col("nbr").as("u"))
+      .join(ctr.select(col("node"), col("nbr").as("v")), Seq("node"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    val scored = cn
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .withColumn("un", col("du") + col("dv") - col("common"))
+      .withColumn("qj", expr("common * 1000000000L div un"))
+    scored.orderBy(col("qj").desc, col("u"), col("v")).limit(topK)
+      .select(col("u"), col("v"), col("common"), col("un").as("union_size"),
+        round(col("common").cast("double") / col("un").cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Rich-club curve φ(k) = 2·E_k / (N_k·(N_k − 1)) for k = 1..maxK,
+    * where the k-club is the subgraph of nodes with degree > k — "do
+    * the hubs preferentially interconnect". Everything reduces to two
+    * TINY histograms before the ladder ever materializes: the degree
+    * histogram (N_k by cumulative count) and the per-edge min-degree
+    * histogram (E_k by cumulative count) — so the k-explode touches
+    * histogram rows, never edges. All counts exact; φ is the only
+    * float. Output: (k, n_k, e_k, phi).
+    */
+  def richClub(edges: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1 && maxK <= 64)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg")).persist()
+    val degHist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+    val minHist = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+    val ks = e.sparkSession.range(1, maxK + 1).select(col("id").as("k"))
+    val nk = ks.join(degHist, col("deg") > col("k"))
+      .groupBy("k").agg(sum("cnt").as("n_k"))
+    val ek = ks.join(minHist, col("m") > col("k"))
+      .groupBy("k").agg(sum("cnt").as("e_k"))
+    ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"),
+        round(when(coalesce(col("n_k"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("e_k"), lit(0L)).cast("double") /
+            (col("n_k") * (col("n_k") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("phi"))
+      .orderBy("k")
+  }
+
   /** Directed-graph shape summary: reciprocity (the fraction of edges
     * whose reverse also exists — one self-join on the swapped key) and
     * the in/out-degree first moments — the 30-second "what kind of
@@ -224,8 +302,11 @@ object Graph {
     val nodes = e.select(col("src").as("n"))
       .union(e.select(col("dst").as("n"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
-    outd.crossJoin(broadcast(recip)).crossJoin(broadcast(ind))
-      .crossJoin(broadcast(nodes))
+    // all three sides are 1-row aggregates — no hint needed, AQE
+    // broadcasts them at runtime (and this file stays hint-free for
+    // the GraphScaleSpec source guard)
+    outd.crossJoin(recip).crossJoin(ind)
+      .crossJoin(nodes)
       .select(col("n_edges"), col("n_nodes"), col("reciprocal_edges"),
         round(col("reciprocal_edges").cast("double")
           / col("n_edges").cast("double"), 6).as("reciprocity"),
@@ -264,30 +345,37 @@ object Graph {
     def maxNorm(raw: DataFrame, c: String): DataFrame = {
       val r = raw.localCheckpoint()
       val mx = r.agg(max(col(c)).as("mx"))
-      r.crossJoin(broadcast(mx))
+      // mx is a 1-row scalar; no hint needed — AQE broadcasts it
+      r.crossJoin(mx)
         .select(col("node"),
           expr(s"CAST($c AS DECIMAL(38,0)) * $scale div mx")
             .cast("long").as(c))
     }
     var hub = nodes.withColumn("hub", lit(scale))
     var auth: DataFrame = null
-    // rank frames are node-sized (orders smaller than edges) —
-    // broadcast them so the edge frame never re-shuffles per round
+    // rank frames are node-sized — they GROW with the graph, so no
+    // broadcast() hint here: at 100× a forced broadcast OOMs the
+    // driver. The shuffle hash join on the edge key is the plan you
+    // want at scale, and AQE still converts to broadcast at runtime
+    // whenever a rank frame is genuinely small.
     for (_ <- 1 to rounds) {
       auth = maxNorm(
-        e.join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+        e.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node")).agg(sum("hub").as("auth")),
         "auth")
       hub = maxNorm(
-        e.join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node")).agg(sum("auth").as("hub")),
         "hub")
     }
-    nodes
+    val out = nodes
       .join(hub.withColumnRenamed("hub", "h"), Seq("node"), "left")
       .join(auth.withColumnRenamed("auth", "a"), Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
   }
 
   /** Personalized PageRank: the restart mass lands ONLY on the seed
@@ -316,6 +404,10 @@ object Graph {
       .select(col("node"),
         when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L))
           .as("rank"))
+    // localCheckpoint per round (the [[hits]] idiom): plan depth stays
+    // O(1) however high `iterations` goes — without it each round's
+    // plan embeds every prior round's joins and Catalyst cost grows
+    // O(r²) in analysis alone.
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -327,50 +419,83 @@ object Graph {
         .select(col("node"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L))
             + expr("85 * coalesce(sum_c, 0L) div 100")).as("rank"))
+        .localCheckpoint()
     }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist(); seed.unpersist()
     ranks
   }
 
   /** Bounded multi-source BFS: exact hop distance from the seed set,
     * capped at `maxHops` rounds (unreached nodes report −1). Each
     * round is one join of the edge frame against the CURRENT frontier
-    * only (the newly-settled nodes, broadcast-sized in the common
-    * case) plus an anti-join against settled — the textbook iterative
-    * frontier expansion, with the round count a fixed parameter like
-    * every iterative operator here (an unbounded loop over a 100 TB
-    * graph belongs to a checkpointed driver program). Distances are
-    * exact integers; no floats anywhere.
+    * only (the newly-settled nodes) plus an anti-join against settled
+    * — the textbook iterative frontier expansion, with the round count
+    * a fixed parameter like every iterative operator here (an
+    * unbounded loop over a 100 TB graph belongs to a checkpointed
+    * driver program). Distances are exact integers; no floats
+    * anywhere.
+    *
+    * Scale: the frontier is NOT broadcast-hinted — on a dense graph it
+    * approaches the full node set within a few hops, and a forced
+    * broadcast of a node-count-sized frame OOMs the driver at 100×.
+    * The frontier join shuffles on src (edge partitioning reused
+    * across hops); AQE still picks a broadcast join at runtime for the
+    * early hops where the frontier is genuinely small. The per-hop
+    * convergence probe is the frontier `count()` that the persist
+    * needs anyway — one job per hop, not two. All per-hop frames are
+    * unpersisted before return (the result is materialized via
+    * `localCheckpoint`, so freeing its parents is safe).
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    require(maxHops >= 1 && maxHops <= 30)
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seeds.select(col("node"))).distinct().persist()
+    val out = bfsDistancesOn(e, nodes, seeds, maxHops)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** [[bfsDistances]] over CALLER-prepared frames: `e` must be the
+    * distinct (src, dst) edge set and `nodes` the node universe, both
+    * ideally persisted by the caller — so a query running BFS twice
+    * over the same graph (e.g. a bow-tie census, forward + backward)
+    * builds and caches the graph once. Reversing direction is a
+    * column swap on the SAME persisted `e` (cache hit), not a rebuild.
+    */
+  def bfsDistancesOn(e: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30)
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var settled = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).persist()
+    persisted += settled
     var frontier = settled
+    var frontierRows = frontier.count()
     var hop = 1L
-    var more = true
-    while (hop <= maxHops && more) {
-      val next = e.join(broadcast(frontier.select(col("node").as("src"))),
-          "src")
+    while (hop <= maxHops && frontierRows > 0) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(settled.select(col("node"), lit(true).as("seen")),
           Seq("node"), "left")
         .filter(col("seen").isNull)
         .select(col("node"), lit(hop).as("dist"))
         .persist()
-      more = next.limit(1).count() > 0
-      if (more) {
+      persisted += next
+      frontierRows = next.count()
+      if (frontierRows > 0) {
         settled = settled.unionByName(next).persist()
+        persisted += settled
         frontier = next
         hop += 1
       }
     }
-    nodes.join(settled, Seq("node"), "left")
+    val out = nodes.join(settled, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .localCheckpoint()
+    persisted.foreach(_.unpersist())
+    out
   }
 
   def pageRank(edges: DataFrame, iterations: Int,
@@ -386,6 +511,8 @@ object Graph {
     val n = nodes.count()
     val base = 15L * scale / 100 / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
+    // localCheckpoint per round (the [[hits]] idiom) — bounded plan
+    // depth at any iteration count; see [[personalizedPageRank]].
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -395,7 +522,9 @@ object Graph {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(sum_c, 0L) div 100")).as("rank"))
+        .localCheckpoint()
     }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks
   }
 }

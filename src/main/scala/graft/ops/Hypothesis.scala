@@ -382,4 +382,97 @@ object Hypothesis {
           * (col("o_sum").cast("double") - col("ed")) / col("vd"), 6)
           .as("chi2"))
   }
+
+  /** Brown–Forsythe test (Levene with the median center): variance
+    * homogeneity across groups, robust to non-normality — the
+    * assumption check ANOVA (q167) itself needs. z = |x − med_g| with
+    * med_g the LOWER median (rank ⌊(n+1)/2⌋ ordered by (value, id) —
+    * an integer for integer inputs, so z is exact and both engines
+    * rank identically), then the statistic is one-way ANOVA F on z via
+    * [[anovaF]]'s exact-integer two-pass. `valueCol` must be integral
+    * in CENTI-units (cents): z feeds anovaF as |x − med| / 100 —
+    * anovaF re-quantizes ×100, recovering the exact integer cent
+    * difference, and its ssw quantization (z² · 100) then stays within
+    * long range where raw centi-scale deviations would overflow.
+    * Shape: one rank window + one join + the anovaF passes — all
+    * group-keyed shuffles, no pair joins.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), col(idCol).as("id"))
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val med = base.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("g"), col("v").as("med"))
+    val z = base.join(med, Seq("g"))
+      .select(col("g"),
+        (abs(col("v") - col("med")).cast("double") / lit(100.0)).as("z"))
+    anovaF(z, "g", "z")
+  }
+
+  /** Grubbs' statistic per group: G = max|x − mean| / sd over integral
+    * `valueCol`, with the candidate outlier pinned WITHOUT floats —
+    * the argmax compares |n·x − Σx| (exact integers), tie-broken by
+    * `idCol`, so the reported outlier is bit-deterministic. mean/sd
+    * come from exact integer moments (Σx, Σx² as longs — callers
+    * quantize coarsely enough that Σx² < 2⁵³; at 100 TB route the
+    * moments through DECIMAL); G is one fixed-shape double expression.
+    * Output: (group, n, outlier_id, outlier_val, g_stat).
+    */
+  def grubbs(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), col(idCol).as("id"))
+    val mo = base.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+    val dev = base.join(mo, Seq("g"))
+      .withColumn("adev", abs(col("n") * col("v") - col("s1")))
+    val w = Window.partitionBy("g")
+      .orderBy(col("adev").desc, col("id"))
+    val top = dev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val nd = col("n").cast("double")
+    val varN = (nd * col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double")) /
+      (nd * (nd - lit(1.0)))
+    top.select(col("g").as("group"), col("n"), col("id").as("outlier_id"),
+      col("v").as("outlier_val"),
+      round((col("adev").cast("double") / nd) / sqrt(varN), 6)
+        .as("g_stat"))
+  }
+
+  /** Cohen's d + Hedges' g between the two arms of `armCol` (a boolean
+    * column; true = arm 1) on integral `valueCol`: d = (m₁ − m₀) /
+    * s_pooled, g = d · (1 − 3/(4n − 9)). Every mean and the pooled
+    * variance derive from exact integer moments; one agg, no second
+    * pass (variance via n·Σx² − (Σx)²). Output per group:
+    * (group, n1, n0, d, hedges_g).
+    */
+  def cohensD(df: DataFrame, groupCol: String, armCol: Column,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      armCol.cast("boolean").as("arm"),
+      col(valueCol).cast("long").as("v"))
+    val mo = base.groupBy("g", "arm").agg(count(lit(1)).as("n"),
+      sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+    def side(a: Boolean, suf: String) =
+      mo.filter(col("arm") === a).select(col("g"),
+        col("n").as(s"n$suf"), col("s1").as(s"s1$suf"),
+        col("s2").as(s"s2$suf"))
+    val j = side(true, "1").join(side(false, "0"), Seq("g"))
+    def d(c: String) = col(c).cast("double")
+    val ssd = (c: String) => // group sum of squared deviations ·n
+      d(s"n$c") * d(s"s2$c") - d(s"s1$c") * d(s"s1$c")
+    val m1 = d("s11") / d("n1")
+    val m0 = d("s10") / d("n0")
+    val sp = sqrt((ssd("1") / d("n1") + ssd("0") / d("n0")) /
+      (d("n1") + d("n0") - lit(2.0)))
+    val dd = (m1 - m0) / sp
+    j.select(col("g").as("group"), col("n1"), col("n0"),
+      round(dd, 6).as("d"),
+      round(dd * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (d("n1") + d("n0")) - lit(9.0))), 6).as("hedges_g"))
+  }
 }

@@ -489,5 +489,48 @@ object Trend {
           .as("detail_ratio"))
   }
 
+  /** Chow structural-break test per key: does the linear trend of
+    * (tCol, integral vCol) change at the series midpoint? F =
+    * ((SSRp − SSR₁ − SSR₂)/2) / ((SSR₁ + SSR₂)/(n − 4)), with each
+    * SSR from the closed form Syy − Sxy²/Sxx over EXACT integer moment
+    * sums (t and v are integral; the only doubles are the three final
+    * fixed-shape SSR expressions and the F ratio). The break point is
+    * t ≤ ⌊(min+max)/2⌋ — data-derived, deterministic. One grouped agg
+    * per segment + one for the pooled window; no sort, no window.
+    * Output: (key, n, break_t, f).
+    */
+  def chowTest(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val cut = base.groupBy("k")
+      .agg(((min("t") + max("t")) / 2).cast("long").as("cut"))
+    val seg = base.join(cut, Seq("k"))
+      .withColumn("s", when(col("t") <= col("cut"), 1L).otherwise(2L))
+    def moments(d: DataFrame, by: Seq[String]): DataFrame =
+      d.groupBy(by.map(col): _*).agg(count(lit(1)).as("n"),
+        sum("t").as("st"), sum("v").as("sv"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("v")).as("stv"),
+        sum(col("v") * col("v")).as("svv"))
+    def ssr: Column = { // Syy − Sxy²/Sxx on centered exact moments
+      def d(c: String) = col(c).cast("double")
+      val sxx = d("stt") - d("st") * d("st") / d("n")
+      val sxy = d("stv") - d("st") * d("sv") / d("n")
+      val syy = d("svv") - d("sv") * d("sv") / d("n")
+      syy - sxy * sxy / sxx
+    }
+    val pooled = moments(seg, Seq("k")).join(cut, Seq("k"))
+      .select(col("k"), col("n"), col("cut"), ssr.as("ssr_p"))
+    val parts = moments(seg, Seq("k", "s"))
+      .select(col("k"), col("s"), ssr.as("ssr_s"))
+      .groupBy("k").agg(sum("ssr_s").as("ssr_12"))
+    pooled.join(parts, Seq("k"))
+      .select(col("k").as(keyCol), col("n"), col("cut").as("break_t"),
+        round(((col("ssr_p") - col("ssr_12")) / lit(2.0)) /
+          (col("ssr_12") / (col("n") - lit(4)).cast("double")), 6)
+          .as("f"))
+  }
+
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each half-step is one hash aggregation on the side
   * being solved (map-side partials, no window, no sort) plus a join
-  * of the opposite factor back onto the ratings; the factor frames
-  * are one row per user/item — broadcast-sized relative to the
-  * ratings at any corpus scale where rank-1 ALS makes sense. Nothing
-  * iterates on the driver; the fixed alternation count keeps the
-  * lineage bounded.
+  * of the opposite factor back onto the ratings. The factor frames
+  * are one row per user/item — they GROW with the corpus, so they are
+  * deliberately NOT broadcast-hinted: the shuffle hash join on the
+  * rating key is the at-scale plan, and AQE still broadcasts a factor
+  * frame at runtime whenever it is genuinely small. Nothing iterates
+  * on the driver; the fixed alternation count keeps the lineage
+  * bounded.
   */
 object Factorize {
 
@@ -36,7 +38,7 @@ object Factorize {
     */
   private def halfStep(ratings: DataFrame, opposite: DataFrame,
       byCol: String, outCol: String): DataFrame =
-    ratings.join(broadcast(opposite), byCol)
+    ratings.join(opposite, byCol)
       .groupBy(col(outCol))
       .agg(sum(col("r") * col("fq")).as("num"),
         sum(col("fq") * col("fq")).as("den"))
@@ -66,8 +68,8 @@ object Factorize {
     // final user refresh against the last item factors (u, v, u shape)
     user = halfStep(r, item.select(col(itemCol), col("fq")),
       itemCol, userCol)
-    r.join(broadcast(user.withColumnRenamed("fq", "uq")), userCol)
-      .join(broadcast(item.withColumnRenamed("fq", "vq")), itemCol)
+    r.join(user.withColumnRenamed("fq", "uq"), userCol)
+      .join(item.withColumnRenamed("fq", "vq"), itemCol)
       .withColumn("predq", col("uq") * col("vq"))
   }
 }

@@ -46,7 +46,10 @@ object ItemCf {
           sqrt((col("ci") * col("cj")).cast("double")), 6).as("sim"))
     val w = Window.partitionBy("item")
       .orderBy(col("sim").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(w))
+    // rank as long, matching the sibling window ops (esSample et al.)
+    // and the BIGINT the oracle emits — no type drift for the compare
+    // layer to paper over
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("item"), col("rank"), col("neighbor"), col("co"),
         col("sim"))

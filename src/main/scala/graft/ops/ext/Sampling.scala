@@ -131,7 +131,11 @@ object Sampling {
     val base = df.select(col(strataCol).as("stratum"),
         col(keyCol).as("key"), col(weightCol).cast("double").as("w"))
       .filter(col("w") > 0)
-      .withColumn("x1", expr(s"((key % $p) * 48271) % $p"))
+      // pmod (not %) on the first step: a NEGATIVE key under plain %
+      // yields a negative x2 and log((x2+1)/(p+1)) goes NaN, silently
+      // corrupting the ranking — pmod maps any integral key into
+      // [0, p) so the key domain is the full signed-long range
+      .withColumn("x1", expr(s"(pmod(key, $p) * 48271) % $p"))
       .withColumn("x2", expr(s"((x1 % $p) * 48271) % $p"))
       .withColumn("rk",
         log((col("x2") + lit(1.0)) / lit((p + 1).toDouble)) / col("w"))

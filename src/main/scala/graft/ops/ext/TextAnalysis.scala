@@ -470,4 +470,113 @@ object TextAnalysis {
             / lit(2.0), 6).as("jsd"))
       .orderBy("group_a", "group_b")
   }
+
+  /** MSTTR (mean segmental type-token ratio, window `w`): tokens split
+    * into consecutive FULL w-token chunks (trailing partial dropped —
+    * TTR is length-sensitive, so only equal-length segments compare),
+    * TTR per chunk = distinct/w, averaged per group over all chunks.
+    * The lexical-diversity metric that, unlike raw TTR, does not decay
+    * with document length. Per-chunk TTRs are exact rationals
+    * (distinct · 10⁶ div w — integers end to end); the group mean is
+    * the only division. One explode + two groupBys, all narrow before
+    * the (doc, chunk, token) distinct. Output per group:
+    * (group, n_docs, n_chunks, msttr).
+    */
+  def msttr(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    require(w >= 2)
+    val toks = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val chunks = toks.withColumn("chunk", expr(s"pos div $w"))
+      .groupBy("g", "id", "chunk")
+      .agg(count(lit(1)).as("n"), count_distinct(col("tok")).as("d"))
+      .filter(col("n") === w)
+      .select(col("g"), col("id"),
+        expr(s"d * 1000000L div $w").as("qt"))
+    chunks.groupBy("g")
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"), sum("qt").as("sq"))
+      .select(col("g"), col("n_docs"), col("n_chunks"),
+        round(col("sq").cast("double") / col("n_chunks").cast("double")
+          / lit(1e6), 6).as("msttr"))
+  }
+
+  /** Pairwise cosine between groups' stopword-frequency profiles (the
+    * fixed `words` vocabulary — a shared literal list, so any engine
+    * replays it): style/register similarity that is CONTENT-blind,
+    * the cheap authorship/domain-shift signal. Counts are exact
+    * integers; cosine = dot / sqrt(n_a · n_b) is one fixed-shape
+    * double expression. The profile frame is |groups|×|words| — tiny —
+    * so the pair join never touches the corpus. Output:
+    * (group_a < group_b, dot, cosine).
+    */
+  def stopwordProfileCosine(df: DataFrame, groupCol: String,
+      textCol: String, words: Seq[String]): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("tok"))
+    val prof = toks.filter(col("tok").isInCollection(words))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val norms = prof.groupBy("g")
+      .agg(sum(col("c") * col("c")).as("nn"))
+    val dots = prof.as("a")
+      .join(prof.as("b"),
+        col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    dots
+      .join(norms.select(col("g").as("ga"), col("nn").as("na")), "ga")
+      .join(norms.select(col("g").as("gb"), col("nn").as("nb")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"), col("dot"),
+        // norms multiply as doubles — the long product nₐ·n_b overflows
+        // once per-group token mass passes ~3e9
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cosine"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; word score = deg(w)/freq(w)
+    * with deg = Σ phrase length over the word's occurrences and freq =
+    * occurrence count; a phrase scores the sum of its words' scores.
+    * Corpus-level: word stats aggregate over ALL phrase occurrences,
+    * then each DISTINCT phrase text scores once. Ranking is pinned on
+    * integers: qscore = Σ_w (deg_w · 10⁶ div freq_w) — exact integer
+    * division per word, exact sum — tie-broken by phrase text. The
+    * islands come from one per-doc window (pos − rank-among-nonstop);
+    * everything after is token-keyed groupBys. Output: top `k`
+    * (phrase, n_words, score 6 dp).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int, maxPhraseLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isInCollection(stopwords))
+    val wd = Window.partitionBy("id").orderBy("pos")
+    val runs = toks
+      .withColumn("nsr", count(when(!col("stop"), 1)).over(wd))
+      .filter(!col("stop"))
+      .withColumn("grp", col("pos") - col("nsr"))
+    val phrases = runs.groupBy("id", "grp")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(array_sort(
+          collect_list(struct(col("pos"), col("tok")))), s => s("tok")))
+          .as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+      .select(col("phrase"), col("plen"))
+    val words = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+    val stats = words.groupBy("w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .withColumn("qs", expr("deg * 1000000L div freq"))
+    val scored = phrases.select(col("phrase"), col("plen")).distinct()
+      .select(col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(stats.select(col("w"), col("qs")), "w")
+      .groupBy("phrase", "plen").agg(sum("qs").as("qscore"))
+    scored.orderBy(col("qscore").desc, col("phrase")).limit(k)
+      .select(col("phrase"), col("plen").as("n_words"),
+        round(col("qscore").cast("double") / lit(1e6), 6).as("score"))
+  }
 }

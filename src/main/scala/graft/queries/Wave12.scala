@@ -260,13 +260,22 @@ object Wave12Queries {
     * That merge identity is the whole 100 TB story: exact 2-hop
     * explodes quadratically in degree; sketch rows are Σdeg·k. md5
     * keys make the estimate engine-exact, so both columns value-check.
+    *
+    * The EXACT verification arm is gated to a deterministic 4/16 node
+    * sample (first md5 hex char ≤ '3' — the q208 pre-flight
+    * discipline): the sketch arm runs full-corpus at any scale, while
+    * the Σdeg² exact expansion — which exists only to verify the
+    * sketch — is measured on a fixed sample instead of the whole
+    * graph, so the one quadratic piece never has to run corpus-wide.
     */
   def q209(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = Wave6Queries.coOrderEdges(s, dir)
     val sym = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
-    val exact = sym.as("a")
+    val symS = sym.filter(
+      substring(md5(col("node").cast("string")), 1, 1) <= "3")
+    val exact = symS.as("a")
       .join(sym.as("b"), col("a.nbr") === col("b.node"))
       .select(col("a.node").as("node"), col("b.nbr").as("y"))
       .distinct()
@@ -299,7 +308,8 @@ object Wave12Queries {
        |        UNION ALL SELECT dst, src FROM e),
        |exact AS (SELECT node, count(*)::BIGINT AS n_2hop FROM (
        |    SELECT DISTINCT a.node, b.nbr AS y
-       |    FROM sym a JOIN sym b ON a.nbr = b.node)
+       |    FROM sym a JOIN sym b ON a.nbr = b.node
+       |    WHERE substr(md5(a.node::VARCHAR), 1, 1) <= '3')
        |  GROUP BY node),
        |h1 AS (SELECT DISTINCT node,
        |    ('0x' || substr(md5(nbr::VARCHAR), 1, 8))::BIGINT AS v

@@ -163,16 +163,18 @@ object Wave17Queries {
       .select((col("id") + 2000000L).as("id"),
         concat(col("name"), lit("x")).as("name"))
     val recs = base.unionByName(v1).unionByName(v2)
-    // block on the full first field (typo-stable: the dropped char 7
-    // and appended char never touch it) — a short fixed prefix merges
-    // "src1" with "src10".."src19" into one quadratic block
-    val pairs = recs.as("a").join(recs.as("b"),
-        substring_index(col("a.name"), "-", 1) ===
-          substring_index(col("b.name"), "-", 1) &&
-          abs(length(col("a.name")) - length(col("b.name"))) <= 1 &&
-          col("a.id") < col("b.id"))
-      .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // candidate generation via the deletion-neighborhood join
+    // ([[graft.ops.FuzzyJoin.lev1SelfPairs]]) — LINEAR fan-out in the
+    // corpus. Blocking on `source` (the round-4 shape) is Σ_block |b|²:
+    // the 10× sf1 bench step grew it ~78× (few sources, each block 10×
+    // bigger). The oracle keeps the block-join formulation — fine for
+    // an oracle, fatal for an engine. The same-first-field and length
+    // predicates stay as verify filters so semantics match exactly.
+    val pairs = graft.ops.FuzzyJoin.lev1SelfPairs(recs, "id", "name")
+      .filter(substring_index(col("name_a"), "-", 1) ===
+          substring_index(col("name_b"), "-", 1) &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 1)
+      .select(col("id_a"), col("id_b"))
     graft.ops.ext.Dedup.connectedComponentsStar(pairs).orderBy("id")
   }
   val q226Sql: String =

@@ -37,7 +37,8 @@ object Wave30Queries {
       |  FROM orders
       |  WHERE floor(o_totalprice * 100.0e0 + 0.5e0) > 0),
       |keys AS (SELECT stratum, key, w,
-      |    ((((key % 2147483647) * 48271) % 2147483647) * 48271)
+      |    ((((((key % 2147483647) + 2147483647) % 2147483647) * 48271)
+      |        % 2147483647) * 48271)
       |      % 2147483647 AS x2
       |  FROM base),
       |rk AS (SELECT stratum, key, w,

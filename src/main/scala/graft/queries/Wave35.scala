@@ -171,15 +171,23 @@ object Wave35Queries {
     * — the classic web-graph structure census.
     */
   def q296(s: SparkSession, dir: String): DataFrame = {
+    // one persisted graph feeds BOTH bfs directions — the backward
+    // pass is a column swap over the same cached edge set, not a
+    // rebuild-and-redistinct of the lineitem scan
     val e = shipReturnEdges(s, dir)
+      .select(col("src"), col("dst")).distinct().persist()
     val seeds = T(s, dir, "supplier").filter(col("s_suppkey") <= 3)
       .select(col("s_suppkey").as("node"))
-    val fwd = graft.ops.Graph.bfsDistances(e, seeds, maxHops = 4)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col("node"))).distinct().persist()
+    val fwd = graft.ops.Graph.bfsDistancesOn(e, nodes, seeds, maxHops = 4)
       .select(col("node"), (col("dist") >= 0).as("f"))
-    val bwd = graft.ops.Graph.bfsDistances(
-        e.select(col("dst").as("src"), col("src").as("dst")), seeds,
+    val bwd = graft.ops.Graph.bfsDistancesOn(
+        e.select(col("dst").as("src"), col("src").as("dst")), nodes, seeds,
         maxHops = 4)
       .select(col("node"), (col("dist") >= 0).as("b"))
+    e.unpersist(); nodes.unpersist()
     fwd.join(bwd, Seq("node"), "full")
       .na.fill(false, Seq("f", "b"))
       .select(when(col("f") && col("b"), "core")

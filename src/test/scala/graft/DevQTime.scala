@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time the QS env-var query list at sf0.1. */
+/** Dev-only: time the QS env-var query list at sf0.1 (or QS_DIR). */
 object DevQTime {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("QS_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 32)

@@ -141,7 +141,7 @@ class Wave24to26OpsSpec extends AnyFunSuite {
     val r = graft.ops.ext.ItemCf.topNeighbors(df, "bk", "item", 5, 1L)
       .collect()
       .map(x => (x.getAs[Long]("item"), x.getAs[Long]("neighbor")) ->
-        (x.getAs[Int]("rank"), x.getAs[Double]("sim"))).toMap
+        (x.getAs[Long]("rank"), x.getAs[Double]("sim"))).toMap
     assert(r((1L, 2L))._2 == math.floor(2.0 / math.sqrt(6.0) * 1e6 + 0.5) / 1e6
       || math.abs(r((1L, 2L))._2 - 2.0 / math.sqrt(6.0)) < 1e-6)
     assert(r((1L, 2L))._1 == 1) // higher sim than (1,3)
