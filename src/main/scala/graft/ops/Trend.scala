@@ -527,9 +527,188 @@ object Trend {
       .groupBy("k").agg(sum("ssr_s").as("ssr_12"))
     pooled.join(parts, Seq("k"))
       .select(col("k").as(keyCol), col("n"), col("cut").as("break_t"),
-        round(((col("ssr_p") - col("ssr_12")) / lit(2.0)) /
-          (col("ssr_12") / (col("n") - lit(4)).cast("double")), 6)
+        // a perfectly-fit pair of segments has ssr_12 = 0 → F is
+        // undefined (infinite evidence); emit null rather than trip
+        // ANSI divide-by-zero
+        when(col("ssr_12") > 0,
+          round(((col("ssr_p") - col("ssr_12")) / lit(2.0)) /
+            (col("ssr_12") / (col("n") - lit(4)).cast("double")), 6))
           .as("f"))
+  }
+
+  /** Maximum drawdown per key over an integral series ordered by
+    * `tCol`: dd_t = (running max of v) − v_t; reports the largest dd
+    * with its trough pinned by (dd desc, t) — all integers, one
+    * ordered window + one rank window, no self-join. The worst
+    * peak-to-trough drop of a daily metric — the SPC-adjacent "how
+    * bad did it get" card.
+    * Output: (key, n, max_drawdown, trough_t).
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("k"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val wo = Window.partitionBy("k").orderBy("t")
+    val dd = base.withColumn("dd", max("v").over(wo) - col("v"))
+    val wr = Window.partitionBy("k").orderBy(col("dd").desc, col("t"))
+    dd.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+      .join(base.groupBy("k").agg(count(lit(1)).as("n")), Seq("k"))
+      .select(col("k").as(keyCol), col("n"),
+        col("dd").as("max_drawdown"), col("t").as("trough_t"))
+  }
+
+  /** Rescaled-range (R/S) Hurst estimate per key: the series (ordered
+    * by `tCol`, positions renumbered 1..T) splits into full segments
+    * of sizes `sizes`; per segment, R/S = (max Z − min Z) /
+    * √(m·Σv² − (Σv)²) where Z is the cumulative sum of the
+    * m-scaled deviations Yᵢ = m·vᵢ − Σv — EVERY numerator quantity an
+    * exact integer (the m-scaling clears the mean's fraction), the
+    * sqrt the only libm call. Per-size means quantize to millionths;
+    * with sizes (m, 2m, 4m) the log-log slope collapses to
+    * H = log₂(rs_{4m}/rs_m)/2 (equally spaced in ln 2), one
+    * fixed-shape expression. Output: (key, rs<m>·3, hurst). H ≈ 0.5 for
+    * iid noise, > 0.5 persistent, < 0.5 mean-reverting.
+    */
+  def hurstRs(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String, sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sizes.length == 3 && sizes(1) == sizes(0) * 2 &&
+      sizes(2) == sizes(1) * 2, "sizes must be (m, 2m, 4m)")
+    val base = df.select(col(keyCol).as("k"),
+        col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("t")))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val seg = base.crossJoin(sizes.map(_.toLong).toDF("m"))
+      .withColumn("chunk", expr("(rn - 1) div m"))
+    val wc = Window.partitionBy("k", "m", "chunk")
+    val wz = wc.orderBy("rn")
+    val scored = seg
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("cnt") === col("m"))
+      .withColumn("sm", sum("v").over(wc))
+      .withColumn("svv", sum(col("v") * col("v")).over(wc))
+      .withColumn("z", sum(col("m") * col("v") - col("sm")).over(wz))
+      .groupBy("k", "m", "chunk")
+      .agg((max("z") - min("z")).as("r"),
+        first(expr("m * svv - sm * sm")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("k"), col("m"),
+        floor(col("r").cast("double") / sqrt(col("den").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("rsq"))
+    val means = scored.groupBy("k", "m")
+      .agg(count(lit(1)).as("nseg"), sum("rsq").as("s"))
+      .select(col("k"), col("m"),
+        (col("s").cast("double") / col("nseg").cast("double") / lit(1e6))
+          .as("rs"))
+    val wide = sizes.map(m => means.filter(col("m") === m)
+        .select(col("k"), col("rs").as(s"rs$m")))
+      .reduce((a, b) => a.join(b, Seq("k")))
+    wide.select(Seq(col("k").as(keyCol)) ++
+      sizes.map(m => round(col(s"rs$m"), 6).as(s"rs$m")) :+
+      round(log2(col(s"rs${sizes(2)}") / col(s"rs${sizes(0)}"))
+        / lit(2.0), 6).as("hurst"): _*)
+  }
+
+  /** SAX motif counts per key: z-normalize the ordered integral series
+    * against its own exact moments, discretize into 4 symbols at the
+    * standard gaussian breakpoints (±0.6745, 0), slide a 3-symbol
+    * window (lead×2), count words, keep the top `k` per key pinned by
+    * (count desc, word). The z-scores are one fixed-shape double
+    * expression over exact integer moments, so the symbol boundaries
+    * compare identically across engines. Output:
+    * (key, word, n_occurrences, rank).
+    */
+  def saxMotifs(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("kk"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val mo = base.groupBy("kk").agg(count(lit(1)).as("n"),
+      sum("v").as("s1"), sum(col("v") * col("v")).as("s2"))
+    val nd = col("n").cast("double")
+    val z = ((col("v").cast("double") - col("s1").cast("double") / nd) /
+      sqrt((nd * col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")) /
+        (nd * nd)))
+    val sym = base.join(mo, Seq("kk"))
+      .select(col("kk"), col("t"),
+        when(z < -0.6745, "a").when(z < 0.0, "b")
+          .when(z < 0.6745, "c").otherwise("d").as("s"))
+    val wo = Window.partitionBy("kk").orderBy("t")
+    val words = sym
+      .withColumn("w", concat(col("s"), lead("s", 1).over(wo),
+        lead("s", 2).over(wo)))
+      .filter(col("w").isNotNull && length(col("w")) === 3)
+      .groupBy("kk", "w").agg(count(lit(1)).as("n_occurrences"))
+    val wr = Window.partitionBy("kk")
+      .orderBy(col("n_occurrences").desc, col("w"))
+    words.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("kk").as(keyCol), col("w").as("word"),
+        col("n_occurrences"), col("rank"))
+  }
+
+  /** Fixed-frequency periodogram via quantized trig tables: for each
+    * period p in `periods`, power_p = C² + S² with C = Σ v'_t·cos(2πt/p)
+    * and S likewise — but the cos/sin values come from a LITERAL table
+    * (r → ⌊cos(2πr/p)·10⁶⌉ for r = t mod p) built once driver-side and
+    * shared verbatim with any oracle, so no libm runs at query time
+    * and C/S are EXACT integer sums (the q274 shared-literal-table
+    * discipline). v' = v − ⌊Σv/n⌋ removes the DC component FIRST (as
+    * an integer, keeping the sums exact): without it, any period that
+    * doesn't divide the series length leaks mean energy that swamps
+    * the true cyclic signal. One small-table join + one grouped sum
+    * per key. Output: (key, period, cq_sum, sq_sum, power) — the
+    * integer sums value-check exactly; power is the only float.
+    */
+  def periodogram(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String, periods: Seq[Int]): DataFrame = {
+    val scale = 1000000L
+    val table = periods.flatMap { p =>
+      (0 until p).map { r =>
+        val a = 2.0 * math.Pi * r / p
+        (p.toLong, r.toLong,
+          math.floor(math.cos(a) * scale + 0.5).toLong,
+          math.floor(math.sin(a) * scale + 0.5).toLong)
+      }
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    val tab = table.toDF("p", "r", "cq", "sq")
+    val base0 = df.select(col(keyCol).as("k"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val mean = base0.groupBy("k")
+      .agg(expr("sum(v) div count(1)").as("mu"))
+    val base = base0.join(mean, Seq("k"))
+      .select(col("k"), col("t"), (col("v") - col("mu")).as("v"))
+    base.join(tab, pmod(col("t"), col("p")) === col("r"))
+      .groupBy("k", "p")
+      .agg(sum(col("v") * col("cq")).as("cq_sum"),
+        sum(col("v") * col("sq")).as("sq_sum"),
+        count(lit(1)).as("n"))
+      .select(col("k").as(keyCol), col("p").as("period"),
+        col("cq_sum"), col("sq_sum"),
+        round((col("cq_sum").cast("double") / lit(1e6)
+            * (col("cq_sum").cast("double") / lit(1e6))
+          + col("sq_sum").cast("double") / lit(1e6)
+            * (col("sq_sum").cast("double") / lit(1e6)))
+          / (col("n") * col("n")).cast("double"), 6).as("power"))
+  }
+
+  /** The literal trig table as SQL VALUES rows — the oracle's half of
+    * [[periodogram]]'s shared-table contract. */
+  def periodogramTableSql(periods: Seq[Int]): String = {
+    val scale = 1000000L
+    periods.flatMap { p =>
+      (0 until p).map { r =>
+        val a = 2.0 * math.Pi * r / p
+        s"($p, $r, ${math.floor(math.cos(a) * scale + 0.5).toLong}, " +
+          s"${math.floor(math.sin(a) * scale + 0.5).toLong})"
+      }
+    }.mkString(", ")
   }
 
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)

@@ -201,8 +201,9 @@ object Wave38Queries {
        |          * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS ssr_12
        |  FROM mos GROUP BY g)
        |SELECT p.g AS event_type, p.n, p.cut AS break_t,
-       |  round(((p.ssr_p - s.ssr_12) / 2.0e0)
-       |    / (s.ssr_12 / CAST(p.n - 4 AS DOUBLE)), 6) AS f
+       |  CASE WHEN s.ssr_12 > 0 THEN
+       |    round(((p.ssr_p - s.ssr_12) / 2.0e0)
+       |      / (s.ssr_12 / CAST(p.n - 4 AS DOUBLE)), 6) END AS f
        |FROM ssrp p JOIN ssrs s USING (g) ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------ registry
