@@ -457,4 +457,31 @@ object Profile {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Partition-size planner: given a per-row byte estimate expression
+    * and a target partition size, recommend rows-per-partition and the
+    * partition count — the knob-setting card behind
+    * `spark.sql.files.maxPartitionBytes` / repartition decisions,
+    * derived from the table's ACTUAL row widths instead of folklore.
+    * All integer arithmetic: rows_per_partition = target·n div Σbytes,
+    * n_partitions = ⌈n / rpp⌉ — no float anywhere but the reported
+    * 6-dp average. Output one row:
+    * (n_rows, total_bytes_est, avg_row_bytes, rows_per_partition,
+    * n_partitions).
+    */
+  def partitionPlan(df: DataFrame, rowBytes: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    df.select(rowBytes.cast("long").as("b"))
+      .agg(count(lit(1)).as("n_rows"), sum("b").as("total_bytes_est"))
+      .select(col("n_rows"), col("total_bytes_est"),
+        round(col("total_bytes_est").cast("double")
+          / col("n_rows").cast("double"), 6).as("avg_row_bytes"),
+        expr(s"greatest($targetBytes * n_rows div total_bytes_est, 1L)")
+          .as("rows_per_partition"))
+      .select(col("n_rows"), col("total_bytes_est"), col("avg_row_bytes"),
+        col("rows_per_partition"),
+        expr("(n_rows + rows_per_partition - 1) div rows_per_partition")
+          .as("n_partitions"))
+  }
 }

@@ -87,4 +87,119 @@ object Eval {
           - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0)
           / (col("n_pos") * col("n_neg")), 6).as("auc"))
   }
+
+  /** Expected / maximum calibration error over 10 equal-width bins:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|,
+    * with bin = min(⌊p·10⌋, 9) on the 6-dp-rounded score. Per-bin
+    * contributions quantize to 1e-9 longs BEFORE the cross-bin sum
+    * (a 10-term double sum has engine-dependent order); MCE is a max
+    * over per-bin doubles — order-free. conf comes from a DECIMAL sum
+    * of the quantized scores. One groupBy + one 10-row agg. Output:
+    * one row (n, n_bins, ece, mce).
+    */
+  def eceMce(df: DataFrame, pCol: String, posCol: String): DataFrame = {
+    val b = df
+      .withColumn("bin", least(floor(col(pCol) * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col(pCol).cast(DecimalType(18, 6))).as("sp"),
+        sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos"))
+    val per = b.select(col("bin"), col("n"),
+      (col("sp").cast("double") / col("n").cast("double")).as("conf"),
+      (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+    per.select(col("n"),
+        abs(col("acc") - col("conf")).as("gap"),
+        floor(col("n").cast("double") * abs(col("acc") - col("conf"))
+          * lit(1e9) + lit(0.5)).cast("long").as("qc"))
+      .agg(sum("n").as("nn"), count(lit(1)).as("n_bins"),
+        sum("qc").as("sq"), max("gap").as("mx"))
+      .select(col("nn").as("n"), col("n_bins"),
+        round(col("sq").cast("double") / lit(1e9)
+          / col("nn").cast("double"), 6).as("ece"),
+        round(col("mx"), 6).as("mce"))
+  }
+
+  /** Murphy decomposition of the Brier score over 10 equal-width bins:
+    * brier = reliability − resolution + uncertainty, with
+    * reliability = (1/N)Σ_b n_b(conf_b − acc_b)², resolution =
+    * (1/N)Σ_b n_b(acc_b − ȳ)², uncertainty = ȳ(1−ȳ). The raw brier
+    * (1/N)Σ(p−y)² quantizes per ROW, the bin terms per BIN — every
+    * cross-row/cross-bin sum rides exact longs. Output: one row
+    * (n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(df: DataFrame, pCol: String, posCol: String)
+      : DataFrame = {
+    val y = when(col(posCol), 1.0).otherwise(0.0)
+    val rows = df.select(col(pCol).as("p"), col(posCol).as("pos"),
+      floor((col(pCol) - y) * (col(pCol) - y) * lit(1e9) + lit(0.5))
+        .cast("long").as("qb"),
+      least(floor(col(pCol) * 10).cast("long"), lit(9L)).as("bin"))
+    val tot = rows.agg(count(lit(1)).as("nn"), sum("qb").as("sqb"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .select(col("nn"), col("sqb"),
+        (col("npos").cast("double") / col("nn").cast("double")).as("ybar"))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(DecimalType(18, 6))).as("sp"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("n"),
+        (col("sp").cast("double") / col("n").cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+    val terms = bins.crossJoin(tot.select("ybar"))
+      .select(
+        floor(col("n").cast("double") * (col("conf") - col("acc"))
+          * (col("conf") - col("acc")) * lit(1e9) + lit(0.5)).cast("long")
+          .as("qrel"),
+        floor(col("n").cast("double") * (col("acc") - col("ybar"))
+          * (col("acc") - col("ybar")) * lit(1e9) + lit(0.5)).cast("long")
+          .as("qres"))
+      .agg(sum("qrel").as("srel"), sum("qres").as("sres"))
+    tot.crossJoin(terms)
+      .select(col("nn").as("n"),
+        round(col("sqb").cast("double") / lit(1e9)
+          / col("nn").cast("double"), 6).as("brier"),
+        round(col("srel").cast("double") / lit(1e9)
+          / col("nn").cast("double"), 6).as("reliability"),
+        round(col("sres").cast("double") / lit(1e9)
+          / col("nn").cast("double"), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
+  }
+
+  /** Krippendorff's alpha (nominal) from a (unit, category) ratings
+    * frame — one row per rating, units may have any number m_u ≥ 2 of
+    * ratings (fewer are dropped as unpairable). EVERYTHING reduces to
+    * exact integers first: per-unit ordered disagreeing slot pairs
+    * carry weight 1/(m_u−1), so each term is quantized as
+    * disag_u·10⁶ div (m_u−1); the expected side is n² − Σn_c² exactly.
+    * alpha = 1 − (Σ_u q_u/10⁶)·(n−1) / (n² − Σ n_c²), one fixed-shape
+    * double expression. Output: one row
+    * (n_units, n_ratings, n_categories, alpha).
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+      catCol: String): DataFrame = {
+    val r = ratings.select(col(unitCol).as("u"), col(catCol).as("c"))
+    val uc = r.groupBy("u", "c").agg(count(lit(1)).as("k"))
+    val units = uc.groupBy("u").agg(sum("k").as("m"),
+        sum(col("k") * (col("k") - 1)).as("agree"))
+      .filter(col("m") >= 2)
+      .select(col("u"), col("m"),
+        expr("(m * (m - 1) - agree) * 1000000L div (m - 1)").as("qd"))
+    val pairable = r.join(units.select("u"), Seq("u"))
+    val catTot = pairable.groupBy("c").agg(count(lit(1)).as("nc"))
+    val tot = catTot.agg(sum("nc").as("n"),
+      count(lit(1)).as("n_categories"),
+      sum(col("nc") * col("nc")).as("snc2"))
+    val dsum = units.agg(count(lit(1)).as("n_units"), sum("qd").as("sqd"))
+    dsum.crossJoin(tot)
+      .select(col("n_units"), col("n").as("n_ratings"),
+        col("n_categories"),
+        // one-category data has De = 0 (no disagreement is possible);
+        // the conventional report is perfect agreement, not NaN
+        when(col("n") * col("n") === col("snc2"), lit(1.0))
+          .otherwise(
+            round(lit(1.0) - (col("sqd").cast("double") / lit(1e6))
+              * (col("n") - 1).cast("double")
+              / (col("n") * col("n") - col("snc2")).cast("double"), 6))
+          .as("alpha"))
+  }
 }

@@ -142,4 +142,39 @@ object Privacy {
         col("n_groups"), col("covered_rows"),
         round(col("covered_rows").cast("double")
           / col("n").cast("double"), 6).as("coverage"))
+
+  /** Differentially-private count release audit: per group, the true
+    * count beside its ε-calibrated Laplace-noised release and the
+    * absolute error, across an ε ladder — "how much utility does each
+    * privacy level cost on THIS table". The noise is DETERMINISTIC
+    * (reproducible audits, not production DP): u ∈ [0,1) comes from
+    * the first 6 md5 hex chars of (group, ε-index) — an exact rational
+    * both engines derive identically — and the Laplace inverse CDF
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|) quantizes to 1e-6 BEFORE the add,
+    * so the released value is integer-exact + a fixed 6-dp noise.
+    * Output: (group, eps, true_count, noised, abs_err).
+    */
+  def dpCountAudit(df: DataFrame, groupCol: String,
+      epsilons: Seq[Double]): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("true_count"))
+    val s = df.sparkSession
+    import s.implicits._
+    val eps = epsilons.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+      .toDF("eps", "ei")
+    counts.crossJoin(eps)
+      .withColumn("u",
+        conv(substring(md5(concat(col("g").cast("string"), lit(":"),
+          col("ei"))), 1, 6), 16, 10).cast("long").cast("double")
+          / lit(16777216.0))
+      .withColumn("w", col("u") - lit(0.5))
+      .withColumn("qn",
+        floor(-(lit(1.0) / col("eps")) * signum(col("w"))
+          * log(lit(1.0) - lit(2.0) * abs(col("w"))) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .select(col("g").as(groupCol), col("eps"), col("true_count"),
+        round(col("true_count").cast("double")
+          + col("qn").cast("double") / lit(1e6), 6).as("noised"),
+        round(abs(col("qn").cast("double") / lit(1e6)), 6).as("abs_err"))
+  }
 }

@@ -230,4 +230,45 @@ object Sampling {
         round(col("ms"), 6).as("moved_share"))
       .orderBy("node")
   }
+
+  /** Neyman (optimal) stratified-sample allocation: n_h ∝ N_h·σ_h for
+    * a total `budget`, with σ_h the population sd from exact integer
+    * moments and the integer allocation by LARGEST REMAINDER (the
+    * q85/q216 apportionment discipline — allocations sum to budget
+    * exactly, no float rounding drift). Weights quantize to
+    * w_h = ⌊N_h·σ_h·10⁶⌉ longs; base_h = B·w_h div Σw and the
+    * leftover seats go to the largest exact integer remainders
+    * r_h = B·w_h − base_h·Σw, tie-broken by stratum. `valueCol` must
+    * be integral and coarse enough that Σv² fits a long. One grouped
+    * agg + one tiny strata-frame window. Output:
+    * (stratum, n_h, sd, n_alloc).
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1)
+    val mo = df.select(col(strataCol).as("stratum"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val nd = col("n_h").cast("double")
+    val sd = sqrt((nd * col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double")) / (nd * nd))
+    val w = mo.select(col("stratum"), col("n_h"), sd.as("sd"),
+      floor(nd * sd * lit(1e6) + lit(0.5)).cast("long").as("qw"))
+    val tot = w.agg(sum("qw").as("sw"))
+    val based = w.crossJoin(tot)
+      .withColumn("base", expr(s"$budget * qw div sw"))
+      .withColumn("rem", expr(s"$budget * qw - base * sw"))
+    val leftover = based
+      .withColumn("extra_rank", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("leftover",
+        lit(budget) - sum("base").over(Window.partitionBy(lit(1))))
+    leftover.select(col("stratum"), col("n_h"), round(col("sd"), 6).as("sd"),
+      (col("base") + when(col("extra_rank") <= col("leftover"), 1L)
+        .otherwise(0L)).as("n_alloc"))
+      .orderBy("stratum")
+  }
 }
