@@ -688,14 +688,22 @@ object Trend {
       .groupBy("k", "p")
       .agg(sum(col("v") * col("cq")).as("cq_sum"),
         sum(col("v") * col("sq")).as("sq_sum"),
+        sum(col("v") * col("v")).as("svv"),
         count(lit(1)).as("n"))
       .select(col("k").as(keyCol), col("p").as("period"),
         col("cq_sum"), col("sq_sum"),
+        // power as the FRACTION of series energy at this frequency —
+        // an O(1) number. An absolute power here is ~1e9+ and a 6-dp
+        // round of that needs more significand than a double has, so
+        // the last digit diverges across engines (the repo's
+        // large-double rounding class); the exact integer sums carry
+        // the full-precision value, the fraction is the readable one
         round((col("cq_sum").cast("double") / lit(1e6)
             * (col("cq_sum").cast("double") / lit(1e6))
           + col("sq_sum").cast("double") / lit(1e6)
             * (col("sq_sum").cast("double") / lit(1e6)))
-          / (col("n") * col("n")).cast("double"), 6).as("power"))
+          / (col("n").cast("double") * col("svv").cast("double")), 6)
+          .as("power"))
   }
 
   /** The literal trig table as SQL VALUES rows — the oracle's half of

@@ -169,6 +169,7 @@ object Wave41Queries {
        |j AS (SELECT d.g, t.p,
        |    CAST(sum(d.v * t.cq) AS BIGINT) AS cq_sum,
        |    CAST(sum(d.v * t.sq) AS BIGINT) AS sq_sum,
+       |    CAST(sum(d.v * d.v) AS BIGINT) AS svv,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM daily d JOIN tab t ON (d.idx % t.p) = t.r
        |  GROUP BY 1, 2)
@@ -178,7 +179,7 @@ object Wave41Queries {
        |      * (CAST(cq_sum AS DOUBLE) / 1000000.0e0)
        |    + CAST(sq_sum AS DOUBLE) / 1000000.0e0
        |      * (CAST(sq_sum AS DOUBLE) / 1000000.0e0))
-       |    / CAST(n * n AS DOUBLE), 6) AS power
+       |    / (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)), 6) AS power
        |FROM j ORDER BY event_type, period""".stripMargin
 
   // ------------------------------------------------------------ registry
