@@ -109,4 +109,92 @@ object Retrieval {
       round(col("dcg") / col("idcg"), 6).as("ndcg"),
       round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"))
   }
+
+  /** Query-likelihood language-model retrieval with Dirichlet
+    * smoothing (Zhai & Lafferty 2001): score(q, d) =
+    * Σ_t ln((tf_{t,d} + μ·cf_t/T) / (dl_d + μ)) — the probabilistic
+    * classic beside BM25. Every ln term quantizes to a 1e-9 long
+    * BEFORE the per-doc sum (|query| terms — exact, order-free), and
+    * the ranking compares those integer sums with doc-id tie-breaks;
+    * the reported score is the only float. Zero-tf terms still score
+    * (the smoothing's whole point), via a query-term × doc frame
+    * (|q|·n rows, linear). Output: (rank, doc_id, score, n_hit_terms).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, textCol: String,
+      idCol: String, query: Seq[String], mu: Double = 2000.0,
+      k: Int = 10): DataFrame = {
+    require(query.nonEmpty && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val withLen = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val corpus = withLen
+      .select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+    val cf = corpus.filter(col("term").isInCollection(query))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = corpus.agg(count(lit(1)).as("tt"))
+    val tf = corpus.filter(col("term").isInCollection(query))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val qterms = query.toDF("term")
+    val grid = withLen.select(col("doc_id"), col("dl"))
+      .crossJoin(broadcast(qterms))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(broadcast(cf), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("tf"), lit(0L)).as("tf"),
+        coalesce(col("cf"), lit(0L)).as("cf"), col("tt"))
+      // an out-of-vocabulary query term (cf = 0) has ln(0) everywhere —
+      // drop it for ALL docs (rank-neutral), the standard OOV handling
+      .filter(col("cf") > 0)
+    val term = log((col("tf").cast("double")
+        + lit(mu) * col("cf").cast("double") / col("tt").cast("double"))
+      / (col("dl").cast("double") + lit(mu)))
+    val perDoc = grid
+      .withColumn("q", floor(term * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("q").as("sq"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit_terms"))
+    val w = Window.orderBy(col("sq").desc, col("doc_id"))
+    perDoc.orderBy(col("sq").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        round(col("sq").cast("double") / lit(1e9), 6).as("score"),
+        col("n_hit_terms"))
+  }
+
+  /** Min-max score fusion of two ranked lists: each list's scores
+    * quantize to exact millionths, min-max normalize to [0, 10⁶] in
+    * INTEGER arithmetic ((s − min)·10⁶ div max(max − min, 1)), and
+    * fuse as the integer mean — the normalized-score counterpart to
+    * reciprocal-rank fusion (q118), which ignores score magnitudes.
+    * Docs missing from one list contribute 0 from that side. Inputs:
+    * two (doc_id, score) frames (top-k lists — tiny). Output:
+    * (rank, doc_id, fused, in_a, in_b).
+    */
+  def minMaxFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norm(df: DataFrame, out: String): DataFrame = {
+      val q = df.select(col("doc_id"),
+        floor(col("score") * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+      val mm = q.agg(min("sq").as("mn"), max("sq").as("mx"))
+      q.crossJoin(mm).select(col("doc_id"),
+        expr("(sq - mn) * 1000000L div greatest(mx - mn, 1L)").as(out))
+    }
+    norm(a, "na").join(norm(b, "nb"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        col("na").isNotNull.as("in_a"), col("nb").isNotNull.as("in_b"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("ss"))
+      .withColumn("fusedq", expr("ss div 2"))
+      .orderBy(col("fusedq").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("fusedq").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        round(col("fusedq").cast("double") / lit(1e6), 6).as("fused"),
+        col("in_a"), col("in_b"))
+  }
 }

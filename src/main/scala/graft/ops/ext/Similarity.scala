@@ -231,4 +231,125 @@ object Similarity {
           .as("anisotropy"))
       .orderBy(groupCol)
   }
+
+  /** Sign-bit binary quantization of a float vector into two longs
+    * (bits 0–31 → `lo`, 32–63 → `hi`; dims past 64 unsupported by
+    * design — stack more words for wider vectors). Bit i set iff
+    * component i > 0. 32× smaller than fp32 and hamming-comparable
+    * with two xors + popcounts — the 1-bit rerank-filter layout
+    * vector stores ship at scale.
+    */
+  def signBitWords(vec: Column): Column = {
+    def word(from: Int): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(31)),
+          i => when(element_at(vec, i + from + 1) > 0,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (a, x) => a.bitwiseOR(x))
+    struct(word(0).as("lo"), word(32).as("hi"))
+  }
+
+  /** Recall@k of sign-bit hamming search against exact cosine over the
+    * same query set: per query, |top-k(hamming) ∩ top-k(cosine)| / k —
+    * the acceptance test before a corpus commits to 1-bit vectors.
+    * Hamming ranks are pure integers (popcount of two xors, ties by
+    * id); the exact arm is [[bruteForceTopK]]. Both arms are
+    * brute-force BY DESIGN — this is an evaluation harness on a query
+    * sample, not the serving path (that is the LSH/IVF family).
+    * Output per query: (query_id, n_overlap, recall).
+    */
+  def binaryQuantRecall(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    def bits(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"),
+        signBitWords(col(vecCol)).as("w"))
+        .select(col(s"${prefix}_id"), col("w.lo").as(s"${prefix}_lo"),
+          col("w.hi").as(s"${prefix}_hi"))
+    val cb = bits(corpus, "corpus")
+    val qb = bits(queries, "query")
+    val ham = cb.crossJoin(qb)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("dist",
+        bit_count(col("corpus_lo").bitwiseXOR(col("query_lo"))) +
+          bit_count(col("corpus_hi").bitwiseXOR(col("query_hi"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("corpus_id"))
+    val hamTop = ham.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    exact.join(hamTop, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      .join(exact.select("query_id").distinct(), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / lit(k.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results balancing relevance against redundancy,
+    * score = (λn·rel − λd·maxSimToSelected) over a top-`poolSize`
+    * relevance pool. The DISTRIBUTED part is the corpus scoring
+    * (brute cosine here; the LSH/IVF family at scale); the greedy
+    * re-rank runs on the driver over the k-bounded pool (the
+    * CoverageSelect discipline — poolSize rows, not the corpus).
+    * Determinism: relevance and pairwise cosines quantize to exact
+    * millionths BEFORE any argmax, λ is the rational λn/(λn+λd), so
+    * every selection compares integers with id tie-breaks — no float
+    * ordering anywhere. Output: (rank, doc_id, relevance, mmr).
+    */
+  def mmrTopK(corpus: DataFrame, queryId: Long, vecCol: String,
+      idCol: String, k: Int, lambdaNum: Int, lambdaDen: Int,
+      poolSize: Int): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaNum > 0 &&
+      lambdaDen > lambdaNum)
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("v"))
+    val pool = bruteForceTopK(corpus,
+        corpus.filter(col(idCol) === queryId), vecCol, idCol, poolSize)
+      .select(col("corpus_id").as("id"),
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long").as("relq"))
+    val vecs = corpus.join(pool, col(idCol) === pool("id"))
+      .select(col("id"), col(vecCol).cast("array<double>").as("v"),
+        col("relq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    def cosq(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    var selected = Vector.empty[(Long, Long, Long)] // (id, relq, mmrq)
+    var remaining = vecs.map(v => (v._1, v._3)).toVector
+    for (_ <- 1 to math.min(k, vecs.length)) {
+      val scored = remaining.map { case (id, relq) =>
+        val maxDiv =
+          if (selected.isEmpty) 0L
+          else selected.map(s => cosq(byId(id)._2, byId(s._1)._2)).max
+        // floorDiv, not /: scores go negative and any SQL oracle's
+        // `//` floors while Scala's / truncates toward zero
+        val mmrq = Math.floorDiv(lambdaNum * relq -
+          (lambdaDen - lambdaNum) * maxDiv, lambdaDen.toLong)
+        (id, relq, mmrq)
+      }
+      val best = scored.minBy { case (id, _, mmrq) => (-mmrq, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val s = corpus.sparkSession
+    import s.implicits._
+    selected.zipWithIndex.map { case ((id, relq, mmrq), i) =>
+      ((i + 1).toLong, id, relq / 1e6, mmrq / 1e6)
+    }.toDF("rank", "doc_id", "relevance", "mmr")
+      .select(col("rank"), col("doc_id"),
+        round(col("relevance"), 6).as("relevance"),
+        round(col("mmr"), 6).as("mmr"))
+  }
 }
