@@ -719,5 +719,60 @@ object Trend {
     }.mkString(", ")
   }
 
+
+  /** Kleinberg 2-state burst detection (Kleinberg 2002) per key: a
+    * Viterbi DP over the ordered count series with a base state
+    * (rate λ₀ = series mean) and a burst state (λ₁ = 2λ₀), transition
+    * cost γ to ENTER the burst. Emission costs λ_s − c·ln λ_s (the
+    * Poisson NLL with the shared ln c! dropped — it cancels between
+    * states) quantize to 1e-9 longs BEFORE the fold, so the DP runs in
+    * pure integers: the argmin path — and therefore the burst-day
+    * count — is bit-deterministic however the engines' ln() differs in
+    * the last ulp. The fold carries a 4-long ARRAY accumulator
+    * [c0, days0, c1, days1] (arrays rebuild atomically from the old
+    * accumulator in every engine, unlike struct field-by-field
+    * updates — the holt hazard). One grouped collect + codegen'd fold
+    * per key; series are bounded (daily grids). Output:
+    * (key, n_days, n_burst_days, min_cost).
+    */
+  def kleinbergBurst(df: DataFrame, keyCol: String, tCol: String,
+      cCol: String, gammaQ: Long = 1000000000L): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(tCol).cast("long").as("t"), col(cCol).cast("long").as("c"))
+    val mo = base.groupBy("k").agg(count(lit(1)).as("n"),
+      sum("c").as("s"))
+    val lam0 = col("s").cast("double") / col("n").cast("double")
+    val lam1 = lam0 * 2.0
+    val days = base.join(mo, Seq("k"))
+      .select(col("k"), col("n"),
+        array(col("t"),
+          floor((lam0 - col("c").cast("double") * log(lam0)) * lit(1e9)
+            + lit(0.5)).cast("long"),
+          floor((lam1 - col("c").cast("double") * log(lam1)) * lit(1e9)
+            + lit(0.5)).cast("long")).as("row"))
+    val packed = days.groupBy("k", "n")
+      .agg(sort_array(collect_list(col("row"))).as("s"))
+    def a(acc: Column, i: Int): Column = element_at(acc, i)
+    val g = lit(gammaQ)
+    val st = aggregate(
+      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+      array(element_at(element_at(col("s"), 1), 2), lit(0L),
+        g + element_at(element_at(col("s"), 1), 3), lit(1L)),
+      (acc, x) => array(
+        least(a(acc, 1), a(acc, 3)) + element_at(x, 2),
+        when(a(acc, 1) <= a(acc, 3), a(acc, 2)).otherwise(a(acc, 4)),
+        least(a(acc, 1) + g, a(acc, 3)) + element_at(x, 3),
+        when(a(acc, 1) + g <= a(acc, 3), a(acc, 2)).otherwise(a(acc, 4))
+          + lit(1L)))
+    packed.select(col("k"), col("n"), st.as("f"))
+      .select(col("k").as(keyCol), col("n").as("n_days"),
+        when(element_at(col("f"), 1) <= element_at(col("f"), 3),
+          element_at(col("f"), 2)).otherwise(element_at(col("f"), 4))
+          .as("n_burst_days"),
+        round(least(element_at(col("f"), 1), element_at(col("f"), 3))
+          .cast("double") / lit(1e9), 6).as("min_cost"))
+  }
+
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
 }
+

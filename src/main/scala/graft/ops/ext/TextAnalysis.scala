@@ -579,4 +579,75 @@ object TextAnalysis {
       .select(col("phrase"), col("plen").as("n_words"),
         round(col("qscore").cast("double") / lit(1e6), 6).as("score"))
   }
+
+  /** Corpus n-gram duplication-rate curve: for each n in 1..`maxN`,
+    * the fraction of n-gram OCCURRENCES whose gram appears more than
+    * once corpus-wide — the memorization-risk dial (Lee et al. 2022)
+    * as a single curve instead of one fixed n. Occurrences, not
+    * distinct grams: the question is how much of the TOKEN MASS is
+    * repeated. One explode + one gram-keyed groupBy per n (the tokens
+    * frame is shared); all counts exact. Output: (n, total_grams,
+    * dup_grams, dup_rate).
+    */
+  def dupRateCurve(df: DataFrame, textCol: String, maxN: Int)
+      : DataFrame = {
+    require(maxN >= 1 && maxN <= 8)
+    val toks = df.select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0).persist()
+    val perN = (1 to maxN).map { n =>
+      val grams = toks.select(explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+      grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("total_grams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"))
+        .select(lit(n.toLong).as("n"), col("total_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+    }
+    perN.reduce(_ unionByName _)
+      .select(col("n"), col("total_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double")
+          / col("total_grams").cast("double"), 6).as("dup_rate"))
+      .orderBy("n")
+  }
+
+  /** Per-group unigram cross-entropy and KL against the whole corpus:
+    * H(P_g, P_C) = −Σ_t P_g(t)·ln P_C(t) and
+    * KL(P_g ‖ P_C) = H(P_g, P_C) − H(P_g) — "how atypical is this
+    * source", the directional sharpening of the pairwise JSD matrix.
+    * Every c·ln(...) term quantizes to a 1e-6 long before the
+    * per-group sum (order-free, engine-exact); no smoothing is needed
+    * because every group term exists in the corpus by construction.
+    * Output: (group, n_tokens, vocab, cross_entropy, entropy, kl).
+    */
+  def sourceCrossEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("t"))
+    val gc = tok.groupBy("g", "t").agg(count(lit(1)).as("c"))
+    val corpus = gc.groupBy("t").agg(sum("c").as("cc"))
+    val totals = gc.groupBy("g").agg(sum("c").as("ng"),
+      count(lit(1)).as("vocab"))
+    val tt = corpus.agg(sum("cc").as("tt"))
+    val terms = gc.join(corpus, Seq("t")).crossJoin(tt)
+      .join(totals, Seq("g"))
+      .select(col("g"), col("ng"), col("vocab"),
+        floor(-col("c").cast("double")
+          * log(col("cc").cast("double") / col("tt").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("qx"),
+        floor(-col("c").cast("double")
+          * log(col("c").cast("double") / col("ng").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("qs"))
+    terms.groupBy("g", "ng", "vocab")
+      .agg(sum("qx").as("sx"), sum("qs").as("ss"))
+      .select(col("g").as(groupCol), col("ng").as("n_tokens"),
+        col("vocab"),
+        round(col("sx").cast("double") / lit(1e6)
+          / col("ng").cast("double"), 6).as("cross_entropy"),
+        round(col("ss").cast("double") / lit(1e6)
+          / col("ng").cast("double"), 6).as("entropy"),
+        round((col("sx") - col("ss")).cast("double") / lit(1e6)
+          / col("ng").cast("double"), 6).as("kl"))
+      .orderBy(groupCol)
+  }
 }

@@ -307,4 +307,52 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout())(updateHistogram(nBuckets))
   }
+
+  // ------------------------------------------------------ conversions
+  case class TypedEvent(user_id: Long, ts: Long, event_id: Long,
+                        event_type: String)
+  case class ConvState(user_id: Long, view_ts: Long, view_id: Long,
+                       converted: Boolean)
+  case class Conversion(user_id: Long, view_ts: Long, purchase_ts: Long,
+                        purchase_id: Long, latency_us: Long)
+
+  /** Streaming first-conversion funnel: per user, remember the FIRST
+    * 'view'; when the first subsequent 'purchase' arrives, emit one
+    * conversion with its latency and stop (state flips to converted).
+    * Each batch's group sorts by (ts, event_id) before folding (the
+    * sibling-op discipline), so with in-order arrival across batches —
+    * and exactly in the single-batch smoke — the emitted set equals
+    * the batch computation: first view, first purchase strictly after
+    * it in (ts, event_id) order. State per user is one tiny record,
+    * and a converted user's state never grows again.
+    */
+  def updateConversion(userId: Long, events: Iterator[TypedEvent],
+      state: GroupState[ConvState]): Iterator[Conversion] = {
+    var s = state.getOption.getOrElse(
+      ConvState(userId, Long.MaxValue, Long.MaxValue, converted = false))
+    val out = scala.collection.mutable.ListBuffer.empty[Conversion]
+    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      if (!s.converted) {
+        if (e.event_type == "view" && s.view_ts == Long.MaxValue)
+          s = s.copy(view_ts = e.ts, view_id = e.event_id)
+        else if (e.event_type == "purchase" && s.view_ts != Long.MaxValue &&
+            (e.ts > s.view_ts ||
+              (e.ts == s.view_ts && e.event_id > s.view_id))) {
+          out += Conversion(userId, s.view_ts, e.ts, e.event_id,
+            e.ts - s.view_ts)
+          s = s.copy(converted = true)
+        }
+      }
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  def runningConversions(spark: SparkSession, events: Dataset[TypedEvent])
+      : Dataset[Conversion] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(updateConversion)
+  }
 }
