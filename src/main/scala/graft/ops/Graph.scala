@@ -527,4 +527,94 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks
   }
+
+  /** Newman modularity of a node partition: Q = Σ_c (m_c/m −
+    * (d_c/2m)²) over communities c, with m_c = intra-community edge
+    * count and d_c = total degree — "is this clustering better than
+    * random". Exact integers everywhere (Q·(2m)² = Σ 4·m·m_c − d_c²
+    * would overflow; instead each community term is one fixed-shape
+    * double over exact ints, quantized to 1e-9 before the cross-
+    * community sum). One edge join against the membership frame +
+    * two groupBys. `communities`: (node, community).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val m = e.count()
+    val withC = e
+      .join(communities.select(col("node").as("a"),
+        col("community").as("ca")), "a")
+      .join(communities.select(col("node").as("b"),
+        col("community").as("cb")), "b")
+    val intra = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("m_c"))
+    val sym = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+    val degC = sym.join(communities, Seq("node"))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    val terms = degC.join(intra, Seq("community"), "left")
+      .select(col("community"), coalesce(col("m_c"), lit(0L)).as("m_c"),
+        col("d_c"),
+        floor((coalesce(col("m_c"), lit(0L)).cast("double") / lit(m.toDouble)
+          - (col("d_c").cast("double") / lit(2.0 * m))
+            * (col("d_c").cast("double") / lit(2.0 * m))) * lit(1e9)
+          + lit(0.5)).cast("long").as("qt"))
+    val out = terms.agg(count(lit(1)).as("n_communities"),
+        sum("m_c").as("intra_edges"), sum("qt").as("sq"))
+      .select(lit(m).as("n_edges"), col("n_communities"),
+        col("intra_edges"),
+        round(col("sq").cast("double") / lit(1e9), 6).as("modularity"))
+    e.unpersist()
+    out
+  }
+
+  /** Onion (layer) decomposition: iterative minimum-degree peel where
+    * every round removes ALL nodes at the current minimum degree and
+    * stamps them with the round number — the fine-grained refinement
+    * of the k-core number (nodes of one core split into layers). A
+    * FIXED `rounds` cap bounds the lineage like every iterative op
+    * here; nodes surviving all rounds report layer = rounds + 1.
+    * Each round: one degree agg + one semi/anti join pair.
+    * Output: (node, layer, final_deg — degree at peel time).
+    */
+  def onionLayers(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    // eager localCheckpoint EVERY round: sym_r references sym_{r-1}
+    // twice (directly and inside the peel set's degree agg), so an
+    // unchecked lineage doubles per round - O(2^r) plan nodes, driver
+    // OOM rendering the tree long before any data moves
+    var sym = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var out: DataFrame = null
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      val mnRow = deg.agg(min("deg")).head()
+      if (mnRow.isNullAt(0)) done = true
+      else {
+        val mn = mnRow.getLong(0)
+        val peeled = deg.filter(col("deg") === mn)
+          .select(col("node"), lit(r.toLong).as("layer"),
+            col("deg").as("final_deg"))
+          .localCheckpoint()
+        out = if (out == null) peeled else out.unionByName(peeled)
+        sym = sym
+          .join(peeled.select("node"), Seq("node"), "leftanti")
+          .join(peeled.select(col("node").as("nbr")), Seq("nbr"),
+            "leftanti")
+          .localCheckpoint()
+      }
+    }
+    val rest = sym.groupBy("node").agg(count(lit(1)).as("final_deg"))
+      .select(col("node"), lit(rounds + 1L).as("layer"), col("final_deg"))
+    if (out == null) rest else out.unionByName(rest)
+  }
 }
