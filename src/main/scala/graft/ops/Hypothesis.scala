@@ -475,4 +475,58 @@ object Hypothesis {
       round(dd * (lit(1.0) - lit(3.0) /
         (lit(4.0) * (d("n1") + d("n0")) - lit(9.0))), 6).as("hedges_g"))
   }
+
+  /** Benjamini–Yekutieli adjusted q-values: BH's n is inflated by the
+    * harmonic factor c(n) = Σ 1/i — valid under ARBITRARY dependence,
+    * the conservative fallback when BH's independence assumption is
+    * suspect. c(n) is computed as Σ ⌊10⁹/i⌋ EXACT integer divisions
+    * (the driver-side Scala sum and any SQL replay produce the same
+    * integer), so both engines scale by bit-identical factors.
+    * Same window shapes as [[bhAdjust]].
+    */
+  def byAdjust(df: DataFrame, pCol: String, idCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val n = df.count()
+    val hq = (1L to n).map(1000000000L / _).sum
+    val cFac = lit(n.toDouble) * (lit(hq.toDouble) / lit(1e9))
+    val wRank = Window.orderBy(col(pCol), col(idCol))
+    val wAll = Window.partitionBy(lit(1))
+    val wTail = Window.orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("*"), row_number().over(wRank).cast("long").as("rank"),
+        count(lit(1)).over(wAll).as("__n"))
+      .withColumn("q_value",
+        least(lit(1.0), min(col(pCol) * cFac / col("rank")).over(wTail)))
+      .withColumn("significant", col("q_value") <= alpha)
+      .drop("__n")
+  }
+
+  /** Cochran's Q for k related binary treatments: Q = (k−1)·(k·ΣC_j²
+    * − N²) / (k·N − ΣR_i²) over the subject × treatment success
+    * matrix — does success rate differ across the k conditions, with
+    * every operand an exact integer and one final double division.
+    * Input: (subject, treatment, success boolean); subjects missing a
+    * treatment count as failure there (the flags frame should be
+    * dense — build it with a crossJoin of subjects × treatments).
+    * Output: (k, n_subjects, n_successes, q_stat).
+    */
+  def cochranQ(df: DataFrame, subjectCol: String, treatmentCol: String,
+      successCol: Column): DataFrame = {
+    val base = df.select(col(subjectCol).as("s"),
+      col(treatmentCol).as("t"),
+      when(successCol, 1L).otherwise(0L).as("x"))
+    val cj = base.groupBy("t").agg(sum("x").as("c"))
+    val colAgg = cj.agg(count(lit(1)).as("k"), sum("c").as("nn"),
+      sum(col("c") * col("c")).as("sc2"))
+    val ri = base.groupBy("s").agg(sum("x").as("r"))
+    val rowAgg = ri.agg(count(lit(1)).as("n_subjects"),
+      sum(col("r") * col("r")).as("sr2"))
+    colAgg.crossJoin(rowAgg)
+      .select(col("k"), col("n_subjects"), col("nn").as("n_successes"),
+        when(col("k") * col("nn") - col("sr2") > 0,
+          round(((col("k") - 1) * (col("k") * col("sc2")
+            - col("nn") * col("nn"))).cast("double")
+            / (col("k") * col("nn") - col("sr2")).cast("double"), 6))
+          .as("q_stat"))
+  }
 }
