@@ -135,11 +135,15 @@ object Bench {
             "/root/repo/benchdata/sf1")
           BenchData.ensureScaled(spark, sfDir, sf1Dir, factor = 10)
           val e2e1 = runE2eIn(sf1Dir, graft.model.ReadOpts())
-          val slow15 = Seq("q296_bowtie", "q261_ppr", "q44_curation",
-            "q232_bradley_terry", "q262_bfs", "q46_hybrid_neardup",
-            "q208_lsh_eval", "q226_entity_resolution", "q278_copula_grid",
-            "q159_kcore", "q53_dup_components", "q176_cc_star",
-            "q246_mrmr", "q249_hits", "q77_pagerank")
+          // the 15 slowest sf0.1 queries by the latest recorded min-of-3
+          // (BENCH_LOCAL_r5), plus q226 kept as the regression sentinel
+          // for the block-quadratic fix
+          val slow15 = Seq("q296_bowtie", "q46_hybrid_neardup", "q262_bfs",
+            "q261_ppr", "q232_bradley_terry", "q44_curation",
+            "q328_leakage_split", "q278_copula_grid", "q249_hits",
+            "q208_lsh_eval", "q53_dup_components", "q325_canonical_dedup",
+            "q246_mrmr", "q315_minhash_calibration", "q77_pagerank",
+            "q226_entity_resolution")
             .filter(SparkEntry.queries.contains)
           val budgetSec =
             sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "900").toDouble
