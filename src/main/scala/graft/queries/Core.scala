@@ -23,7 +23,8 @@ object CoreQueries {
     Paths.get(dir).getFileName.toString
 
   /** Fixture root for derived test files, FINGERPRINTED by the source
-    * table sizes: fixtures under /tmp/graft_fix survive across build
+    * table sizes: fixtures under benchdata/graft_fix (repo-local, gitignored — /tmp
+    * cleaners reaped fixture parts MID-BENCH in round 5) survive build
     * rounds, and a regenerated test-data set with changed values must
     * land in a fresh fixture space instead of silently reusing stale
     * derived files (a latent wrong-answer source — the _SUCCESS-gated
@@ -38,7 +39,7 @@ object CoreQueries {
       val sz = if (Files.exists(p)) Files.size(p) else -1L
       crc.update(s"$t=$sz;".getBytes("UTF-8"))
     }
-    f"/tmp/graft_fix/${sfName(d)}_${crc.getValue}%08x"
+    f"/root/repo/benchdata/graft_fix/${sfName(d)}_${crc.getValue}%08x"
   })
   private val fixDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -301,7 +302,7 @@ object CoreQueries {
     * projection, [GENE] token, melt). Fixture is sf-independent so the
     * oracle can read the same files via DuckDB read_csv.
     */
-  val q25FixtureRoot = "/tmp/graft_fixtures"
+  val q25FixtureRoot = "/root/repo/benchdata/graft_fixtures"
   val q25Manifest: String =
     """{"dsv": [{
       |  "source": "$data_directory/mageck/[GENE]/rra.sgrna_summary.txt",

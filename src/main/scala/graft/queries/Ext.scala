@@ -375,7 +375,7 @@ object ExtQueries {
     * all scalars (the driver canonicalizer cannot sort array columns).
     */
   def q24(s: SparkSession, dir: String): DataFrame = {
-    val base = Paths.get("/tmp/graft_fixtures/media_v2")
+    val base = Paths.get("/root/repo/benchdata/graft_fixtures/media_v2")
     java.nio.file.Files.createDirectories(base)
     // a.png: 16x16 gray ramp, v(x,y) = (7x + 13y) % 256 on all channels
     val png = new java.awt.image.BufferedImage(16, 16,

@@ -252,7 +252,7 @@ object Wave11Queries {
     */
   def q205(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.Multimodal
-    val base = java.nio.file.Paths.get("/tmp/graft_fixtures/gvid_v1")
+    val base = java.nio.file.Paths.get("/root/repo/benchdata/graft_fixtures/gvid_v1")
     java.nio.file.Files.createDirectories(base)
     val sizes = Seq(0 -> 16, 1 -> 24, 2 -> 8)
     sizes.foreach { case (v, n) =>

@@ -533,7 +533,7 @@ object Wave5Queries {
     */
   def q137(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.{Dedup, Multimodal}
-    val base = java.nio.file.Paths.get("/tmp/graft_fixtures/phash_v1")
+    val base = java.nio.file.Paths.get("/root/repo/benchdata/graft_fixtures/phash_v1")
     java.nio.file.Files.createDirectories(base)
     def write(name: String, f: (Int, Int) => Int): Unit = {
       val img = new java.awt.image.BufferedImage(32, 32,
@@ -1001,7 +1001,7 @@ object Wave5Queries {
     */
   def q149(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.{Dedup, Multimodal}
-    val base = java.nio.file.Paths.get("/tmp/graft_fixtures/audiofp_v1")
+    val base = java.nio.file.Paths.get("/root/repo/benchdata/graft_fixtures/audiofp_v1")
     java.nio.file.Files.createDirectories(base)
     def write(name: String, amp: Int, dens: Int => Int): Unit = {
       // 16 windows x 100 samples; in window w the first dens(w) samples
