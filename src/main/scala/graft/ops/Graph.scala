@@ -467,35 +467,33 @@ object Graph {
   def bfsDistancesOn(e: DataFrame, nodes: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 30)
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // LAZY localCheckpoint per hop: the plan is truncated immediately
+    // (each hop references its predecessor TWICE — frontier join +
+    // settled anti-join — so an unchecked lineage doubles per hop),
+    // but NO job runs per hop: all rounds execute inside the single
+    // eager checkpoint at the end. The old per-hop count() probe cost
+    // 2 jobs/hop (16 jobs for a 4-hop bow-tie census); with the
+    // bounded hop budgets every caller uses, a trailing empty
+    // frontier costs one empty-join stage, not a driver round-trip.
     var settled = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).persist()
-    persisted += settled
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
     var frontier = settled
-    var frontierRows = frontier.count()
-    var hop = 1L
-    while (hop <= maxHops && frontierRows > 0) {
+    for (hop <- 1 to maxHops) {
       val next = e.join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(settled.select(col("node"), lit(true).as("seen")),
           Seq("node"), "left")
         .filter(col("seen").isNull)
-        .select(col("node"), lit(hop).as("dist"))
-        .persist()
-      persisted += next
-      frontierRows = next.count()
-      if (frontierRows > 0) {
-        settled = settled.unionByName(next).persist()
-        persisted += settled
-        frontier = next
-        hop += 1
-      }
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(false)
+      settled = settled.unionByName(next).localCheckpoint(false)
+      frontier = next
     }
-    val out = nodes.join(settled, Seq("node"), "left")
+    // ONE eager materialization — callers may unpersist their shared
+    // e/nodes right after this returns
+    nodes.join(settled, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
       .localCheckpoint()
-    persisted.foreach(_.unpersist())
-    out
   }
 
   def pageRank(edges: DataFrame, iterations: Int,
