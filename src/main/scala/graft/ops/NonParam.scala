@@ -281,4 +281,84 @@ object NonParam {
       round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
       round(t, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
   }
+
+  /** Kruskal–Wallis H: the k-sample rank test (Mann–Whitney's
+    * extension), tie-corrected. Mid-ranks ride DOUBLED integers
+    * (2·cum_before + t + 1 — exact for any tie structure); group rank
+    * sums stay longs; H and the tie correction 1 − Σ(t³−t)/(N³−N)
+    * are fixed-shape doubles over those exact integers. One value
+    * histogram + one cumulative window + one group agg. `valueCol`
+    * integral. Output: (k, n, h, h_corrected).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val hist = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cumb", coalesce(sum("t").over(w), lit(0L)))
+      .withColumn("mr2", lit(2) * col("cumb") + col("t") + 1)
+    val perGroup = base
+      .join(ranked.select(col("v"), col("mr2")), Seq("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_j"), sum("mr2").as("r2_j"))
+    val ties = hist.agg(sum(col("t") * col("t") * col("t") - col("t"))
+      .as("tt"))
+    // per-group Σ R_j²/n_j terms quantize to 1e-3 longs BEFORE the
+    // k-term sum (a cross-row double sum has engine-dependent order)
+    val agg = perGroup.agg(count(lit(1)).as("k"), sum("n_j").as("n"),
+      (sum(floor((col("r2_j").cast("double") / lit(2.0))
+        * (col("r2_j").cast("double") / lit(2.0))
+        / col("n_j").cast("double") * lit(1000.0) + lit(0.5))
+        .cast("long")).cast("double") / lit(1000.0)).as("srr"))
+    agg.crossJoin(ties)
+      .select(col("k"), col("n"),
+        round(lit(12.0) / (col("n").cast("double")
+            * (col("n") + 1).cast("double")) * col("srr")
+          - lit(3.0) * (col("n") + 1).cast("double"), 6).as("h"),
+        round((lit(12.0) / (col("n").cast("double")
+            * (col("n") + 1).cast("double")) * col("srr")
+          - lit(3.0) * (col("n") + 1).cast("double"))
+          / (lit(1.0) - col("tt").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * col("n").cast("double") - col("n").cast("double"))), 6)
+          .as("h_corrected"))
+  }
+
+  /** First-order partial correlation r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²)): does x relate to y once z is
+    * controlled for. All three Pearson r's come from one agg of exact
+    * integer moments (callers quantize coarsely enough that every Σ
+    * fits a long; the r formulas run in doubles over those exact
+    * operands — identical cross-engine). Output one row:
+    * (n, r_xy, r_xz, r_yz, partial_r).
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val b = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"), col(zCol).cast("long").as("z"))
+    val m = b.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def d(c: String) = col(c).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) =
+      (d("n") * d(sab) - d(sa) * d(sb)) /
+        sqrt((d("n") * d(saa) - d(sa) * d(sa))
+          * (d("n") * d(sbb) - d(sb) * d(sb)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    m.select(col("n"), round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"), round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .as("partial_r"))
+  }
 }

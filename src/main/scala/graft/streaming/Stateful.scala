@@ -355,4 +355,47 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(updateConversion)
   }
+
+  // ----------------------------------------------------- token bucket
+  case class BucketState(user_id: Long, tokens_u: Long, last_us: Long)
+  case class Admission(user_id: Long, event_id: Long, ts: Long,
+                       admitted: Boolean, tokens_after_u: Long)
+
+  /** Streaming token-bucket rate limiter: each user's bucket holds up
+    * to `capU` micro-tokens and refills at one token per
+    * `refillUsPerToken` of EVENT time; an event is admitted iff a
+    * full token (10⁶ micro-tokens) is available, and spends it. All
+    * state is exact integers keyed to event-time deltas — no
+    * processing-time anywhere — so the admit/reject sequence is a
+    * pure function of the sorted event stream and replays exactly in
+    * batch (the oracle folds the same recurrence per user). Per-batch
+    * groups sort by (ts, event_id), the sibling-op discipline.
+    */
+  def updateBucket(capU: Long, refillUsPerToken: Long)(userId: Long,
+      events: Iterator[TimedEvent],
+      state: GroupState[BucketState]): Iterator[Admission] = {
+    var s = state.getOption.getOrElse(
+      BucketState(userId, capU, Long.MinValue))
+    val out = scala.collection.mutable.ListBuffer.empty[Admission]
+    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val refill =
+        if (s.last_us == Long.MinValue) 0L
+        else (e.ts - s.last_us) * 1000000L / refillUsPerToken
+      val avail = math.min(capU, s.tokens_u + refill)
+      val admitted = avail >= 1000000L
+      val after = if (admitted) avail - 1000000L else avail
+      out += Admission(userId, e.event_id, e.ts, admitted, after)
+      s = BucketState(userId, after, e.ts)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  def runningBucket(spark: SparkSession, events: Dataset[TimedEvent],
+      capU: Long, refillUsPerToken: Long): Dataset[Admission] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(updateBucket(capU, refillUsPerToken))
+  }
 }
