@@ -307,4 +307,25 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"star contraction must stay window + equi-join shaped:\n$plan")
   }
+
+  test("q377 Q21 shape plans LeftSemi + LeftAnti, no per-row subquery") {
+    val df = SparkEntry.queries("q377_sole_supplier_wait")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"existence probes must stay equi-join keyed on l_orderkey:\n$plan")
+  }
+
+  test("q378 Q18 shape plans a LeftSemi key probe, no per-row subquery") {
+    val df = SparkEntry.queries("q378_large_qty_orders")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"HAVING probe must stay an equi semi join:\n$plan")
+  }
 }
