@@ -34,15 +34,27 @@ object Graph {
     * Output: `src` < `dst`, distinct.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-                        minShared: Long): DataFrame = {
+                        minShared: Long): DataFrame =
+    coOccurrencePairCounts(df, groupCol, itemCol)
+      .where(col("shared") >= minShared)
+      .select("src", "dst")
+
+  /** The co-occurrence pair-count frame behind [[coOccurrenceEdges]]:
+    * (`src` < `dst`, `shared` = number of common groups), distinct
+    * pairs. Exposed so a caller needing SEVERAL minShared thresholds
+    * of the same base relation (q349's weak-tie vs strong-tie graphs)
+    * persists THIS frame once and filters per threshold — one distinct
+    * + one self-join + one aggregation total, instead of repeating the
+    * full scan-join-count pipeline per threshold.
+    */
+  def coOccurrencePairCounts(df: DataFrame, groupCol: String,
+                             itemCol: String): DataFrame = {
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .distinct()
     g.select(col("g"), col("item").as("src"))
       .join(g.select(col("g"), col("item").as("dst")), Seq("g"))
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
-      .select("src", "dst")
   }
 
   /** Per-node triangle count and local clustering coefficient via the

@@ -22,9 +22,15 @@ object Wave49Queries {
     */
   def q349(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val e2 = Wave6Queries.coOrderEdges(s, dir)
-    val e3 = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey",
-      "l_partkey", minShared = 3L)
+    // ONE distinct + self-join + count over lineitem serves BOTH
+    // graphs: the persisted pair-count frame filters to shared >= 2
+    // (the weak-tie measurement graph) and shared >= 3 (the strong-tie
+    // community graph) — round 5 built each threshold from its own
+    // full lineitem scan, doubling the dominant cost.
+    val pc = graft.ops.Graph.coOccurrencePairCounts(li, "l_orderkey",
+      "l_partkey").persist()
+    val e2 = pc.filter(col("shared") >= 2L).select("src", "dst")
+    val e3 = pc.filter(col("shared") >= 3L).select("src", "dst")
     val comp = graft.ops.ext.Dedup.connectedComponentsStar(
       e3.select(col("src").as("id_a"), col("dst").as("id_b")))
     val nodes = e2.select(col("src").as("node"))
