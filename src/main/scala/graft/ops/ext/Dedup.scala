@@ -37,6 +37,21 @@ object Dedup {
   private[ext] def pinFanOutParallelism(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** [[pinFanOutParallelism]]'s sibling for the CAPPED band joins: a
+    * numbered repartition ON the bucket key. The membership-cap window
+    * needs hashpartitioning(bucket) anyway; doing it as
+    * REPARTITION_BY_NUM (AQE-exempt, like the round-robin pin) means
+    * the window, the small-bucket self-join AND the star expansion all
+    * reuse ONE exchange, and AQE can never coalesce the tiny signature
+    * shuffle into a single task ahead of the join fan-out. Hash-by-
+    * bucket no longer risks the old hottest-bucket-to-one-task stall
+    * precisely BECAUSE of the cap: a bucket's pairwise work is bounded
+    * by maxBucket² and anything larger degrades to a linear star.
+    */
+  private[ext] def pinBucketParallelism(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("bucket"))
+
   /** Exact dedup on a content hash: keeps the row with the smallest `idCol`
     * per identical `textCol` (deterministic winner — `dropDuplicates` picks
     * an arbitrary row, which breaks result reproducibility across runs).
@@ -171,14 +186,18 @@ object Dedup {
     * k longs per doc). Band keys hash signature slices; the bucket
     * self-join shuffles on (band, key) only, so candidate generation
     * never touches the n^2 pair space; exact jaccard runs on candidates
-    * alone.
+    * alone. Buckets over `maxBucket` members degrade to a linear star
+    * around the bucket-minimal member (see the cap comment in
+    * [[minhashNearDupsPrepped]]), so no single degenerate bucket can
+    * ever reintroduce a quadratic stage.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.8,
-                      includeExactDuplicates: Boolean = false): DataFrame =
+                      includeExactDuplicates: Boolean = false,
+                      maxBucket: Int = 4096): DataFrame =
     minhashNearDupsPrepped(prepTokens(df, textCol, idCol).persist(),
-      shingleSize, k, bands, threshold, includeExactDuplicates)
+      shingleSize, k, bands, threshold, includeExactDuplicates, maxBucket)
 
   /** MinHash band buckets for a shingle frame (id, sh): k derived hash
     * minima (xxhash64 of base-hash + seed index — two-word hashing,
@@ -222,7 +241,7 @@ object Dedup {
     */
   private[ext] def minhashNearDupsPrepped(prep: DataFrame,
       shingleSize: Int, k: Int, bands: Int, threshold: Double,
-      includeExactDuplicates: Boolean): DataFrame = {
+      includeExactDuplicates: Boolean, maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     // EXACT-DUPLICATE PRE-PASS: identical texts share every band, so a
     // thousand-way exact-duplicate class (routine in crawl corpora) makes
@@ -247,7 +266,23 @@ object Dedup {
       .select(col("id"),
         shinglesOfTokens(col("__toks"), shingleSize).as("sh"))
       .persist()
-    val buckets = pinFanOutParallelism(bandSignatures(sh, k, bands))
+    val buckets = pinBucketParallelism(bandSignatures(sh, k, bands))
+    // PER-BUCKET MEMBERSHIP CAP: the exact-dup pre-pass removes
+    // identical texts, but mass NEAR-duplicated boilerplate (templated
+    // pages, license headers) can still concentrate one band bucket —
+    // and an uncapped bucket self-join is df² inside that bucket. A
+    // bucket over `maxBucket` degrades to a linear STAR around its
+    // (id, sig)-minimal member: every member pairs with the rep only,
+    // so the dup CLUSTER stays connected (what downstream
+    // connected-components consumes) while member×member pairs of the
+    // oversized bucket surface only via their other — uncontended —
+    // bands. Count and rep come from ONE window over the bucket
+    // partitioning the join needs anyway.
+    val wB = Window.partitionBy("bucket")
+    val counted = buckets
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .withColumn("__rep", min(struct(col("id"), col("sig"))).over(wB))
+    val small = counted.filter(col("__bn") <= maxBucket)
     // Candidate pairs carry both signatures; the ESTIMATE PREFILTER
     // (matching signature positions / k >= threshold/2) kills the junk
     // candidates r=2 banding admits — a 5+ sigma margin below any true
@@ -255,11 +290,17 @@ object Dedup {
     // r=2 misses j>=0.8 pairs with probability ~1e-7) while exact
     // jaccard runs only on plausible pairs.
     val est = sigEstimate(k)
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+    val allPairs = small.as("x")
+      .join(small.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+    // rep has the bucket-minimal id, so id_a < id_b by construction
+    val starPairs = counted.filter(col("__bn") > maxBucket)
+      .filter(col("id") =!= col("__rep.id"))
+      .select(col("__rep.id").as("id_a"), col("id").as("id_b"),
+        col("__rep.sig").as("sig_a"), col("sig").as("sig_b"))
+    val cand = allPairs.unionByName(starPairs)
       .dropDuplicates("id_a", "id_b")
       .filter(est >= threshold / 2)
       .select(col("id_a"), col("id_b"))
@@ -675,7 +716,8 @@ object Dedup {
     * the n^2 pair space), exact bit_count verify inside the join stage.
     */
   def hammingNearDups(fp: DataFrame, fpCol: String, idCol: String,
-                      maxHamming: Int, bands: Int): DataFrame = {
+                      maxHamming: Int, bands: Int,
+                      maxBucket: Int = 4096): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
     require(64 % bands == 0, s"bands must divide 64: $bands")
@@ -686,10 +728,21 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("__fp"), b * width).bitwiseAND(mask).as("key"))
     }: _*)
-    val buckets = pinFanOutParallelism(
+    val buckets = pinBucketParallelism(
       base.select(col("id"), col("__fp"), explode(bucketArr).as("bucket")))
-    buckets.as("x")
-      .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+    // PER-BUCKET MEMBERSHIP CAP (same discipline as the MinHash band
+    // join): band keys are only 64/bands bits, so a skewed fingerprint
+    // population (all-zero slices from blank images, boilerplate
+    // simhashes) can flood one (band, key) bucket; over `maxBucket`
+    // the bucket degrades to a linear star around its (id, fp)-minimal
+    // member — cluster connectivity survives, df² never happens.
+    val wB = Window.partitionBy("bucket")
+    val counted = buckets
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .withColumn("__rep", min(struct(col("id"), col("__fp"))).over(wB))
+    val small = counted.filter(col("__bn") <= maxBucket)
+    val allPairs = small.as("x")
+      .join(small.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.id") < col("y.id"))
       // hamming BEFORE the pair-dedup: generous maxHamming needs short
       // band keys (64/bands bits), so the band join enumerates a large
@@ -698,6 +751,11 @@ object Dedup {
       .filter(hamming(col("x.__fp"), col("y.__fp")) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming(col("x.__fp"), col("y.__fp")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    val starPairs = counted.filter(col("__bn") > maxBucket)
+      .filter(col("id") =!= col("__rep.id"))
+      .filter(hamming(col("__rep.__fp"), col("__fp")) <= maxHamming)
+      .select(col("__rep.id").as("id_a"), col("id").as("id_b"),
+        hamming(col("__rep.__fp"), col("__fp")).as("hamming"))
+    allPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
   }
 }
