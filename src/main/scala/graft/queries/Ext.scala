@@ -73,6 +73,39 @@ object ExtQueries {
       |        list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> len(t)>0) AS toks
       |      FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** ABSOLUTE-size pre-flight sample of [[nearDupCorpus]]: the first
+    * `n` BASE doc ids in md5 order, each base kept together with its
+    * mutated twin (base + 1000000), so planted near-dup pairs survive
+    * sampling intact. Fixed SIZE, not fixed fraction — a pre-flight's
+    * statistical power does not need to grow with the corpus, and the
+    * old `doc_id % 4` fraction made the exhaustive truth arms of
+    * q208/q315 superlinear in corpus size. The base list is
+    * domain-sized (distinct ids), its md5 order is engine-portable,
+    * and the membership join broadcasts `n` longs.
+    */
+  private[queries] def nearDupSample(s: SparkSession, dir: String,
+                                     n: Int = 400): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+      .withColumn("base", col("doc_id") % 1000000L)
+    val bases = corpus.select("base").distinct()
+      .orderBy(md5(col("base").cast("string")), col("base")).limit(n)
+    // persist = OPTIMIZER BARRIER, not just a cache: without it,
+    // Catalyst pushes the callers' shingle-derived filters below this
+    // join and evaluates them (with the twin-text expression
+    // substituted inside) over the ENTIRE corpus — measured 65 s at
+    // sf1 for a 433-doc sample. Behind the barrier every downstream
+    // expression runs on the n sampled rows only; the cache is n
+    // short documents, and repeated calls (q208 + q315 share this
+    // exact plan) hit the CacheManager instead of rescanning.
+    corpus.join(broadcast(bases), Seq("base")).drop("base").persist()
+  }
+  private[queries] def nearDupSampleSql(n: Int = 400): String =
+    s"""SELECT c.doc_id, c.text FROM corpus0 c JOIN (
+       |  SELECT base FROM (SELECT DISTINCT doc_id % 1000000 AS base
+       |                    FROM corpus0)
+       |  ORDER BY md5(CAST(base AS VARCHAR)), base LIMIT $n) b
+       |ON c.doc_id % 1000000 = b.base""".stripMargin
+
   /** DuckDB 3-gram shingle expression over a `text` column. */
   private[queries] val shinglesSql: String =
     """list_distinct([array_to_string(toks[i:i+2], ' ')

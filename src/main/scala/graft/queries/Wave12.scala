@@ -129,9 +129,11 @@ object Wave12Queries {
   // ---------------------------------------------------------------- q208
   /** LSH evaluation harness: precision/recall/F1 of md5-MinHash band
     * candidates (k=16 minima, 4 bands × 4 rows) against the EXHAUSTIVE
-    * exact-jaccard ≥ 0.8 truth on the near-dup corpus. This is the
-    * pre-flight any 100 TB dedup run needs — measure the band
-    * family's recall on a sample before burning the cluster. 4-row
+    * exact-jaccard ≥ 0.8 truth on a fixed 400-base-id sample of the
+    * near-dup corpus. This is the pre-flight any 100 TB dedup run
+    * needs — measure the band family's recall on a sample before
+    * burning the cluster — and both arms are O(sample), not O(corpus):
+    * the sample is absolute-size and the truth arm is prefix-filtered. 4-row
     * bands fire at j⁴ per band, which this corpus needs: its 31-token
     * vocabulary gives RANDOM pairs jaccard ~0.2-0.3, and 2-row bands
     * would pass millions of them (exactly the tradeoff the harness
@@ -143,11 +145,11 @@ object Wave12Queries {
   def q208(s: SparkSession, dir: String): DataFrame = {
     val k = 16
     // A pre-flight measures the family on a SAMPLE — that's its whole
-    // point. doc_id % 4 keeps base docs and their mutated twins
-    // together (1000000 ≡ 0 mod 4), so planted near-dup pairs survive
-    // sampling intact.
-    val corpus = ExtQueries.nearDupCorpus(s, dir)
-      .filter(col("doc_id") % 4 === 0)
+    // point, and the sample is ABSOLUTE-size (400 md5-ordered base
+    // ids, twins riding along — [[ExtQueries.nearDupSample]]): the
+    // harness costs the same at sf0.01 and at 100 TB, where the old
+    // doc_id % 4 fraction grew the truth arm quadratically.
+    val corpus = ExtQueries.nearDupSample(s, dir)
     val toks = graft.ops.ext.TextAnalysis.tokens(col("text"))
     // ONE tokenize+shingle scan feeds signature minima AND the truth
     // join (the Dedup.prepTokens discipline): gx is the only persisted
@@ -174,20 +176,38 @@ object Wave12Queries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Exhaustive-exact truth WITHOUT the all-pairs join and WITHOUT a
-    // second array pass: any true pair shares >= 1 shingle, so the
-    // shared-gram co-occurrence join is a complete candidate generator
-    // (containmentPairs' exactness contract) — and because grams are
-    // DISTINCT per doc, the pair's group count IS |intersection|, so
+    // Exhaustive-exact truth by PREFIX FILTERING (the PPJoin
+    // discipline of [[graft.ops.ext.PrefixJoin]], inlined on the
+    // shingle frame): two sets with jaccard >= 0.8 MUST share a
+    // shingle inside each other's (nsh - ceil(0.8·nsh) + 1)-element
+    // prefix under the ascending-df global order, so candidates come
+    // from an equi-join on the RAREST ~20% of each doc's shingles —
+    // posting lists bounded by rare-shingle df, never the raw
+    // shared-gram join whose hottest boilerplate 3-gram contributed
+    // df² pairs. The truth SET is identical to exhaustive (prefix
+    // filtering is exact at the threshold); because grams are DISTINCT
+    // per doc, the verify join's group count IS |intersection|, so
     // jaccard = shared/(na+nb-shared) needs only the two set sizes.
-    // Nothing wider than (id_a, id_b, count) ever shuffles. The DuckDB
-    // oracle does the n² literally — fine for an oracle, fatal for an
-    // engine.
+    // The DuckDB oracle still does the n² literally — fine for an
+    // oracle at the 400-doc sample size, fatal for an engine.
     val sizes = gx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val truth = gx.as("x").join(gx.as("y"),
+    val dfreq = gx.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = gx.join(dfreq, "g")
+      .withColumn("p", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .join(sizes, "doc_id")
+      .withColumn("plen",
+        col("nsh") - expr("(4 * nsh + 4) div 5") + lit(1L))
+      .filter(col("p") <= col("plen"))
+      .select(col("doc_id"), col("g"))
+    val candT = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val truth = candT
+      .join(gx.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(gx.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
       .filter(col("shared").cast("double") /
@@ -208,7 +228,7 @@ object Wave12Queries {
   }
   val q208Sql: String =
     s"""WITH corpus0 AS (${ExtQueries.nearDupCorpusSql}),
-       |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
+       |corpus AS (${ExtQueries.nearDupSampleSql()}),
        |tk AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
        |                t -> len(t)>0) AS toks

@@ -84,11 +84,20 @@ object Wave40Queries {
     * sketch family can be trusted before a 100 TB dedup run commits
     * to a band threshold. Pair jaccards quantize to exact integer
     * millionths (shared·10⁶ div union) before any mean.
+    *
+    * Scale guards (both mirrored in the oracle): the corpus is the
+    * ABSOLUTE-size 400-base-id sample ([[ExtQueries.nearDupSample]]),
+    * and candidate pairs come only from shingles with df ≤ 64 — the
+    * hard df cap on the co-occurrence join, so the hottest boilerplate
+    * 3-gram can never contribute df² pairs. Pairs ALL of whose shared
+    * shingles are stop-shingles (df > 64) fall out of the curve — the
+    * documented cap semantics; each surviving pair's jaccard is still
+    * computed over its FULL shingle sets.
     */
   def q315(s: SparkSession, dir: String): DataFrame = {
     val k = 16
-    val corpus = ExtQueries.nearDupCorpus(s, dir)
-      .filter(col("doc_id") % 4 === 0)
+    val maxDf = 64
+    val corpus = ExtQueries.nearDupSample(s, dir)
     val toks = TextAnalysis.tokens(col("text"))
     val shs = corpus.select(col("doc_id"),
       array_distinct(transform(
@@ -100,10 +109,18 @@ object Wave40Queries {
       min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
     val sig = gx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val sizes = gx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val shared = gx.as("x").join(gx.as("y"),
+    // df-capped candidate generation; exact verify on the full sets
+    val gc = gx.join(
+      gx.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"), Seq("g"))
+    val cand = gc.as("x").join(gc.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val shared = cand
+      .join(gx.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(gx.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")),
         "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")),
@@ -131,7 +148,7 @@ object Wave40Queries {
   }
   val q315Sql: String =
     s"""WITH corpus0 AS (${ExtQueries.nearDupCorpusSql}),
-       |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
+       |corpus AS (${ExtQueries.nearDupSampleSql()}),
        |tk AS (SELECT doc_id, $tokSql AS toks FROM corpus),
        |g AS (SELECT doc_id, unnest(sh) AS g FROM (
        |    SELECT doc_id, ${ExtQueries.shinglesSql} AS sh FROM tk)
@@ -142,9 +159,15 @@ object Wave40Queries {
        |  FROM g GROUP BY doc_id),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
        |  FROM g GROUP BY 1),
-       |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |gc AS (SELECT g.doc_id, g.g FROM g JOIN (
+       |    SELECT g FROM g GROUP BY g HAVING count(*) <= 64) d
+       |  ON g.g = d.g),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM gc x JOIN gc y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |shared AS (SELECT c.id_a, c.id_b,
        |    CAST(count(*) AS BIGINT) AS shared
-       |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  FROM cand c JOIN g x ON x.doc_id = c.id_a
+       |              JOIN g y ON y.doc_id = c.id_b AND y.g = x.g
        |  GROUP BY 1, 2),
        |pj AS (SELECT s.id_a, s.id_b,
        |    (s.shared * 1000000) // (a.nsh + b.nsh - s.shared) AS jq
