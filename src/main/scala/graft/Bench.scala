@@ -13,21 +13,28 @@ import java.nio.file.{Files, Paths}
   * fixture dump is test INPUT (the reference starts from existing TSV)
   * and is cached, not timed.
   *
-  * Every SparkEntry query is also timed individually (noop sink — full
-  * materialization, no output IO), reported under "queries" as the
-  * MINIMUM of 3 runs, with the median alongside in "queries_median".
-  * Single-shot timings put GC/compilation debt on whichever query it
-  * lands on (round-1 recorded an 80 s outlier for an ~12 s query);
-  * round-2 showed the median is not enough either — a bench run under
-  * SUSTAINED external machine load (round-2's recorded run took 2.3x
-  * the wall-clock of an idle run of the same build) inflates all three
-  * trials, and the median keeps the inflation while the min sheds the
-  * worst of it. Timing noise is one-sided (load only ever adds time),
-  * so min-of-N is the standard estimator; "loadavg_start"/"loadavg_end"
-  * (1-min /proc/loadavg) are recorded so a contended run is visible in
-  * the artifact itself. A query that fails any run reports the -1.0
-  * sentinel and its name under "errors", so a crash is never mistaken
-  * for a fast success.
+  * Bench hygiene (the round-6 verdict's blocker — three consecutive
+  * records were load-polluted to the point of zero round-over-round
+  * signal; identical code swung 2.8x at sf1):
+  *
+  *  - QUIET GATE: before any timing, wait (bounded by
+  *    SPARK_GRAFT_QUIET_WAIT_SEC, default 900 s) for the 1-min loadavg
+  *    to fall under SPARK_GRAFT_QUIET_LOAD (default 1.5). How long the
+  *    gate waited and the loadavg it started timing at are in the
+  *    record ("quiet_wait_sec", "loadavg_at_timing_start").
+  *  - MEDIAN-OF-5 with the min alongside: every SparkEntry query is
+  *    timed SPARK_GRAFT_RUNS times (default 5; noop sink — full
+  *    materialization, no output IO). "queries" carries the min (the
+  *    standard one-sided-noise estimator, and the driver-compatible
+  *    key), "queries_median" the median, and "queries_loadavg" the
+  *    1-min loadavg sampled at each query's first run — so any
+  *    contended measurement is identifiable per query, not just per
+  *    record.
+  *  - The sf1 section runs TWICE back to back ("r1"/"r2" per query):
+  *    consecutive-run agreement is the in-record noise witness.
+  *
+  * A query that fails any run reports the -1.0 sentinel and its name
+  * under "errors", so a crash is never mistaken for a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -95,38 +102,56 @@ object Bench {
     def loadavg(): String =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0)
       catch { case _: Throwable => "-1" }
+    def loadavgD(): Double =
+      try loadavg().toDouble catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
+    // QUIET GATE: don't start timing into someone else's load spike
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "1.5").toDouble
+    val quietWaitCap =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "900").toDouble
+    val quietT0 = System.nanoTime()
+    while (loadavgD() >= quietLoad &&
+        (System.nanoTime() - quietT0) / 1e9 < quietWaitCap) {
+      System.err.println(s"[bench] loadavg ${loadavg()} >= $quietLoad — waiting")
+      Thread.sleep(15000)
+    }
+    val quietWait = math.rint((System.nanoTime() - quietT0) / 1e9)
+    val loadTimingStart = loadavg()
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=q13_minhash_neardup,q53_...
     // times just those queries (the driver never sets it — full run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // name -> (min, median, loadavg at first run)
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to 3).map(_ => timeOnce(fn))
+      val la = loadavgD()
+      val runs = (1 to nRuns).map(_ => timeOnce(fn))
       runs.collectFirst { case Left(msg) => msg } match {
         case Some(msg) =>
           System.err.println(s"[bench] $name failed: $msg")
-          name -> (-1.0, -1.0)
+          name -> (-1.0, -1.0, la)
         case None =>
           val ts = runs.collect { case Right(s) => s }.sorted
-          name -> (ts.head, ts(1))
+          name -> (ts.head, ts(ts.length / 2), la)
       }
     }
     val loadEnd = loadavg()
-    val errors = results.collect { case (n, (v, _)) if v < 0 => "\"" + n + "\"" }
+    val errors = results.collect { case (n, (v, _, _)) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     // -- sf1 section: one order-of-magnitude scale step ----------------
-    // The round-4 verdict's ask: every scale claim was design-argued at
-    // sf0.1 only — measure the headline + the historically slowest
-    // queries once at 10× the gate scale (FK-consistent replication,
-    // see BenchData). One timed run each (these are the slow tail; the
-    // point is the growth RATIO across the 10× step, not a tight
-    // estimate), under a wall-clock budget so a pathological query can
-    // never eat the round's bench artifact.
+    // Round-4's ask measured the slow tail once at 10× the gate scale;
+    // round-5/6 asked for more: the TOP 50 queries by THIS run's sf0.1
+    // median (dynamic, so a regression anywhere in the suite surfaces,
+    // not just in a hard-coded list), each timed TWICE back to back —
+    // consecutive-run agreement is the in-record noise witness — with
+    // the per-query loadavg and the sf1/sf0.1 growth ratio alongside.
+    // A wall-clock budget still bounds the section so one pathological
+    // query can never eat the round's bench artifact.
     val sf1Json: String =
       if (sfName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
@@ -134,42 +159,52 @@ object Bench {
           val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
             "/root/repo/benchdata/sf1")
           BenchData.ensureScaled(spark, sfDir, sf1Dir, factor = 10)
-          val e2e1 = runE2eIn(sf1Dir, graft.model.ReadOpts())
-          // the 15 slowest sf0.1 queries by the latest recorded min-of-3
-          // (BENCH_LOCAL_r5), plus q226 kept as the regression sentinel
-          // for the block-quadratic fix
-          val slow15 = Seq("q296_bowtie", "q46_hybrid_neardup", "q262_bfs",
-            "q261_ppr", "q232_bradley_terry", "q44_curation",
-            "q328_leakage_split", "q278_copula_grid", "q249_hits",
-            "q208_lsh_eval", "q53_dup_components", "q325_canonical_dedup",
-            "q246_mrmr", "q315_minhash_calibration", "q77_pagerank",
-            "q226_entity_resolution")
-            .filter(SparkEntry.queries.contains)
+          val e2e1a = runE2eIn(sf1Dir, graft.model.ReadOpts())
+          val e2e1b = runE2eIn(sf1Dir, graft.model.ReadOpts())
+          val topN = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "50").toInt
+          val top = results.filter(_._2._1 >= 0)
+            .sortBy { case (_, (_, md, _)) => -md }.take(topN).map(_._1)
           val budgetSec =
-            sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "900").toDouble
+            sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "1800").toDouble
           val t0 = System.nanoTime()
-          val timed = slow15.flatMap { name =>
+          def onePass(): Seq[(String, (Double, Double))] = top.flatMap { name =>
             if ((System.nanoTime() - t0) / 1e9 > budgetSec) None
-            else timeOnce({ (s, _) =>
-              SparkEntry.queries(name)(s, sf1Dir) }) match {
-              case Right(sec) => Some(name -> sec)
-              case Left(msg) =>
-                System.err.println(s"[bench] sf1 $name failed: $msg")
-                Some(name -> -1.0)
+            else {
+              val la = loadavgD()
+              timeOnce({ (s, _) =>
+                SparkEntry.queries(name)(s, sf1Dir) }) match {
+                case Right(sec) => Some(name -> (sec, la))
+                case Left(msg) =>
+                  System.err.println(s"[bench] sf1 $name failed: $msg")
+                  Some(name -> (-1.0, la))
+              }
             }
           }
-          s"""{"e2e_ingest_melt_parquet":$e2e1,"queries":${obj(timed)}}"""
+          val r1 = onePass().toMap
+          val r2 = onePass().toMap
+          val sf01 = results.toMap
+          val ratio = top.flatMap { n =>
+            (r1.get(n), r2.get(n), sf01.get(n)) match {
+              case (Some((a, _)), Some((b, _)), Some((mn, _, _)))
+                  if a >= 0 && b >= 0 && mn > 0 =>
+                Some(n -> math.rint(math.min(a, b) / mn * 100) / 100)
+              case _ => None
+            }
+          }
+          val la1 = top.flatMap(n => r1.get(n).map(v => n -> v._2))
+          s"""{"e2e_ingest_melt_parquet_r1":$e2e1a,"e2e_ingest_melt_parquet_r2":$e2e1b,"queries_r1":${obj(top.flatMap(n => r1.get(n).map(v => n -> v._1)))},"queries_r2":${obj(top.flatMap(n => r2.get(n).map(v => n -> v._1)))},"queries_loadavg":${obj(la1)},"ratio_vs_sf01":${obj(ratio)}}"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
           "null"
         }
       } else "null"
 
-    val qs = obj(results.map { case (k, (mn, _)) => k -> mn } :+
+    val qs = obj(results.map { case (k, (mn, _, _)) => k -> mn } :+
       ("e2e_sample_inference" -> e2eSample))
-    val qsMed = obj(results.map { case (k, (_, md)) => k -> md })
+    val qsMed = obj(results.map { case (k, (_, md, _)) => k -> md })
+    val qsLoad = obj(results.map { case (k, (_, _, la)) => k -> la })
     val full =
-      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfName","sf1":$sf1Json}"""
+      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_median":$qsMed,"queries_loadavg":$qsLoad,"errors":$errors,"loadavg_start":$loadStart,"loadavg_at_timing_start":$loadTimingStart,"quiet_wait_sec":$quietWait,"loadavg_end":$loadEnd,"sf":"$sfName","sf1":$sf1Json}"""
     // The full line is ~10 KB with 175 queries — longer than a log-tail
     // capture can hold. Persist it to a file, print it for whole-log
     // readers, and make the LAST stdout line a compact headline record
@@ -180,7 +215,7 @@ object Bench {
     println(full)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = obj(results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
-      .map { case (k, (mn, _)) => k -> r3(mn) })
+      .map { case (k, (mn, _, _)) => k -> r3(mn) })
     println(s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","sf":"$sfName","n_queries":${results.size},"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries_file":"$fullPath","slowest_min_sec":$slowest,"sf1":$sf1Json}""")
     spark.stop()
   }
