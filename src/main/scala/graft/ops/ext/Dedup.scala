@@ -19,34 +19,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
-  /** Pin the partition count of a band/bucket frame before its self-join.
+  /** Pin the partition count AND layout of a band/bucket frame before
+    * its membership-cap window + self-join.
     *
-    * The frame upstream is a per-doc aggregate (signatures/fingerprints —
-    * a few longs per doc), so its exchange is tiny even for a large
-    * corpus, and AQE's partition coalescing — which only sees map output
-    * SIZE, never join fan-out — collapses it to one partition. The bucket
-    * self-join then fans out ~1000x inside a ONE-TASK stage (measured:
-    * q38 at 219 s single-task vs ~7 s repartitioned). An explicit
-    * numbered repartition is exempt from AQE coalescing
-    * (REPARTITION_BY_NUM), and round-robin beats hash-by-bucket here:
-    * under the small-scale broadcast join the stream side can be any
-    * distribution (hash-by-bucket would send the hottest bucket to one
-    * task), and at scale the planner's sort-merge join inserts its own
-    * bucket-hash exchange anyway.
-    */
-  private[ext] def pinFanOutParallelism(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-
-  /** [[pinFanOutParallelism]]'s sibling for the CAPPED band joins: a
-    * numbered repartition ON the bucket key. The membership-cap window
-    * needs hashpartitioning(bucket) anyway; doing it as
-    * REPARTITION_BY_NUM (AQE-exempt, like the round-robin pin) means
-    * the window, the small-bucket self-join AND the star expansion all
-    * reuse ONE exchange, and AQE can never coalesce the tiny signature
-    * shuffle into a single task ahead of the join fan-out. Hash-by-
-    * bucket no longer risks the old hottest-bucket-to-one-task stall
-    * precisely BECAUSE of the cap: a bucket's pairwise work is bounded
-    * by maxBucket² and anything larger degrades to a linear star.
+    * The frame upstream is a per-doc aggregate (signatures/fingerprints
+    * — a few longs per doc), so its exchange is tiny even for a large
+    * corpus, and AQE's partition coalescing — which only sees map
+    * output SIZE, never join fan-out — would collapse it to one
+    * partition, putting the ~1000x bucket-join fan-out inside a
+    * ONE-TASK stage (measured: q38 at 219 s single-task vs ~7 s
+    * repartitioned). An explicit NUMBERED repartition is exempt from
+    * AQE coalescing (REPARTITION_BY_NUM), and hashing ON the bucket
+    * key means the cap window, the small-bucket self-join and the
+    * star expansion all reuse this single exchange. Hash-by-bucket
+    * cannot stall the hottest bucket into one task precisely BECAUSE
+    * of the cap: per-bucket pairwise work is bounded by maxBucket²
+    * and anything larger degrades to a linear star.
     */
   private[ext] def pinBucketParallelism(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
@@ -392,7 +380,8 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, exact: Boolean = false,
-                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 4096): DataFrame = {
     // norms precomputed once per row — NOT per pair (an n x redundancy)
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -407,14 +396,27 @@ object Dedup {
       } else {
         // candidate ids only through the band join (no vector payload
         // replication per band); vectors re-attached to the surviving
-        // distinct pairs
-        val buckets = pinFanOutParallelism(v.select(col("id"),
+        // distinct pairs. Same per-bucket membership cap as the
+        // MinHash/Hamming joins: an embedding pile-up (mass-duplicated
+        // content embedding to one point floods its sign buckets)
+        // degrades to a linear star around the bucket-min id — id-only
+        // here, since vectors only join in at verify time.
+        val buckets = pinBucketParallelism(v.select(col("id"),
           explode(Similarity.lshBandBuckets(col("vec"), bands, rowsPerBand))
             .as("bucket")))
-        val cand = buckets.as("x")
-          .join(buckets.as("y"), col("x.bucket") === col("y.bucket"))
+        val wB = Window.partitionBy("bucket")
+        val counted = buckets
+          .withColumn("__bn", count(lit(1)).over(wB))
+          .withColumn("__rep", min(col("id")).over(wB))
+        val small = counted.filter(col("__bn") <= maxBucket)
+        val allPairs = small.as("x")
+          .join(small.as("y"), col("x.bucket") === col("y.bucket"))
           .filter(col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        val starPairs = counted.filter(col("__bn") > maxBucket)
+          .filter(col("id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("id").as("id_b"))
+        val cand = allPairs.unionByName(starPairs)
           .dropDuplicates("id_a", "id_b")
         cand
           .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),

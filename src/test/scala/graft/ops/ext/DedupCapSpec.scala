@@ -65,6 +65,19 @@ class DedupCapSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("embeddingNearDups: identical-embedding flood degrades to a star") {
+    val n = 10000
+    // every row embeds to the same point -> every sign bucket floods;
+    // uncapped this is ~5*10^7 verified pairs
+    val flood = (1 to n).map(i => (i.toLong, Seq(1.0, 0.0, 0.5, -0.25)))
+      .toDF("id", "emb")
+    val out = Dedup.embeddingNearDups(flood, "emb", "id",
+        threshold = 0.99, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.length == n - 1, s"expected ${n - 1} star pairs, got ${out.length}")
+    assert(out.forall(_._1 == 1L), "star must center on the min id")
+  }
+
   test("minhashNearDups: near-identical boilerplate flood stays linear") {
     val n = 10000
     val boiler = (1 to 32).map(i => s"w$i").mkString(" ")
