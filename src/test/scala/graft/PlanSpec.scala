@@ -328,4 +328,70 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"HAVING probe must stay an equi semi join:\n$plan")
   }
+
+  test("q379 Q2 shape: scalar subquery as aggregate+join, no subquery node") {
+    val df = SparkEntry.queries("q379_cheapest_source")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"expected the per-part min aggregation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"argmin must be aggregate + equi join, never a per-row subquery:\n$plan")
+  }
+
+  test("q380 Q20 shape chains two LeftSemi probes around one aggregation") {
+    val df = SparkEntry.queries("q380_excess_suppliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"expected two semi joins (part filter + supplier probe):\n$plan")
+    assert(!plan.toLowerCase.contains("subquery") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested IN must stay chained equi semi joins:\n$plan")
+  }
+
+  test("q381 Q17 shape: one fact scan, keyed window, no subquery") {
+    val df = SparkEntry.queries("q381_small_qty_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("lineitem".r.findAllIn(plan).size <= 1 ||
+      plan.split("Scan parquet").count(_.contains("lineitem")) <= 1,
+      s"the window decorrelation must scan lineitem once:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the per-partkey avg window:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated AVG must be a window, never a per-row subquery:\n$plan")
+  }
+
+  test("q382 Q22 shape: scalar broadcast + LeftAnti, no per-row subquery") {
+    val df = SparkEntry.queries("q382_dormant_big_accounts")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must be a left_anti join:\n$plan")
+    assert(!plan.toLowerCase.contains("subqueryexec") &&
+      !plan.contains("CartesianProduct"),
+      s"the global threshold must be a one-row broadcast:\n$plan")
+  }
+
+  test("q383 Q11 shape: grouped exchange reused by the threshold branch") {
+    val df = SparkEntry.queries("q383_top_value_parts")(spark, dir)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.toLowerCase.contains("subqueryexec") &&
+      !exec.contains("CartesianProduct"),
+      s"HAVING-vs-global must stay aggregate + scalar broadcast:\n$exec")
+    // AQE hides ReusedExchange until runtime; assert statically on the
+    // canonicalized children instead: both aggregation branches hang
+    // off the SAME partial-agg exchange.
+    val plain = df.queryExecution.sparkPlan
+    val exchanges = plain.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.canonicalized
+    }
+    assert(exchanges.map(_.toString).distinct.size < exchanges.size ||
+      exchanges.size <= 2,
+      s"expected the grouped exchange to be shareable:\n$plain")
+  }
 }
