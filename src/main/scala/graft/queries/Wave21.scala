@@ -20,11 +20,18 @@ object Wave21Queries {
     * over the cosine 5-NN graph label the rest. Per true label:
     * seeds, per-round assignment counts, and propagation accuracy —
     * the weak-supervision readout.
+    *
+    * The graph comes from [[graft.ops.ext.LabelSpread.ivfKnnEdges]]
+    * (IVF cells, O(n^1.5)) — the round-7 fix for the one remaining
+    * brute-force all-pairs build in the suite (sf1 had measured 87×
+    * on 10× data with [[graft.ops.ext.LabelSpread.knnEdges]]). The
+    * deterministic sqrt(n)-spacing quantizer is replicated verbatim
+    * in the oracle, so the approximate graph is still value-checked.
     */
   def q237(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.LabelSpread
     val emb = T(s, dir, "embeddings")
-    val edges = LabelSpread.knnEdges(emb, "vec_id", "embedding", k = 5)
+    val edges = LabelSpread.ivfKnnEdges(emb, "vec_id", "embedding", k = 5)
     val seeds = emb.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("id"), col("label").as("lab"))
     val all = LabelSpread.propagate(edges, seeds, rounds = 2)
@@ -51,13 +58,28 @@ object Wave21Queries {
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
       |      (a, b) -> a + b)) AS nrm
       |  FROM embeddings),
-      |knn AS (SELECT id, nb FROM (
-      |    SELECT a.id, b.id AS nb,
+      |sp AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM n),
+      |cents AS (SELECT id AS cent_id, v AS centv, nrm AS centnorm
+      |  FROM n, sp WHERE id % s = 0),
+      |assigned AS (SELECT id, cent_id, cr FROM (
+      |    SELECT a.id, c.cent_id,
       |      row_number() OVER (PARTITION BY a.id ORDER BY
       |        (list_reduce(list_transform(range(1, 65),
+      |          i -> a.v[i] * c.centv[i]), (x, y) -> x + y)
+      |         / (a.nrm * c.centnorm)) DESC, c.cent_id) AS cr
+      |    FROM n a, cents c)
+      |  WHERE cr <= 2),
+      |knn AS (SELECT id, nb FROM (
+      |    SELECT p.id, m.id AS nb,
+      |      row_number() OVER (PARTITION BY p.id ORDER BY
+      |        (list_reduce(list_transform(range(1, 65),
       |          i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-      |         / (a.nrm * b.nrm)) DESC, b.id) AS rank
-      |    FROM n a JOIN n b ON a.id <> b.id)
+      |         / (a.nrm * b.nrm)) DESC, m.id) AS rank
+      |    FROM assigned p
+      |    JOIN assigned m ON m.cent_id = p.cent_id AND m.cr = 1
+      |      AND m.id <> p.id
+      |    JOIN n a ON a.id = p.id
+      |    JOIN n b ON b.id = m.id)
       |  WHERE rank <= 5),
       |l0 AS (SELECT id, label AS lab, 0 AS round FROM n
       |  WHERE id % 10 = 0),

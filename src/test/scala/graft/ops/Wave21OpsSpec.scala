@@ -41,6 +41,53 @@ class Wave21OpsSpec extends AnyFunSuite {
     assert(!e.exists(r => r.getAs[Long]("id") == r.getAs[Long]("nb")))
   }
 
+  test("ivfKnnEdges: finds planted twins, rank-disciplined, no self loops") {
+    // 16 base vectors in distinct directions; each id 100+i is a
+    // near-identical twin of id i — the twin's cosine is ~1, so the
+    // twin MUST land in the same IVF cell (or its probe set) and be
+    // that node's rank-1 neighbor, the q17 planted-pair invariant.
+    val rows = (0 until 16).flatMap { i =>
+      val ang = 0.2 * i
+      val v = Array(math.cos(ang), math.sin(ang), 0.3)
+      val tw = Array(math.cos(ang) + 1e-6, math.sin(ang), 0.3)
+      Seq((i.toLong, v), (100L + i, tw))
+    }
+    val e = LabelSpread.ivfKnnEdges(rows.toDF("id", "v"), "id", "v", k = 3)
+      .collect()
+    assert(!e.exists(r => r.getAs[Long]("id") == r.getAs[Long]("nb")))
+    val byId = e.groupBy(_.getAs[Long]("id"))
+    byId.foreach { case (id, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq,
+        s"node $id ranks must be consecutive from 1: ${ranks.toSeq}")
+    }
+    (0 until 16).foreach { i =>
+      val top = byId(i.toLong).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("nb") == 100L + i,
+        s"node $i rank-1 neighbor must be its planted twin")
+    }
+  }
+
+  test("ivfKnnEdges: agrees with the exact builder on clustered data") {
+    // three tight orthogonal clusters, one centroid landing in each
+    // (spacing = ceil(sqrt(18)) = 5; ids 0,5,10,15 are centroids) —
+    // probing 2 cells always covers the node's own cluster, so the
+    // IVF graph equals the exact brute-force graph.
+    val rows = (0 until 18).map { i =>
+      val axis = i % 3
+      val eps = 0.001 * (i / 3)
+      val v = Array(0.01, 0.01, 0.01)
+      v(axis) = 1.0 + eps
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val ivf = LabelSpread.ivfKnnEdges(df, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = LabelSpread.knnEdges(df, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact)
+  }
+
   test("ransacLine: recovers a planted line through noise") {
     // 30 points on y=3x+5 (ids multiple of 7 included in sample);
     // 10 far-off outliers
