@@ -16,25 +16,34 @@ object Wave54Queries {
 
   // ---------------------------------------------------------------- q369
   /** Winsorized Pearson correlation: both variables clamped at their
-    * exact p05/p95 nearest-rank values (pinned by (value, orderkey,
-    * linenumber)) before the moment pass — the outlier-robust r
-    * beside the raw Pearson (q124), reported side by side so the
-    * winsorization's effect is visible. Quantity in deci-units,
-    * line value in whole dollars: every Σ stays a long.
+    * exact p05/p95 nearest-rank values before the moment pass — the
+    * outlier-robust r beside the raw Pearson (q124), reported side by
+    * side so the winsorization's effect is visible. Quantity in
+    * deci-units, line value in whole dollars: every Σ stays a long.
+    *
+    * The nearest-rank cut comes from a value HISTOGRAM cumsum (the
+    * q370 `rank2` discipline), not a `row_number` over the raw rows:
+    * the value at rank k is the smallest v with cum(v) ≥ k, identical
+    * for any tie-break among equal values, so the global window only
+    * ever sorts |distinct values| histogram rows — the raw-row global
+    * sort was this query's single-partition 9× sf1 scaler.
     */
   def q369(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem").select(
-      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       floor(col("l_quantity") * 10.0 + 0.5).cast("long").as("x"),
       expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) div 100")
         .as("y")).persist()
     def bounds(c: String): DataFrame = {
-      val w = Window.orderBy(col(c), col("ok"), col("ln"))
-      li.withColumn("rn", row_number().over(w))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
-        .filter(col("rn") === expr("greatest((5 * nn) div 100, 1L)") ||
-          col("rn") === expr("greatest((95 * nn) div 100, 1L)"))
-        .groupBy().agg(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))
+      val hist = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("t").over(w))
+        .withColumn("nn", sum("t").over(Window.partitionBy(lit(1))))
+      cum.groupBy().agg(
+        min(when(col("cum") >= expr("greatest((5 * nn) div 100, 1L)"),
+          col("v"))).as(s"lo_$c"),
+        min(when(col("cum") >= expr("greatest((95 * nn) div 100, 1L)"),
+          col("v"))).as(s"hi_$c"))
     }
     val b = bounds("x").crossJoin(bounds("y"))
     val cl = li.crossJoin(b)
