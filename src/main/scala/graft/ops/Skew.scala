@@ -57,13 +57,24 @@ object Skew {
     * rows once per salt.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+                 salts: Int = 16, joinType: String = "inner",
+                 keepSalt: Boolean = false): DataFrame = {
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
       s"saltedJoin supports inner/left joins, got $joinType")
     val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
+    // Shuffled-hash over sort-merge: the salt spreads every key over
+    // `salts` partitions by construction, so the replicated side's
+    // per-partition build set is balanced and bounded — the very
+    // property salting buys — and SMJ's two full sorts are pure waste.
     val replSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    saltedBig.join(replSmall, keys :+ "__salt", joinType).drop("__salt")
+      .hint("shuffle_hash")
+    val joined = saltedBig.join(replSmall, keys :+ "__salt", joinType)
+    // keepSalt: a downstream groupBy(keys :+ "__salt") clusters on
+    // exactly the join keys, so Catalyst reuses the join's exchange —
+    // the two-phase salted-join-then-aggregate composition costs no
+    // third shuffle (the phase-2 combine moves one row per key+salt).
+    if (keepSalt) joined else joined.drop("__salt")
   }
 
   /** Salted distinct count: exact, two balanced phases (dedup on

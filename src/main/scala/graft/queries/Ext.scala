@@ -1136,7 +1136,11 @@ object ExtQueries {
   /** Salted equi-join (lineitem x orders on orderkey, 8 salts) rolled
     * up per order — must be bit-identical to the plain join, which is
     * exactly what the oracle runs. See Skew.saltedJoin for when this
-    * beats broadcast/AQE.
+    * beats broadcast/AQE. The roll-up aggregates on (key, salt) FIRST
+    * — that clustering equals the join keys, so phase 1 reuses the
+    * join's exchange (zero extra shuffle); phase 2 combines one
+    * partial row per (order, salt) instead of re-shuffling every
+    * joined lineitem row.
     */
   def q58(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Skew
@@ -1144,12 +1148,15 @@ object ExtQueries {
       .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
     val small = T(s, dir, "orders")
       .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
-    Skew.saltedJoin(big, small, Seq("orderkey"), salts = 8)
+    Skew.saltedJoin(big, small, Seq("orderkey"), salts = 8, keepSalt = true)
+      .groupBy("orderkey", "__salt")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).as("__s"),
+        max(col("o_orderpriority")).as("__p"))
       .groupBy("orderkey")
-      .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double")
-          .as("sum_qty"),
-        max(col("o_orderpriority")).as("priority"))
+      .agg(sum("__n").as("n_items"),
+        sum("__s").cast("double").as("sum_qty"),
+        max("__p").as("priority"))
   }
   val q58Sql: String =
     """SELECT l_orderkey AS orderkey, count(*) AS n_items,
