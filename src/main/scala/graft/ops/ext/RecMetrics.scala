@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * diversity ratios and per-item popularity percentiles quantize to
   * 1e-6 fixed point before any cross-row mean.
   *
-  * Scale shape: list construction is a per-user rank window
-  * (rewritten to the heap-based TopKPerGroup operator by the session
-  * extension); the popularity frame is one row per item, broadcast;
-  * metrics are hash aggregations on the segment key.
+  * Scale shape: ONE scan of the interaction frame builds the
+  * (user, item) count table; item popularity is its sum(cnt) roll-up
+  * (bit-identical to counting interactions per item), so the raw
+  * interactions — in q243 a 3-way join — are never read twice. The
+  * count table and the k-bounded rec lists persist across their two
+  * consumers. List construction is a per-user rank window (rewritten
+  * to the heap-based TopKPerGroup operator by the session extension);
+  * the popularity frame is one row per item, broadcast; metrics are
+  * hash aggregations on the segment key.
   */
 object RecMetrics {
 
@@ -30,13 +35,13 @@ object RecMetrics {
   def listMetrics(inter: DataFrame, segments: DataFrame, k: Int)
       : DataFrame = {
     val counts = inter.groupBy("user", "item")
-      .agg(count(lit(1)).as("cnt"), min("attr").as("attr"))
+      .agg(count(lit(1)).as("cnt"), min("attr").as("attr")).persist()
     val w = Window.partitionBy("user")
       .orderBy(col("cnt").desc, col("item"))
     val recs = counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k).persist()
     val popw = Window.orderBy(col("pcnt").desc, col("item"))
-    val pop = inter.groupBy("item").agg(count(lit(1)).as("pcnt"))
+    val pop = counts.groupBy("item").agg(sum("cnt").as("pcnt"))
     val nItems = pop.agg(count(lit(1)).as("n_items"))
     val popRank = pop.withColumn("prank", row_number().over(popw))
       .crossJoin(broadcast(nItems))
