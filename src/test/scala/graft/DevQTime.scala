@@ -17,6 +17,8 @@ object DevQTime {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // match graft.Bench semantics: every timed run starts uncached
+      spark.catalog.clearCache()
       println(f"$name rep=$rep n=$n time=$dt%.2f s")
     }
     spark.stop()
