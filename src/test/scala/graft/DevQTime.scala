@@ -12,6 +12,9 @@ object DevQTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // allow timing at the synthesized 10x step without running Bench
+    if (sfDir.endsWith("benchdata/sf1"))
+      BenchData.ensureScaled(spark, "/root/testdata/sf0.1", sfDir, factor = 10)
     val qs = sys.env.getOrElse("QS", "q89_bigram_lm").split(",").toSeq
     for (name <- qs; rep <- 1 to 2) {
       val t0 = System.nanoTime()
