@@ -43,17 +43,30 @@ object Graph {
     * (`src` < `dst`, `shared` = number of common groups), distinct
     * pairs. Exposed so a caller needing SEVERAL minShared thresholds
     * of the same base relation (q349's weak-tie vs strong-tie graphs)
-    * persists THIS frame once and filters per threshold — one distinct
-    * + one self-join + one aggregation total, instead of repeating the
-    * full scan-join-count pipeline per threshold.
+    * persists THIS frame once and filters per threshold.
+    *
+    * Shape: ONE shuffle on the group key builds per-group sorted
+    * distinct item arrays (collect_set doubles as the distinct), and
+    * every canonical pair is generated INSIDE the row — no self-join,
+    * so the base relation is scanned once and the pair volume never
+    * transits a join. Two shuffles total (group key, then pair key)
+    * vs the textbook distinct + self-join + count's three. The k²
+    * per-group blowup is the same either way; the in-row variant
+    * additionally holds one group's items in one array, so callers
+    * with UNBOUNDED group sizes (this repo's are order baskets, ≤ a
+    * few dozen items) should cap or pre-split hot groups first.
     */
   def coOccurrencePairCounts(df: DataFrame, groupCol: String,
                              itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct()
-    g.select(col("g"), col("item").as("src"))
-      .join(g.select(col("g"), col("item").as("dst")), Seq("g"))
-      .where(col("src") < col("dst"))
+    val baskets = df
+      .select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(sort_array(collect_set(col("item"))).as("it"))
+    baskets
+      .select(explode(flatten(transform(col("it"), (x, i) =>
+        transform(slice(col("it"), i + lit(2), size(col("it"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
   }
 
@@ -544,30 +557,47 @@ object Graph {
     * random". Exact integers everywhere (Q·(2m)² = Σ 4·m·m_c − d_c²
     * would overflow; instead each community term is one fixed-shape
     * double over exact ints, quantized to 1e-9 before the cross-
-    * community sum). One edge join against the membership frame +
-    * two groupBys. `communities`: (node, community).
+    * community sum). `communities`: (node, community).
+    *
+    * ONE pass over the edge frame: both membership legs equi-join
+    * (`communities` MUST cover every edge endpoint — q349 constructs
+    * it from the edge node set with singleton fallback, which is the
+    * natural shape for any partition-quality measurement), then each
+    * edge EXPLODES into its two endpoint contributions carrying an
+    * intra flag, and a single groupBy yields d_c = count and
+    * m_c = Σflag/2 (an intra edge flags both endpoints, so the
+    * halving is exact). That replaces the three-consumer shape
+    * (intra join + sym union join + their re-join) with two inner
+    * joins — AQE/broadcast-eligible, unlike outer legs — and one
+    * shuffle.
     */
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    // EAGER localCheckpoint, not persist/unpersist: the returned frame
+    // is lazy, so an unpersist-before-return would evict e before the
+    // caller's action; the m-count is the materializing consumer.
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct().persist()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val m = e.count()
+    // the membership frame feeds both join legs — materialize once so
+    // its lineage (often a distinct + component join, as in q349)
+    // doesn't re-run per leg
+    val cm = communities.localCheckpoint(true)
     val withC = e
-      .join(communities.select(col("node").as("a"),
-        col("community").as("ca")), "a")
-      .join(communities.select(col("node").as("b"),
-        col("community").as("cb")), "b")
-    val intra = withC.filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("community"))
-      .agg(count(lit(1)).as("m_c"))
-    val sym = e.select(col("a").as("node"))
-      .unionByName(e.select(col("b").as("node")))
-    val degC = sym.join(communities, Seq("node"))
-      .groupBy("community").agg(count(lit(1)).as("d_c"))
-    val terms = degC.join(intra, Seq("community"), "left")
-      .select(col("community"), coalesce(col("m_c"), lit(0L)).as("m_c"),
-        col("d_c"),
+      .join(cm.select(col("node").as("a"),
+        col("community").as("ca")), Seq("a"))
+      .join(cm.select(col("node").as("b"),
+        col("community").as("cb")), Seq("b"))
+    val ii = when(col("ca") === col("cb"), lit(1L)).otherwise(lit(0L))
+    val contrib = withC
+      .select(explode(array(
+        struct(col("ca").as("community"), ii.as("ii")),
+        struct(col("cb").as("community"), ii.as("ii")))).as("x"))
+      .select(col("x.community").as("community"), col("x.ii").as("ii"))
+    val terms = contrib.groupBy("community")
+      .agg(count(lit(1)).as("d_c"), (sum("ii") / 2).cast("long").as("m_c"))
+      .select(col("community"), col("m_c"), col("d_c"),
         floor((coalesce(col("m_c"), lit(0L)).cast("double") / lit(m.toDouble)
           - (col("d_c").cast("double") / lit(2.0 * m))
             * (col("d_c").cast("double") / lit(2.0 * m))) * lit(1e9)
@@ -577,7 +607,6 @@ object Graph {
       .select(lit(m).as("n_edges"), col("n_communities"),
         col("intra_edges"),
         round(col("sq").cast("double") / lit(1e9), 6).as("modularity"))
-    e.unpersist()
     out
   }
 
