@@ -589,7 +589,11 @@ object Dedup {
       val dir = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v"))).distinct()
       // LAZY checkpoint: the fingerprint probe is the materializing
-      // action, so each round costs one job
+      // action, so each round costs one job. (Pairing two rounds per
+      // probe was measured SLOWER on this corpus: near-dup components
+      // are shallow stars converging in 2-3 rounds, and the extra
+      // confirm-pair's two full contraction shuffles cost more than
+      // the per-round probe jobs they replace.)
       edges = smallStar(largeStar(dir)).localCheckpoint(false)
       val now = fingerprint(edges)
       converged = now == prev
