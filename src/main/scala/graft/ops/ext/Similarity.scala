@@ -140,6 +140,85 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Mutual-best-match alignment between two embedding collections —
+    * the bitext/parallel-corpus mining primitive: a pair (a, b) aligns
+    * when b is a's cosine-nearest candidate AND a is b's, with the
+    * top1−top2 margin as the standard alignment-confidence signal.
+    * Output is the one-row census: collection sizes, candidate pair
+    * count, mutual count, mutual share of side A, and the mean margin
+    * over mutual pairs (1e-6-quantized per pair before the mean).
+    *
+    * Scale shape: BOTH sides can be corpus-sized, so — unlike
+    * [[ivfTopK]], whose query side broadcasts by contract — only the
+    * deterministic centroid set broadcasts (every `centroidEvery`-th
+    * id of side B). Side A probes its `nprobe` nearest cells, side B
+    * inverts into its single nearest cell, and candidates come from
+    * the cell equi-join; each direction's best is a per-key top-k over
+    * the SAME scored candidate frame (eagerly checkpointed — two
+    * window consumers, one materialization). Nothing all-pairs,
+    * nothing data-sized on the driver.
+    */
+  def mutualBestMatch(a: DataFrame, b: DataFrame, vecCol: String,
+      idCol: String, centroidEvery: Int, nprobe: Int): DataFrame = {
+    val av = a.select(col(idCol).as("a_id"),
+      col(vecCol).cast("array<double>").as("avec"))
+      .withColumn("anorm", l2norm(col("avec")))
+    val bv = b.select(col(idCol).as("b_id"),
+      col(vecCol).cast("array<double>").as("bvec"))
+      .withColumn("bnorm", l2norm(col("bvec")))
+    val cents = b.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+      .withColumn("centnorm", l2norm(col("centv")))
+    def cells(side: DataFrame, key: String, vec: String, norm: String,
+        n: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("__cc",
+          dot(col(vec), col("centv")) / (col(norm) * col("centnorm")))
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__cc").desc, col("cent_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("centv", "centnorm", "__cc", "__cr")
+    }
+    val scored = cells(av, "a_id", "avec", "anorm", nprobe)
+      .join(cells(bv, "b_id", "bvec", "bnorm", 1), Seq("cent_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("avec"), col("bvec")) / (col("anorm") * col("bnorm")))
+          .as("cosine"))
+      .distinct()
+      .localCheckpoint(true)
+    val wa = Window.partitionBy("a_id")
+      .orderBy(col("cosine").desc, col("b_id"))
+    val bestA = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= 2)
+      .groupBy("a_id")
+      .agg(max(when(col("r") === 1, col("b_id"))).as("b_id"),
+        max(when(col("r") === 1, col("cosine"))).as("cos1"),
+        max(when(col("r") === 2, col("cosine"))).as("cos2"))
+    val wb = Window.partitionBy("b_id")
+      .orderBy(col("cosine").desc, col("a_id"))
+    val bestB = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") === 1).select(col("a_id"), col("b_id"))
+    val mutual = bestA.join(bestB, Seq("a_id", "b_id"), "left_semi")
+      .select(col("a_id"),
+        when(col("cos2").isNotNull,
+          floor((col("cos1") - col("cos2")) * 1e6 + 0.5).cast("long"))
+          .as("mq"))
+    val nA = av.agg(count(lit(1)).as("n_a"))
+    val nB = bv.agg(count(lit(1)).as("n_b"))
+    val nCand = scored.agg(count(lit(1)).as("n_candidates"))
+    val mAgg = mutual.agg(count(lit(1)).as("n_mutual"),
+      count(col("mq")).as("n_margin"), sum(col("mq")).as("smq"))
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(mAgg))
+      .select(col("n_a"), col("n_b"), col("n_candidates"), col("n_mutual"),
+        round(col("n_mutual").cast("double") / col("n_a").cast("double"),
+          6).as("mutual_share"),
+        round(col("smq").cast("double") / 1e6
+          / col("n_margin").cast("double"), 6).as("mean_margin"))
+  }
+
   /** Sign-bucket key from hyperplanes [fromPlane, toPlane), as the
     * native codegen'd [[graft.expr.SignLsh]] expression — bit-exact
     * twin of the composed per-plane fold (same hash-derived
