@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * to 6 dp, and the per-item top-k tie-breaks (sim DESC, then
   * neighbor id ASC) — bit-stable on any engine.
   *
-  * Scale shape: pair generation is one self-equi-join on the basket
-  * key, O(basket²) PER BASKET (order line counts, not corpus size) —
-  * the same bounded-fan-out contract as
-  * [[graft.ops.Graph.coOccurrenceEdges]]. The co-count frame shrinks
-  * to pairs seen ≥ `minCo` times before the window ranks it, and the
-  * rank window partitions by item — parallel, never a global sort.
+  * Scale shape: like [[graft.ops.Graph.coOccurrencePairCounts]] —
+  * ONE shuffle on the basket key builds per-basket sorted distinct
+  * item arrays (collect_set doubles as the distinct), canonical pairs
+  * explode inside the row (O(basket²) PER BASKET — order line counts,
+  * not corpus size — and never transiting a join), and item counts
+  * derive from the same persisted basket frame. The co-count frame
+  * shrinks to pairs seen ≥ `minCo` times before the window ranks it,
+  * and the rank window partitions by item — parallel, never a global
+  * sort.
   */
 object ItemCf {
 
@@ -28,13 +31,18 @@ object ItemCf {
     * `itemCol`. Output: (item, rank, neighbor, co, sim). */
   def topNeighbors(df: DataFrame, basketCol: String, itemCol: String,
                    k: Int, minCo: Long = 2L): DataFrame = {
-    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
-      .distinct()
-    val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("ci"))
-    val co = b.as("a").join(b.as("b"),
-        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-      .agg(count(lit(1)).as("co"))
+    val baskets = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .filter(col("bk").isNotNull)
+      .groupBy("bk").agg(sort_array(collect_set(col("item"))).as("it"))
+      .persist()
+    val itemCnt = baskets.select(explode(col("it")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("ci"))
+    val co = baskets
+      .select(explode(flatten(transform(col("it"), (x, idx) =>
+        transform(slice(col("it"), idx + lit(2), size(col("it"))),
+          y => struct(x.as("i"), y.as("j")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
     val sym = co.unionByName(
       co.select(col("j").as("i"), col("i").as("j"), col("co")))
