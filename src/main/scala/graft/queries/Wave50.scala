@@ -76,8 +76,12 @@ object Wave50Queries {
     */
   def q354(s: SparkSession, dir: String): DataFrame = {
     val corpus = ExtQueries.nearDupCorpus(s, dir)
+    // persisted: each of the 5 ladder arms joins this frame and the
+    // corpus total reads it once more — without the persist the
+    // tokenize pass over the raw corpus replays 6 times
     val toks = corpus.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .persist()
     val sh = corpus.select(col("doc_id"),
       graft.ops.ext.Dedup.shinglesOfTokens(
         TextAnalysis.tokens(col("text")), 5).as("toks"))
