@@ -219,6 +219,72 @@ object Similarity {
           / col("n_margin").cast("double"), 6).as("mean_margin"))
   }
 
+  /** Semantic decontamination census: how much of an eval set has a
+    * near-identical semantic twin in the training corpus — the
+    * embedding-space counterpart of the n-gram decontamination gate
+    * (q42/q66), catching paraphrase-level leakage n-grams miss. Returns
+    * the one-row census: eval/train sizes, how many eval items matched
+    * any candidate, how many are flagged (top-1 cosine ≥ `threshold`),
+    * the flagged share, and the mean top-1 cosine over matched items
+    * (1e-6-quantized per item before the mean).
+    *
+    * Scale shape: BOTH sides are corpus-sized, so — like
+    * [[mutualBestMatch]] — only the deterministic centroid set (every
+    * `centroidEvery`-th train id) broadcasts. Train inverts into its
+    * single nearest cell, eval probes its `nprobe` nearest cells, and
+    * candidates come from the cell equi-join — never eval×train. The
+    * per-eval top-1 is one window over the scored frame; the census is
+    * a handful of one-row aggregates crossJoined back.
+    */
+  def decontaminationCensus(train: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+    val tv = train.select(col(idCol).as("t_id"),
+      col(vecCol).cast("array<double>").as("tvec"))
+      .withColumn("tnorm", l2norm(col("tvec")))
+    val ev = evalSet.select(col(idCol).as("e_id"),
+      col(vecCol).cast("array<double>").as("evec"))
+      .withColumn("enorm", l2norm(col("evec")))
+    val cents = train.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+      .withColumn("centnorm", l2norm(col("centv")))
+    def cells(side: DataFrame, key: String, vec: String, norm: String,
+        n: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("__cc",
+          dot(col(vec), col("centv")) / (col(norm) * col("centnorm")))
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__cc").desc, col("cent_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("centv", "centnorm", "__cc", "__cr")
+    }
+    val top1 = cells(ev, "e_id", "evec", "enorm", nprobe)
+      .join(cells(tv, "t_id", "tvec", "tnorm", 1), Seq("cent_id"))
+      .select(col("e_id"), col("t_id"),
+        (dot(col("evec"), col("tvec")) / (col("enorm") * col("tnorm")))
+          .as("cosine"))
+      .distinct()
+      .groupBy("e_id")
+      .agg(max(col("cosine")).as("top1"))
+      .select(col("e_id"),
+        floor(col("top1") * 1e6 + 0.5).cast("long").as("q1"))
+    val nE = ev.agg(count(lit(1)).as("n_eval"))
+    val nT = tv.agg(count(lit(1)).as("n_train"))
+    val mAgg = top1.agg(count(lit(1)).as("n_matched"),
+      sum(when(col("q1") >= math.round(threshold * 1e6), 1L).otherwise(0L))
+        .as("n_flagged"),
+      sum(col("q1")).as("sq1"))
+    nE.crossJoin(broadcast(nT)).crossJoin(broadcast(mAgg))
+      .select(col("n_eval"), col("n_train"), col("n_matched"),
+        col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_eval").cast("double"),
+          6).as("flagged_share"),
+        round(col("sq1").cast("double") / 1e6
+          / col("n_matched").cast("double"), 6).as("mean_top1"))
+  }
+
   /** Sign-bucket key from hyperplanes [fromPlane, toPlane), as the
     * native codegen'd [[graft.expr.SignLsh]] expression — bit-exact
     * twin of the composed per-plane fold (same hash-derived

@@ -135,6 +135,44 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").count()
 
+  /** Per-document n-gram duplication EXPOSURE, rolled up as a decile
+    * census: for each document, the share of its distinct n-gram
+    * shingles that occur in at least one other document — the
+    * memorization-risk profile (Lee et al. 2022 measure substring
+    * duplication corpus-wide; this is the per-document view a removal
+    * policy actually thresholds on). Output: one row per exposure
+    * decile with the doc count and the exact mean share (per-doc
+    * shares 1e-6-quantized before the mean).
+    *
+    * Scale shape: shingles are the codegen'd [[graft.ops.ext.Dedup
+    * .shinglesOfTokens]] xxhash64 longs, distinct within a doc by
+    * construction — so the document frequency is ONE groupBy over
+    * (shingle) and the exposure is one join back + one per-doc
+    * aggregate. Strictly linear: two shuffles of (8-byte hash, id)
+    * rows, no pair enumeration anywhere.
+    */
+  def ngramExposure(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(Dedup.shinglesOfTokens(tokens(col(textCol)), n)).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select((col("n_dup").cast("double") / col("n_sh").cast("double"))
+        .as("share"))
+    per.select(
+        least(floor(col("share") * 10).cast("long"), lit(9L)).as("decile"),
+        floor(col("share") * 1000000.0 + 0.5).cast("long").as("q"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("q").as("sq"))
+      .select(col("decile"), col("n_docs"),
+        round(col("sq").cast("double") / 1e6 / col("n_docs").cast("double"),
+          6).as("mean_share"))
+      .orderBy("decile")
+  }
+
   /** Top-n tokens by frequency, ties broken lexicographically. */
   def topTokens(df: DataFrame, textCol: String, n: Int): DataFrame =
     termFrequencies(df, textCol)
