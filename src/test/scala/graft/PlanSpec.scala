@@ -394,4 +394,44 @@ class PlanSpec extends AnyFunSuite {
       exchanges.size <= 2,
       s"expected the grouped exchange to be shareable:\n$plain")
   }
+
+  test("q393 Q4 shape: EXISTS is one LeftSemi with the date inequality in-stage") {
+    val df = SparkEntry.queries("q393_late_ship_priority")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the EXISTS probe must stay keyed on l_orderkey:\n$plan")
+  }
+
+  test("q395 Q13 outer join: orders pre-aggregate before joining customers") {
+    val df = SparkEntry.queries("q395_order_count_distribution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), s"expected a left outer join:\n$plan")
+    // the aggregation keyed on o_custkey must sit BELOW the outer join
+    // (customer-sized join inputs), not above it (fact-sized)
+    val joinAt = plan.indexOf("LeftOuter")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(aggAt > joinAt,
+      s"per-customer aggregate should be an input of the join:\n$plan")
+  }
+
+  test("q397 Q16 shape: NOT IN is a broadcast LeftAnti over the pair set") {
+    val df = SparkEntry.queries("q397_supplier_cnt_census")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the exclusion must stay an equi anti join:\n$plan")
+  }
+
+  test("q402 exposure: linear shape — aggregates and one equi join only") {
+    val df = SparkEntry.queries("q402_ngram_exposure")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"exposure must never enumerate pairs:\n$plan")
+    assert(plan.contains("shingle_hashes"),
+      s"expected the native codegen'd shingle kernel:\n$plan")
+  }
 }
