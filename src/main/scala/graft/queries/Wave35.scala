@@ -181,12 +181,25 @@ object Wave35Queries {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seeds.select(col("node"))).distinct().persist()
-    val fwd = graft.ops.Graph.bfsDistancesOn(e, nodes, seeds, maxHops = 4)
-      .select(col("node"), (col("dist") >= 0).as("f"))
-    val bwd = graft.ops.Graph.bfsDistancesOn(
-        e.select(col("dst").as("src"), col("src").as("dst")), nodes, seeds,
-        maxHops = 4)
-      .select(col("node"), (col("dist") >= 0).as("b"))
+    // the two directions are INDEPENDENT hop-per-job traversals over
+    // the same persisted edge frame — submit them from two threads so
+    // their per-hop jobs interleave on the scheduler instead of
+    // serializing two traversals' fixed costs (the q391 idiom; each
+    // traversal's own hops stay sequential, results are deterministic)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val Seq(fwd, bwd) =
+      try Await.result(Future.sequence(Seq(
+        Future(graft.ops.Graph.bfsDistancesOn(e, nodes, seeds, maxHops = 4)
+          .select(col("node"), (col("dist") >= 0).as("f"))),
+        Future(graft.ops.Graph.bfsDistancesOn(
+            e.select(col("dst").as("src"), col("src").as("dst")), nodes,
+            seeds, maxHops = 4)
+          .select(col("node"), (col("dist") >= 0).as("b"))))),
+        Duration.Inf)
+      finally pool.shutdown()
     e.unpersist(); nodes.unpersist()
     fwd.join(bwd, Seq("node"), "full")
       .na.fill(false, Seq("f", "b"))
