@@ -173,4 +173,42 @@ object Spectral {
         round(col("resid"), 6).as("v1_dot_v2"))
       .orderBy("dim")
   }
+
+  /** Uncentered linear CKA between two SLICES of the same embedding —
+    * dims [0, splitAt) as view X, [splitAt, dims) as view Y:
+    * CKA = ‖Mxy‖²_F / (‖Mxx‖_F · ‖Myy‖_F) over the second-moment
+    * blocks. The "are these two representation halves measuring the
+    * same thing" number a compression/truncation decision reads before
+    * dropping half the dims (CKA ≈ 1 → the halves are redundant;
+    * ≈ 0 → truncation loses signal). Uncentered by design — the same
+    * one-pass [[graft.expr.GramMoments]] kernel the eigen family uses
+    * provides all three blocks of the d×d moment matrix at once, and
+    * the Frobenius ratios are scale-invariant, so no second
+    * mean-subtraction pass is needed (documented divergence from the
+    * centered-HSIC form).
+    *
+    * Scale shape: identical to [[dominantEigen]] — the corpus-sized
+    * work is ONE GramMoments aggregation (O(d²) state per partition,
+    * no n·d² row stream); everything after runs on the d²-cell frame.
+    */
+  def linearCkaSplit(df: DataFrame, vecCol: String, dims: Int,
+      splitAt: Int): DataFrame = {
+    require(splitAt > 0 && splitAt < dims)
+    val m = gramMatrix(df, vecCol, dims)
+    val blocks = m.select(col("m"),
+        when(col("i") < splitAt && col("j") < splitAt, "xx")
+          .when(col("i") >= splitAt && col("j") >= splitAt, "yy")
+          .when(col("i") < splitAt && col("j") >= splitAt, "xy")
+          .otherwise("yx").as("blk"))
+      .filter(col("blk") =!= "yx")
+      .groupBy("blk")
+      .agg(sum((col("m") * col("m")).cast(dec)).cast("double").as("ss"))
+    val row = blocks.groupBy()
+      .pivot("blk", Seq("xx", "yy", "xy")).agg(first("ss"))
+    row.select(lit(dims.toLong).as("d"), lit(splitAt.toLong).as("split_at"),
+      round(col("xy") / (sqrt(col("xx")) * sqrt(col("yy"))), 6).as("cka"),
+      round(sqrt(col("xx")), 6).as("fro_xx"),
+      round(sqrt(col("yy")), 6).as("fro_yy"),
+      round(sqrt(col("xy")), 6).as("fro_xy"))
+  }
 }
