@@ -429,14 +429,21 @@ object Graph {
       .select(col("node"),
         when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L))
           .as("rank"))
+    // out-degree is loop-invariant: join it onto the edge frame ONCE
+    // and persist — each round then runs one join instead of two
+    val eDeg = e.join(outdeg, "src").persist()
     // localCheckpoint per round (the [[hits]] idiom): plan depth stays
     // O(1) however high `iterations` goes — without it each round's
     // plan embeds every prior round's joins and Catalyst cost grows
     // O(r²) in analysis alone.
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+      val contribs = eDeg
+        // rank-0 nodes contribute exactly 0 to every neighbor (and the
+        // downstream coalesce already maps "no contribution" to 0), so
+        // drop them BEFORE the join — in the early rounds the mass sits
+        // on the seed set only and the join shrinks to the seeds' edges
+        .join(ranks.filter(col("rank") =!= 0L)
+          .withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("sum_c"))
       ranks = nodes.join(contribs, Seq("node"), "left")
@@ -447,6 +454,7 @@ object Graph {
         .localCheckpoint()
     }
     e.unpersist(); nodes.unpersist(); outdeg.unpersist(); seed.unpersist()
+    eDeg.unpersist()
     ranks
   }
 
