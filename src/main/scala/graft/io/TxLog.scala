@@ -1,0 +1,113 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal copy-on-write table log — the versioned-parquet sink a lake
+  * deployment needs for append + time travel + compaction without an
+  * external table format dependency (offline classpath: no Delta/
+  * Iceberg jars — see /root/repo/build.sbt).
+  *
+  * Layout: `<table>/_log/v<NNNNN>.json` (one JSON per committed
+  * version, listing the data SUBDIRECTORIES the snapshot reads) and
+  * `<table>/data/c<NNNNN>/` (one directory of parquet per commit —
+  * data files are immutable once written; a commit only ever ADDS a
+  * directory, a compaction replaces the list, never the bytes).
+  *
+  * Concurrency/atomicity: the log entry is written to a temp file and
+  * renamed into place — on HDFS-compatible stores rename is atomic, so
+  * readers see either the old or the new snapshot, never a partial
+  * list (the same single-writer discipline as the reference's
+  * dictionary write-back, run_annotate.py's append-only fields file).
+  * Version numbers are dense; the current version is the max log file.
+  *
+  * Scale: a snapshot read is `spark.read.parquet(dirs*)` — partition
+  * pruning, pushdown and split planning all apply per directory;
+  * compaction rewrites data ONCE into a target-sized layout and
+  * commits the swap as one rename. The log itself is O(versions) tiny
+  * JSON files, never data-sized.
+  */
+object TxLog {
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+
+  private def entryPath(table: String, v: Int): Path =
+    logDir(table).resolve(f"v$v%05d.json")
+
+  /** Versions present in the log, ascending (empty for a fresh table). */
+  def versions(table: String): Seq[Int] = {
+    val d = logDir(table)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val vs = Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+        .toSeq
+      vs.sorted
+    }
+  }
+
+  def currentVersion(table: String): Option[Int] = versions(table).lastOption
+
+  private def readEntry(table: String, v: Int): Seq[String] = {
+    val txt = Files.readString(entryPath(table, v))
+    // minimal parse of {"version":N,"dirs":["...","..."]} — the only
+    // writer is `writeEntry` below, so the shape is fixed
+    val m = raw""""dirs"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"malformed log entry v$v for $table"))
+    m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private def writeEntry(table: String, v: Int, dirs: Seq[String]): Unit = {
+    Files.createDirectories(logDir(table))
+    val json = dirs.map("\"" + _ + "\"")
+      .mkString(s"""{"version":$v,"dirs":[""", ",", "]}")
+    val tmp = logDir(table).resolve(f".v$v%05d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, entryPath(table, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append `df` as a new commit; returns the new version number. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      targetFiles: Int = 4): Int = {
+    val v = currentVersion(table).getOrElse(0) + 1
+    val sub = f"data/c$v%05d"
+    df.repartition(targetFiles).write.mode("errorifexists")
+      .parquet(s"$table/$sub")
+    val prev = currentVersion(table).map(readEntry(table, _))
+      .getOrElse(Seq.empty)
+    writeEntry(table, v, prev :+ sub)
+    v
+  }
+
+  /** Snapshot read — latest version, or time travel to `version`. */
+  def read(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val dirs = readEntry(table, v).map(d => s"$table/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rewrite the CURRENT snapshot into one fresh directory (the
+    * small-file compaction) and commit the swap; row set is unchanged
+    * (same data, new layout), old versions stay readable.
+    */
+  def compact(spark: SparkSession, table: String,
+      targetFiles: Int = 4): Int = {
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to compact in $table"))
+    val v = cur + 1
+    val sub = f"data/c$v%05d"
+    read(spark, table, Some(cur)).repartition(targetFiles)
+      .write.mode("errorifexists").parquet(s"$table/$sub")
+    writeEntry(table, v, Seq(sub))
+    v
+  }
+}

@@ -1,0 +1,58 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the copy-on-write table log: dense versions, snapshot
+  * isolation under append, content preservation under compaction, and
+  * time travel after both.
+  */
+class TxLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txlog").resolve("t").toString
+
+  test("append commits are dense versions; reads are snapshots") {
+    val t = freshTable()
+    assert(TxLog.versions(t).isEmpty)
+    val v1 = TxLog.commit(spark, t, Seq(1L, 2L).toDF("x"), targetFiles = 1)
+    val v2 = TxLog.commit(spark, t, Seq(3L).toDF("x"), targetFiles = 1)
+    assert((v1, v2) == (1, 2))
+    assert(TxLog.versions(t) == Seq(1, 2))
+    assert(TxLog.read(spark, t, Some(1)).count() == 2)
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+
+  test("compaction keeps the row set and old versions stay readable") {
+    val t = freshTable()
+    TxLog.commit(spark, t, (1L to 10L).toDF("x"), targetFiles = 2)
+    TxLog.commit(spark, t, (11L to 20L).toDF("x"), targetFiles = 2)
+    val v3 = TxLog.compact(spark, t, targetFiles = 1)
+    assert(v3 == 3)
+    val cur = TxLog.read(spark, t)
+    assert(cur.count() == 20)
+    assert(cur.agg(sum("x")).head().getLong(0) == (1L to 20L).sum)
+    // layout changed: one directory, one file
+    assert(cur.select(input_file_name().as("f")).distinct().count() == 1)
+    // time travel: v1 still exactly the first commit
+    assert(TxLog.read(spark, t, Some(1)).count() == 10)
+  }
+
+  test("data directories are immutable: commit never rewrites") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq(1L).toDF("x"), targetFiles = 1)
+    val before = Files.walk(java.nio.file.Paths.get(t, "data"))
+      .iterator()
+    val firstList = Iterator.continually(before)
+      .takeWhile(_.hasNext).map(_.next().toString).toSet
+    TxLog.commit(spark, t, Seq(2L).toDF("x"), targetFiles = 1)
+    firstList.foreach(p =>
+      assert(Files.exists(java.nio.file.Paths.get(p)),
+        s"commit must not touch existing data: $p"))
+  }
+}
