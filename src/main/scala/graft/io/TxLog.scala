@@ -95,6 +95,41 @@ object TxLog {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Incremental consumption: the rows ADDED by commits in
+    * (fromVersion, toVersion] — i.e. the data directories present in
+    * `to`'s snapshot but not in `from`'s. Only valid across APPEND
+    * commits (a compaction/merge rewrites the list; consumers resync
+    * from a snapshot read then — the same contract Delta/Iceberg CDC
+    * readers document for rewrite commits).
+    */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val before = readEntry(table, fromVersion).toSet
+    val added = readEntry(table, toVersion).filterNot(before)
+    require(added.nonEmpty,
+      s"no appended data between v$fromVersion and v$toVersion")
+    spark.read.parquet(added.map(d => s"$table/$d"): _*)
+  }
+
+  /** Copy-on-write MERGE (upsert): rows of the current snapshot whose
+    * `keys` match a row in `updates` are REPLACED by the update row;
+    * everything else is carried over. One anti join + one rewrite into
+    * a fresh directory, committed as a list swap — old versions stay
+    * readable, data files stay immutable.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], targetFiles: Int = 4): Int = {
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to merge into in $table"))
+    val v = cur + 1
+    val sub = f"data/c$v%05d"
+    val kept = read(spark, table, Some(cur)).join(updates, keys, "left_anti")
+    kept.unionByName(updates).repartition(targetFiles)
+      .write.mode("errorifexists").parquet(s"$table/$sub")
+    writeEntry(table, v, Seq(sub))
+    v
+  }
+
   /** Rewrite the CURRENT snapshot into one fresh directory (the
     * small-file compaction) and commit the swap; row set is unchanged
     * (same data, new layout), old versions stay readable.
