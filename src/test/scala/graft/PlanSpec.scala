@@ -425,6 +425,16 @@ class PlanSpec extends AnyFunSuite {
       s"the exclusion must stay an equi anti join:\n$plan")
   }
 
+  test("q414 compression gate: the deflate kernel stays inside codegen") {
+    val df = SparkEntry.queries("q414_compression_gate")(spark, dir)
+    df.collect() // AQE finalizes the plan (codegen spans appear at runtime)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("deflate_len"), s"expected the native kernel:\n$plan")
+    val starred = """\*\(\d+\) [^\n]*deflate_len""".r
+    assert(starred.findFirstIn(plan).isDefined,
+      s"deflate_len operator not codegen'd:\n$plan")
+  }
+
   test("q402 exposure: linear shape — aggregates and one equi join only") {
     val df = SparkEntry.queries("q402_ngram_exposure")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
