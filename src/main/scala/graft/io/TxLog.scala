@@ -95,6 +95,86 @@ object TxLog {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Vacuum: delete data directories no snapshot in the kept-version
+    * window references, and drop the log entries older than the window
+    * — the retention step that makes compaction actually reclaim
+    * space. `keepVersions` counts back from the current version;
+    * time travel inside the window keeps working, older versions stop
+    * resolving (the documented retention contract every table format
+    * ships). Returns the number of data directories deleted.
+    */
+  def vacuum(table: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1)
+    val vs = versions(table)
+    if (vs.isEmpty) return 0
+    val kept = vs.takeRight(keepVersions)
+    val referenced = kept.flatMap(readEntry(table, _)).toSet
+    val dataRoot = Paths.get(table, "data")
+    val all =
+      if (!Files.exists(dataRoot)) Seq.empty[Path]
+      else {
+        val it = Files.list(dataRoot).iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+      }
+    val doomed = all.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
+    doomed.foreach { dir =>
+      val it = Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    }
+    vs.dropRight(keepVersions).foreach(v => Files.delete(entryPath(table, v)))
+    doomed.size
+  }
+
+  /** Per-commit zone map: record the (min, max) of `zoneCol` for a
+    * commit's directory in a sidecar next to the log entry. Written by
+    * [[commitWithZone]]; consulted by [[readPruned]].
+    */
+  private def zonePath(table: String, sub: String): Path =
+    Paths.get(table, sub.replace("data/", "_log/zone_") + ".json")
+
+  /** Append `df` as a new commit AND record the zone map of `zoneCol`
+    * (a long column) for the new directory — the footer-statistics
+    * idea lifted to the table-format level, so a point/range read can
+    * skip whole COMMITS without opening a single parquet footer.
+    */
+  def commitWithZone(spark: SparkSession, table: String, df: DataFrame,
+      zoneCol: String, targetFiles: Int = 4): Int = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val v = commit(spark, table, df, targetFiles)
+    val sub = f"data/c$v%05d"
+    val r = spark.read.parquet(s"$table/$sub")
+      .agg(smin(col(zoneCol)), smax(col(zoneCol))).head()
+    Files.writeString(zonePath(table, sub),
+      s"""{"col":"$zoneCol","min":${r.getLong(0)},"max":${r.getLong(1)}}""")
+    v
+  }
+
+  /** Snapshot read pruned by the commit zone maps: only directories
+    * whose [min, max] envelope can contain `point` are scanned;
+    * directories without a sidecar are always scanned (safe fallback).
+    * Returns (frame, dirsScanned, dirsTotal).
+    */
+  def readPruned(spark: SparkSession, table: String, zoneCol: String,
+      point: Long): (DataFrame, Int, Int) = {
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val dirs = readEntry(table, v)
+    val kept = dirs.filter { sub =>
+      val zp = zonePath(table, sub)
+      if (!Files.exists(zp)) true
+      else {
+        val txt = Files.readString(zp)
+        def f(k: String): Long =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        f("min") <= point && point <= f("max")
+      }
+    }
+    require(kept.nonEmpty, s"no commit's zone covers $point")
+    (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
+      kept.size, dirs.size)
+  }
+
   /** Incremental consumption: the rows ADDED by commits in
     * (fromVersion, toVersion] — i.e. the data directories present in
     * `to`'s snapshot but not in `from`'s. Only valid across APPEND

@@ -55,4 +55,27 @@ class TxLogSpec extends AnyFunSuite {
       assert(Files.exists(java.nio.file.Paths.get(p)),
         s"commit must not touch existing data: $p"))
   }
+
+  test("vacuum deletes only unreferenced dirs; kept window still reads") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq(1L, 2L).toDF("x"), targetFiles = 1)
+    TxLog.commit(spark, t, Seq(3L).toDF("x"), targetFiles = 1)
+    TxLog.compact(spark, t, targetFiles = 1)
+    val removed = TxLog.vacuum(t, keepVersions = 1)
+    assert(removed == 2)
+    assert(TxLog.versions(t) == Seq(3))
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+
+  test("zone-mapped commits prune point reads to covering dirs") {
+    val t = freshTable()
+    TxLog.commitWithZone(spark, t, Seq((1L, 10L), (2L, 19L)).toDF("x", "z"),
+      "z", targetFiles = 1)
+    TxLog.commitWithZone(spark, t, Seq((3L, 20L), (4L, 29L)).toDF("x", "z"),
+      "z", targetFiles = 1)
+    val (df, scanned, total) = TxLog.readPruned(spark, t, "z", 25L)
+    assert((scanned, total) == (1, 2))
+    assert(df.filter(col("z") === 25L).count() == 0)
+    assert(df.count() == 2)
+  }
 }
