@@ -46,9 +46,17 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // ends each thread's native zlib stream promptly once its thread
+  // dies (the JDK's own internal cleaner frees it only at Deflater GC;
+  // an executor that cycles thread pools would otherwise pin a native
+  // stream per dead thread until then)
+  private val cleaner = java.lang.ref.Cleaner.create()
   private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6)
+    override def initialValue(): java.util.zip.Deflater = {
+      val d = new java.util.zip.Deflater(6)
+      cleaner.register(Thread.currentThread(), () => d.end())
+      d
+    }
   }
   private val buf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)

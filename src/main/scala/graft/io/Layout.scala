@@ -168,10 +168,12 @@ object Layout {
     val chunk = math.max(1L, math.ceil(n.toDouble / files).toLong)
     val arrival = df.select(pmod(col(idCol), lit(files.toLong)).as("file"),
       v.as("v")).withColumn("layout", lit("arrival"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"), col(idCol))
-    val sorted = df.select(v.as("v"), col(idCol))
-      .withColumn("file", ((row_number().over(w) - 1) / chunk).cast("long"))
+    // sorted-layout file id from the exact global row number — computed
+    // two-level (ScaleWindows), never via an unpartitioned window
+    val sorted = graft.ops.ScaleWindows
+      .globalRowNumber(df.select(v.as("v"), col(idCol)), "v", Seq(idCol),
+        "__rn")
+      .withColumn("file", ((col("__rn") - 1) / chunk).cast("long"))
       .select(col("file"), col("v"))
       .withColumn("layout", lit("sorted"))
     arrival.unionByName(sorted)

@@ -1,8 +1,10 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Minimal copy-on-write table log — the versioned-parquet sink a lake
   * deployment needs for append + time travel + compaction without an
@@ -15,11 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * data files are immutable once written; a commit only ever ADDS a
   * directory, a compaction replaces the list, never the bytes).
   *
-  * Concurrency/atomicity: the log entry is written to a temp file and
-  * renamed into place — on HDFS-compatible stores rename is atomic, so
-  * readers see either the old or the new snapshot, never a partial
-  * list (the same single-writer discipline as the reference's
-  * dictionary write-back, run_annotate.py's append-only fields file).
+  * Concurrency/atomicity: all log I/O goes through the Hadoop
+  * [[FileSystem]] resolved from the table path — local paths use the
+  * local FS, `hdfs://`/object-store paths their native client, so the
+  * log works wherever the parquet does. A log entry is written to a
+  * writer-unique temp file and renamed into place; commits are
+  * OPTIMISTICALLY CONCURRENT: the rename refuses an existing target,
+  * and a read-back after the rename verifies this writer's bytes won —
+  * a lost race throws [[ConcurrentCommitException]] (never silent
+  * last-wins), and the loser's data directory is left for [[vacuum]].
   * Version numbers are dense; the current version is the max log file.
   *
   * Scale: a snapshot read is `spark.read.parquet(dirs*)` — partition
@@ -30,31 +36,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
-  private def logDir(table: String): Path = Paths.get(table, "_log")
+  /** A racing writer committed the same version first. Retry the
+    * commit: re-read the current version and re-run the transaction.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
 
-  private def entryPath(table: String, v: Int): Path =
-    logDir(table).resolve(f"v$v%05d.json")
+  private def fs(table: String): FileSystem =
+    new HPath(table).getFileSystem(new Configuration())
+
+  private def logDir(table: String): HPath = new HPath(table, "_log")
+
+  private def entryPath(table: String, v: Int): HPath =
+    new HPath(logDir(table), f"v$v%05d.json")
+
+  private def readString(f: FileSystem, p: HPath): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(f: FileSystem, p: HPath, s: String): Unit = {
+    val out = f.create(p, false)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Versions present in the log, ascending (empty for a fresh table). */
   def versions(table: String): Seq[Int] = {
+    val f = fs(table)
     val d = logDir(table)
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val it = Files.list(d).iterator()
-      val vs = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next())
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-        .toSeq
-      vs.sorted
-    }
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
   }
 
   def currentVersion(table: String): Option[Int] = versions(table).lastOption
 
   private def readEntry(table: String, v: Int): Seq[String] = {
-    val txt = Files.readString(entryPath(table, v))
+    val txt = readString(fs(table), entryPath(table, v))
     // minimal parse of {"version":N,"dirs":["...","..."]} — the only
     // writer is `writeEntry` below, so the shape is fixed
     val m = raw""""dirs"\s*:\s*\[([^\]]*)\]""".r
@@ -64,16 +87,41 @@ object TxLog {
       .filter(_.nonEmpty).toSeq
   }
 
-  private def writeEntry(table: String, v: Int, dirs: Seq[String]): Unit = {
-    Files.createDirectories(logDir(table))
+  /** Commit the version-`v` entry, or throw [[ConcurrentCommitException]]
+    * if another writer got there first. Three guards, cheapest first:
+    * an existence check before the rename, the rename itself (HDFS and
+    * object stores refuse an existing destination), and a read-back
+    * compare after it (POSIX rename() REPLACES silently — the local-FS
+    * race a pre-check alone cannot close).
+    */
+  private[io] def writeEntry(table: String, v: Int, dirs: Seq[String]): Unit = {
+    val f = fs(table)
+    f.mkdirs(logDir(table))
     val json = dirs.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"dirs":[""", ",", "]}")
-    val tmp = logDir(table).resolve(f".v$v%05d.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, entryPath(table, v), StandardCopyOption.ATOMIC_MOVE)
+    // writer-unique temp name: two racers must never share a tmp file
+    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.hashCode.toHexString + "-" +
+      Thread.currentThread().getId.toHexString + "-" +
+      System.nanoTime().toHexString
+    val tmp = new HPath(logDir(table), f".v$v%05d.$nonce.tmp")
+    writeString(f, tmp, json)
+    val target = entryPath(table, v)
+    def lose(stage: String): Nothing = {
+      f.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"version v$v of $table was committed by another writer ($stage); " +
+          "re-read the current version and retry")
+    }
+    if (f.exists(target)) lose("pre-rename check")
+    if (!f.rename(tmp, target)) lose("rename refused")
+    if (readString(f, target) != json) lose("read-back mismatch")
   }
 
-  /** Append `df` as a new commit; returns the new version number. */
+  /** Append `df` as a new commit; returns the new version number.
+    * Throws [[ConcurrentCommitException]] on a lost race (the caller
+    * retries from a fresh `currentVersion`).
+    */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       targetFiles: Int = 4): Int = {
     val v = currentVersion(table).getOrElse(0) + 1
@@ -96,33 +144,33 @@ object TxLog {
   }
 
   /** Vacuum: delete data directories no snapshot in the kept-version
-    * window references, and drop the log entries older than the window
-    * — the retention step that makes compaction actually reclaim
-    * space. `keepVersions` counts back from the current version;
-    * time travel inside the window keeps working, older versions stop
-    * resolving (the documented retention contract every table format
-    * ships). Returns the number of data directories deleted.
+    * window references (with their zone-map sidecars), and drop the
+    * log entries older than the window — the retention step that makes
+    * compaction actually reclaim space. `keepVersions` counts back from
+    * the current version; time travel inside the window keeps working,
+    * older versions stop resolving (the documented retention contract
+    * every table format ships). Returns the number of data directories
+    * deleted.
     */
   def vacuum(table: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1)
+    val f = fs(table)
     val vs = versions(table)
     if (vs.isEmpty) return 0
     val kept = vs.takeRight(keepVersions)
     val referenced = kept.flatMap(readEntry(table, _)).toSet
-    val dataRoot = Paths.get(table, "data")
+    val dataRoot = new HPath(table, "data")
     val all =
-      if (!Files.exists(dataRoot)) Seq.empty[Path]
-      else {
-        val it = Files.list(dataRoot).iterator()
-        Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
-      }
-    val doomed = all.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
+      if (!f.exists(dataRoot)) Seq.empty[HPath]
+      else f.listStatus(dataRoot).toSeq.map(_.getPath)
+    val doomed = all.filterNot(p => referenced.contains(s"data/${p.getName}"))
     doomed.foreach { dir =>
-      val it = Files.walk(dir)
-        .sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
-      while (it.hasNext) Files.delete(it.next())
+      f.delete(dir, true)
+      // the sidecar of a deleted directory must go with it, or orphan
+      // zone files accumulate forever
+      f.delete(zonePath(table, s"data/${dir.getName}"), false)
     }
-    vs.dropRight(keepVersions).foreach(v => Files.delete(entryPath(table, v)))
+    vs.dropRight(keepVersions).foreach(v => f.delete(entryPath(table, v), false))
     doomed.size
   }
 
@@ -130,13 +178,15 @@ object TxLog {
     * commit's directory in a sidecar next to the log entry. Written by
     * [[commitWithZone]]; consulted by [[readPruned]].
     */
-  private def zonePath(table: String, sub: String): Path =
-    Paths.get(table, sub.replace("data/", "_log/zone_") + ".json")
+  private def zonePath(table: String, sub: String): HPath =
+    new HPath(table, sub.replace("data/", "_log/zone_") + ".json")
 
   /** Append `df` as a new commit AND record the zone map of `zoneCol`
     * (a long column) for the new directory — the footer-statistics
     * idea lifted to the table-format level, so a point/range read can
-    * skip whole COMMITS without opening a single parquet footer.
+    * skip whole COMMITS without opening a single parquet footer. An
+    * EMPTY commit writes no sidecar (there is no envelope to record;
+    * [[readPruned]]'s no-sidecar fallback scans it safely).
     */
   def commitWithZone(spark: SparkSession, table: String, df: DataFrame,
       zoneCol: String, targetFiles: Int = 4): Int = {
@@ -145,34 +195,44 @@ object TxLog {
     val sub = f"data/c$v%05d"
     val r = spark.read.parquet(s"$table/$sub")
       .agg(smin(col(zoneCol)), smax(col(zoneCol))).head()
-    Files.writeString(zonePath(table, sub),
-      s"""{"col":"$zoneCol","min":${r.getLong(0)},"max":${r.getLong(1)}}""")
+    if (!r.isNullAt(0) && !r.isNullAt(1))
+      writeString(fs(table), zonePath(table, sub),
+        s"""{"col":"$zoneCol","min":${r.getLong(0)},"max":${r.getLong(1)}}""")
     v
   }
 
   /** Snapshot read pruned by the commit zone maps: only directories
     * whose [min, max] envelope can contain `point` are scanned;
     * directories without a sidecar are always scanned (safe fallback).
+    * When EVERY commit is pruned, returns an empty frame with the
+    * table's schema and dirsScanned = 0 — a point read of an absent
+    * key is a legitimate query, not an error.
     * Returns (frame, dirsScanned, dirsTotal).
     */
   def readPruned(spark: SparkSession, table: String, zoneCol: String,
       point: Long): (DataFrame, Int, Int) = {
+    val f = fs(table)
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no committed version in $table"))
     val dirs = readEntry(table, v)
     val kept = dirs.filter { sub =>
       val zp = zonePath(table, sub)
-      if (!Files.exists(zp)) true
+      if (!f.exists(zp)) true
       else {
-        val txt = Files.readString(zp)
-        def f(k: String): Long =
+        val txt = readString(f, zp)
+        def g(k: String): Long =
           raw""""$k":(-?\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
-        f("min") <= point && point <= f("max")
+        g("min") <= point && point <= g("max")
       }
     }
-    require(kept.nonEmpty, s"no commit's zone covers $point")
-    (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
-      kept.size, dirs.size)
+    if (kept.isEmpty) {
+      // schema from one footer of the current snapshot — no data read
+      val schema = spark.read.parquet(s"$table/${dirs.head}").schema
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        0, dirs.size)
+    } else
+      (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
+        kept.size, dirs.size)
   }
 
   /** Incremental consumption: the rows ADDED by commits in

@@ -22,26 +22,35 @@ object Hypothesis {
     * q(i) = min(1, min_{j ≥ i} p(j)·n/j). Appends `rank`, `q_value`,
     * and `significant` (q ≤ alpha).
     *
-    * Shape: BH is a rank statistic over the TESTED HYPOTHESES — one
-    * sort of the p-value frame (thousands-to-millions of rows, not the
-    * corpus) and one running-min window scanned from the largest p
-    * down. Ties rank deterministically by `idCol`.
+    * Shape: BH is a rank statistic over the TESTED HYPOTHESES. The
+    * rank and the right-to-left running min both run TWO-LEVEL
+    * ([[ScaleWindows]]): bucket-local windows in parallel + a ≤64-row
+    * offset fold — no unpartitioned row-scale window, so the adjust
+    * survives a p-value frame the size of the corpus. Ties rank
+    * deterministically by `idCol`.
     */
   def bhAdjust(df: DataFrame, pCol: String, idCol: String,
-      alpha: Double = 0.05): DataFrame = {
-    val wRank = Window.orderBy(col(pCol), col(idCol))
-    val wAll = Window.partitionBy(lit(1))
-    // running min from the right = min over descending-p prefix
-    val wTail = Window.orderBy(col(pCol).desc, col(idCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col("*"), row_number().over(wRank).cast("long").as("rank"),
-        count(lit(1)).over(wAll).as("__n"))
-      .withColumn("q_value",
-        least(lit(1.0),
-          min(col(pCol) * col("__n").cast("double") / col("rank"))
-            .over(wTail)))
+      alpha: Double = 0.05): DataFrame =
+    fdrAdjust(df, pCol, idCol, alpha,
+      n => n.cast("double"))
+
+  /** Shared BH/BY core: rank p ascending, q = min(1, tail-min of
+    * p·factor(n)/rank), significant = q ≤ alpha — with both global
+    * scans two-level. `factor` maps the total-count column to the
+    * scaling factor (n for BH, n·c(n) for BY).
+    */
+  private def fdrAdjust(df: DataFrame, pCol: String, idCol: String,
+      alpha: Double, factor: Column => Column): DataFrame = {
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val ranked = ScaleWindows
+      .globalRowNumber(df, pCol, Seq(idCol), "rank")
+      .crossJoin(broadcast(tot))
+      .withColumn("__bhterm", col(pCol) * factor(col("__n")) / col("rank"))
+    ScaleWindows
+      .globalSuffixMin(ranked, pCol, Seq(idCol), "__bhterm", "__tailmin")
+      .withColumn("q_value", least(lit(1.0), col("__tailmin")))
       .withColumn("significant", col("q_value") <= alpha)
-      .drop("__n")
+      .drop("__n", "__bhterm", "__tailmin")
   }
 
   /** Pearson chi-square test of independence for two categorical
@@ -489,16 +498,7 @@ object Hypothesis {
     val n = df.count()
     val hq = (1L to n).map(1000000000L / _).sum
     val cFac = lit(n.toDouble) * (lit(hq.toDouble) / lit(1e9))
-    val wRank = Window.orderBy(col(pCol), col(idCol))
-    val wAll = Window.partitionBy(lit(1))
-    val wTail = Window.orderBy(col(pCol).desc, col(idCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col("*"), row_number().over(wRank).cast("long").as("rank"),
-        count(lit(1)).over(wAll).as("__n"))
-      .withColumn("q_value",
-        least(lit(1.0), min(col(pCol) * cFac / col("rank")).over(wTail)))
-      .withColumn("significant", col("q_value") <= alpha)
-      .drop("__n")
+    fdrAdjust(df, pCol, idCol, alpha, _ => cFac)
   }
 
   /** Cochran's Q for k related binary treatments: Q = (k−1)·(k·ΣC_j²

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   * bit-identical across engines, partitionings and retries.
   *
   * Scale shapes:
-  *  - `spearman` ranks each column with a window over the full table —
-  *    a range-partitioned sort, the same cost class as any global
-  *    ORDER BY — then folds exact integer moments in one aggregation.
+  *  - `spearman` ranks each column via its DISTINCT-value histogram
+  *    (mid-ranks from a |domain|-sized prefix sum, joined back onto the
+  *    rows) — no full-frame sort — then folds exact integer moments in
+  *    one aggregation.
   *  - `ksTest` aggregates to the DISTINCT-value domain first (one hash
   *    shuffle), so the prefix-sum window walks |domain| rows, not
   *    |table| rows.
@@ -26,29 +27,38 @@ import org.apache.spark.sql.types.DecimalType
   */
 object NonParam {
 
-  /** Doubled average rank of `c` over the whole frame: ties get the
-    * average of their positions; doubling (2·avg = 2·rank + cnt − 1)
-    * keeps it integral. rank() needs one global sort; the tie count
-    * reuses the same shuffle (window partitioned by the value).
+  /** Doubled average mid-rank per DISTINCT value of `c` (ties get the
+    * average of their positions; doubling 2·avg = 2·cum_before + t + 1
+    * keeps it integral — identical values to 2·rank + cnt − 1). Shape:
+    * histogram to the distinct-value domain (one hash shuffle with
+    * map-side combine), prefix-sum window over |domain| rows, equi-join
+    * back — the [[kruskalWallis]] recipe. No row-scale global sort: the
+    * only unpartitioned window walks the post-aggregate domain.
     */
-  private def doubledRank(df: DataFrame, c: String, out: String): DataFrame = {
-    val byVal = Window.orderBy(col(c))
-    val tie = Window.partitionBy(col(c))
-    df.withColumn(out,
-      lit(2L) * rank().over(byVal).cast("long") +
-        count(lit(1)).over(tie) - lit(1L))
+  private def midRanks(df: DataFrame, c: String, out: String): DataFrame = {
+    val hist = df.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+    val w = Window.orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__cumb", coalesce(sum("__t").over(w), lit(0L)))
+      .select(col(c),
+        (lit(2L) * col("__cumb") + col("__t") + lit(1L)).as(out))
   }
 
   /** Spearman's ρ between `xCol` and `yCol` (ties → average ranks).
     * Pearson on the doubled integer ranks: all sums are exact
     * (DECIMAL(38,0) accumulators — doubled ranks ≤ 2n, so Σr² ≤ 4n³
     * needs >64 bits at warehouse scale), one closed-form division at
-    * the end. Output: `n`, `rho` (6 dp).
+    * the end. Ranks come from per-column distinct-value histograms
+    * joined back onto the rows (hash equi-joins — AQE broadcasts them
+    * when the domain is small), never from a full-frame sort. Output:
+    * `n`, `rho` (6 dp).
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val ranked = doubledRank(doubledRank(
-      df.select(col(xCol).as("__x"), col(yCol).as("__y")),
-      "__x", "rx"), "__y", "ry")
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+    val ranked = base
+      .join(midRanks(base, "__x", "rx"), Seq("__x"))
+      .join(midRanks(base, "__y", "ry"), Seq("__y"))
     val d = DecimalType(38, 0)
     // products in DECIMAL (doubled ranks reach 2n — long·long would
     // overflow past ~2^31.5 rows), sums exact in DECIMAL(38,0)

@@ -162,9 +162,14 @@ object Sampling {
     * — computed arithmetically and emitted with one bounded `sequence`
     * explode; no join against the draw list.
     *
-    * Scale shape: the cumulative sum is the one ordered pass (a
-    * range-partitioned window over (orderCol)); everything else is
-    * per-row arithmetic. Weights must be positive longs. Output:
+    * Scale shape: the cumulative sum over the key order is TWO-LEVEL
+    * (the [[Sharding.assignShards]] recipe): the integral key domain
+    * splits into 64 contiguous fixed-width ranges, each range computes
+    * its local prefix sums in parallel (shuffle on the range id), and
+    * the 64 range totals — a broadcast-size aggregate whose own prefix
+    * sum is the only unpartitioned window — turn local prefixes into
+    * global ones. Everything else is per-row arithmetic. `keyCol` must
+    * be integral (the particle index), weights positive longs. Output:
     * (draw, key) — one row per draw j in [0, nDraws), ordered
     * deterministically by the key order.
     */
@@ -172,13 +177,31 @@ object Sampling {
                          nDraws: Int): DataFrame = {
     require(nDraws >= 1)
     import org.apache.spark.sql.expressions.Window
-    val w = df.select(col(keyCol).as("k"), col(weightCol).as("wt"))
+    val w = df.select(col(keyCol).cast("long").as("k"),
+        col(weightCol).as("wt"))
       .filter(col("wt") > 0)
-    val tot = w.agg(sum(col("wt")).as("bigw"))
-    val cum = w.withColumn("cum",
-        sum(col("wt")).over(Window.orderBy("k")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(tot))
+    val tot = w.agg(sum(col("wt")).as("bigw"),
+      min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+    // contiguous range buckets: width = ceil(span / 64) — exact integer
+    // arithmetic, no overflow ((k - kmin) stays within the span)
+    val bucketed = w.crossJoin(broadcast(tot))
+      .withColumn("__width",
+        expr("(kmax - kmin) div 64L + 1L"))
+      .withColumn("__b", expr("(k - kmin) div __width"))
+    val local = Window.partitionBy("__b").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed.withColumn("__cum", sum(col("wt")).over(local))
+    // bucket totals -> exclusive global offset per bucket (≤ 64 rows;
+    // the unpartitioned window here walks the post-aggregate domain)
+    val offsets = withLocal.groupBy("__b")
+      .agg(sum(col("wt")).as("__btot"))
+      .withColumn("__offset",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__offset"))
+    val cum = withLocal.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum", col("__offset") + col("__cum"))
       .withColumn("a", (col("cum") - col("wt")) * lit(2L * nDraws))
       .withColumn("b", col("cum") * lit(2L * nDraws))
       .withColumn("olo", expr("a div bigw + 1"))

@@ -1047,14 +1047,25 @@ object Wave5Queries {
     * rate is integer counts divided once.
     */
   def q150(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.ops.ext.TextAnalysis
     val scored = TextAnalysis.logisticQuality(T(s, dir, "documents"), "text")
       .select(col("doc_id"), col("p_keep"), (col("lang") === "en").as("pos"))
-    scored
+    // ntile(10) from the exact global row number (two-level, no
+    // unpartitioned window): with n = 10q + r, the first r tiles take
+    // q+1 rows, the rest q — the standard SQL NTILE contract
+    val tot = scored.agg(count(lit(1)).as("__n"))
+    graft.ops.ScaleWindows
+      .globalRowNumber(scored, "p_keep", Seq("doc_id"), "__rn")
+      .crossJoin(broadcast(tot))
+      .withColumn("__q", expr("__n div 10L"))
+      .withColumn("__r", expr("__n % 10L"))
       .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("p_keep"), col("doc_id")))
+        when(col("__rn") <= col("__r") * (col("__q") + 1),
+          expr("(__rn - 1) div (__q + 1) + 1"))
+          .otherwise(
+            expr("__r + (__rn - 1 - __r * (__q + 1)) div greatest(__q, 1L) + 1"))
           .cast("long"))
+      .drop("__n", "__rn", "__q", "__r")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         (sum(col("p_keep").cast(DecimalType(18, 6))).cast("double")

@@ -154,9 +154,10 @@ object Wave50Queries {
       .select(col("doc_id"), col("n_tokens"),
         floor(col("nll") * 1e6 + 0.5).cast("long").as("nllq"))
       .persist()
-    val w = Window.orderBy(col("nllq"), col("doc_id"))
-    val ranked = nll.withColumn("rn", row_number().over(w))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // exact rank two-level (ScaleWindows) — no unpartitioned window
+    val ranked = graft.ops.ScaleWindows
+      .globalRowNumber(nll, "nllq", Seq("doc_id"), "rn")
+      .crossJoin(broadcast(nll.agg(count(lit(1)).as("nn"))))
     val tot = nll.agg(count(lit(1)).as("n_all"),
       sum("n_tokens").as("tok_all"))
     val arms = Seq(25, 50, 75).map { pct =>

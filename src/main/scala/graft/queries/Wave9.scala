@@ -201,9 +201,12 @@ object Wave9Queries {
       .withColumn("r", row_number().over(wl).cast("long"))
       .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
     val total = d.agg(count(lit(1)).as("n_total"))
-    val pooled = d.select(col("n_chars").as("norm_chars"),
-      row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long")
-        .as("g"))
+    // pooled rank two-level (ScaleWindows) — the scaladoc's "at scale
+    // this becomes a sketch" caveat no longer needs the exact form to
+    // serialize onto one partition either
+    val pooled = graft.ops.ScaleWindows
+      .globalRowNumber(d, "n_chars", Seq("doc_id"), "g")
+      .select(col("n_chars").as("norm_chars"), col("g"))
     ranked.crossJoin(broadcast(total))
       .withColumn("g",
         expr("(r * n_total + nl - 1) div nl"))
