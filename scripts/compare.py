@@ -14,18 +14,28 @@ import sys
 
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+args = [a for a in sys.argv[1:]
+        if not a.startswith("--only=") and not a.startswith("--json=")]
 only = set()
+json_out = None
 for a in sys.argv[1:]:
     if a.startswith("--only="):
         only = set(a[len("--only="):].split(","))
+    if a.startswith("--json="):
+        json_out = a[len("--json="):]
 sfdir, outdir = args[0], args[1]
 skip = set(args[2].split(",")) if len(args) > 2 else set()
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+import os as _os
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata ships single files; Spark-written scale steps
+    # (benchdata/sf1) are directories of part files
+    src = f"{sfdir}/{t}.parquet"
+    if _os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -43,11 +53,24 @@ def canon(rows, cols):
     return sorted(out), [cols[i] for i in order]
 
 fails = []
+record = {}
 for name in sorted(oracle):
     if only and name not in only:
         continue
     if name in skip:
-        print(f"SKIP {name}")
+        # oracle too expensive at this scale: engine output rows-only
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'"
+            ).fetchone()[0]
+            record[name] = {"status": "rows_only", "rows": n}
+            if n == 0:
+                fails.append(name)
+            print(f"SKIP {name} (rows_only: {n})")
+        except Exception as e:
+            fails.append(name)
+            record[name] = {"status": "fail", "why": f"exception {e}"[:200]}
+            print(f"FAIL {name}: exception {e}")
         continue
     try:
         spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -58,21 +81,27 @@ for name in sorted(oracle):
         orows = orel.fetchall()
     except Exception as e:
         fails.append(name)
+        record[name] = {"status": "fail", "why": f"exception {e}"[:200]}
         print(f"FAIL {name}: exception {e}")
         continue
     sc, scn = canon(srows, scols)
     oc, ocn = canon(orows, ocols)
     if scn != ocn:
         fails.append(name)
+        record[name] = {"status": "fail", "why": f"columns {scn} vs {ocn}"[:200]}
         print(f"FAIL {name}: columns {scn} vs {ocn}")
     elif len(sc) != len(oc):
         fails.append(name)
+        record[name] = {"status": "fail", "why": f"rows {len(sc)} vs {len(oc)}"}
         print(f"FAIL {name}: rows {len(sc)} vs {len(oc)}")
     elif sc != oc:
         fails.append(name)
         diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+        record[name] = {"status": "fail", "why": f"values differ: {diffs}"[:200]}
         print(f"FAIL {name}: values differ, first diffs: {diffs}")
     else:
+        record[name] = {"status": "pass", "rows": len(sc),
+                        "schema_match": True, "hash_match": True}
         print(f"OK   {name}: {len(sc)} rows")
 
 # rows-only queries (no oracle)
@@ -88,5 +117,11 @@ for d in sorted(g.glob(f"{outdir}/q*")):
         fails.append(name)
     print(f"{status} {name}: rows-only, {n} rows")
 
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sfdir, "n": len(record),
+                   "n_pass": sum(1 for v in record.values()
+                                 if v["status"] == "pass"),
+                   "fails": fails, "queries": record}, f, indent=1)
 print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
 sys.exit(1 if fails else 0)

@@ -48,6 +48,33 @@ class Hdf5ExportSpec extends AnyFunSuite {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("array columns export as rank-2 matrices and round-trip exactly") {
+    val dir = freshDir()
+    val df = (1L to 100L)
+      .map(i => (i, Array(i.toFloat, i / 3.0f, -i.toFloat)))
+      .toDF("k", "vec").repartition(2, col("k"))
+    assert(Hdf5Export.write(df, dir) == 2)
+    val back = spark.read.format("hdf5").load(s"$dir/*.h5")
+    assert(back.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, false))
+    val expected = df.select(col("k"),
+      transform(col("vec"), _.cast("double")).as("vec"))
+    assert(back.count() == 100)
+    assert(back.except(expected).isEmpty && expected.except(back).isEmpty)
+  }
+
+  test("ragged array input is rejected") {
+    val dir = freshDir()
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0))).toDF("k", "vec")
+      .coalesce(1)
+    val err = intercept[org.apache.spark.SparkException] {
+      Hdf5Export.write(df, dir)
+    }
+    assert(err.getMessage.contains("ragged") ||
+      String.valueOf(err.getCause).contains("ragged"))
+  }
+
   test("unsupported column types are rejected up front") {
     val dir = freshDir()
     val err = intercept[IllegalArgumentException] {
