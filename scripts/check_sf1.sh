@@ -18,4 +18,5 @@ SKIP=q13_minhash_neardup,q38_simhash_neardup,q44_curation,q46_hybrid_neardup,q53
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Verify $SF1_DIR $OUT $QS"
 python3 scripts/compare.py "$SF1_DIR" "$OUT" "$SKIP" \
-  --only="$QS" --json=CORRECTNESS_sf1.json
+  --only="$QS" --json=CORRECTNESS_sf1.json \
+  --oracle-timeout="${ORACLE_TIMEOUT:-240}"

@@ -235,6 +235,56 @@ object TxLog {
         kept.size, dirs.size)
   }
 
+  /** Snapshot read pruned to the commits whose zone envelope overlaps
+    * [lo, hi] — the range twin of [[readPruned]] (same sidecar, same
+    * no-sidecar always-scan fallback, same empty-frame result when
+    * everything prunes). Returns (frame, dirsScanned, dirsTotal).
+    */
+  def readPrunedRange(spark: SparkSession, table: String, zoneCol: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val f = fs(table)
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val dirs = readEntry(table, v)
+    val kept = dirs.filter { sub =>
+      val zp = zonePath(table, sub)
+      if (!f.exists(zp)) true
+      else {
+        val txt = readString(f, zp)
+        def g(k: String): Long =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        g("min") <= hi && lo <= g("max")
+      }
+    }
+    if (kept.isEmpty) {
+      val schema = spark.read.parquet(s"$table/${dirs.head}").schema
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        0, dirs.size)
+    } else
+      (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
+        kept.size, dirs.size)
+  }
+
+  /** Policy-driven maintenance: compact ONLY when the current snapshot
+    * reads more than `maxDirs` directories (the "too many small
+    * commits" trigger every table format ships as OPTIMIZE). Returns
+    * (dirsBefore, dirsAfter, compacted?) — a no-op when the snapshot is
+    * already within policy, so schedulers can call it unconditionally.
+    */
+  def compactIfNeeded(spark: SparkSession, table: String, maxDirs: Int,
+      targetFiles: Int = 4): (Int, Int, Boolean) = {
+    require(maxDirs >= 1)
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to compact in $table"))
+    val before = readEntry(table, cur).size
+    if (before <= maxDirs) (before, before, false)
+    else {
+      compact(spark, table, targetFiles)
+      (before, 1, true)
+    }
+  }
+
   /** Incremental consumption: the rows ADDED by commits in
     * (fromVersion, toVersion] — i.e. the data directories present in
     * `to`'s snapshot but not in `from`'s. Only valid across APPEND
