@@ -17,6 +17,5 @@ SKIP=q13_minhash_neardup,q38_simhash_neardup,q44_curation,q46_hybrid_neardup,q53
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Verify $SF1_DIR $OUT $QS"
-python3 scripts/compare.py "$SF1_DIR" "$OUT" "$SKIP" \
-  --only="$QS" --json=CORRECTNESS_sf1.json \
-  --oracle-timeout="${ORACLE_TIMEOUT:-240}"
+python3 scripts/check_sf1_run.py "$SF1_DIR" "$OUT" "$SKIP" "$QS" \
+  "${ORACLE_TIMEOUT:-300}"
