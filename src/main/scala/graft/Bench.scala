@@ -209,8 +209,12 @@ object Bench {
           val e2e1b = runE2eIn(sf1Dir, graft.model.ReadOpts())
           val topN = knob("SPARK_GRAFT_SF1_TOP", "25", "50").toInt
           val passes = knob("SPARK_GRAFT_SF1_PASSES", "1", "2").toInt
+          // rank by MIN, not median: with 2 runs the median IS the max,
+          // and a query whose first run built a one-time fixture (q185's
+          // bucketed tables after a testdata regen) would leak into the
+          // tier on its build cost, then post a nonsense sf1 ratio
           val top = results.filter(_._2._1 >= 0)
-            .sortBy { case (_, (_, md, _)) => -md }.take(topN).map(_._1)
+            .sortBy { case (_, (mn, _, _)) => -mn }.take(topN).map(_._1)
           val budgetSec =
             knob("SPARK_GRAFT_SF1_BUDGET_SEC", "600", "2400").toDouble
           val t0 = System.nanoTime()
@@ -272,6 +276,11 @@ object Bench {
       } else "null"
 
     emit(sf1Json)
-    spark.stop()
+    System.out.flush()
+    // hard-exit: the record is on disk and on stdout; JVM/sbt teardown
+    // after a 850-job run measured ~4 minutes of the driver's budget
+    // (context cleaner drain + temp-dir sweeps the shutdown hook redoes
+    // anyway). Exit code 0 is the contract.
+    System.exit(0)
   }
 }
