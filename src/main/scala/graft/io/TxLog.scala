@@ -143,6 +143,42 @@ object TxLog {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Snapshot read with schema merge across commits — the
+    * schema-evolution read: a commit may ADD nullable columns, and the
+    * merged snapshot presents the union schema with nulls where an
+    * older commit predates a column (parquet's mergeSchema semantics
+    * lifted to the commit list). Time travel to a pre-evolution
+    * version still shows the old schema via [[read]].
+    */
+  def readMerged(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val dirs = readEntry(table, v).map(d => s"$table/$d")
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Commit history, newest last: one row per version with its
+    * directory count, how many directories it ADDED vs the previous
+    * version, and whether it was a REWRITE (compaction/merge — the
+    * entry list is not a superset of its predecessor's). Reads only
+    * the O(versions) log, never data — Delta's DESCRIBE HISTORY
+    * equivalent for schedulers and audits.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    val rows = vs.foldLeft(
+      (Seq.empty[(Int, Int, Int, Boolean)], Set.empty[String])) {
+      case ((acc, prev), v) =>
+        val dirs = readEntry(table, v).toSet
+        val added = (dirs diff prev).size
+        val rewrite = prev.nonEmpty && !prev.subsetOf(dirs)
+        (acc :+ ((v, dirs.size, added, rewrite)), dirs)
+    }._1
+    rows.toDF("version", "n_dirs", "dirs_added", "is_rewrite")
+  }
+
   /** Vacuum: delete data directories no snapshot in the kept-version
     * window references (with their zone-map sidecars), and drop the
     * log entries older than the window — the retention step that makes
