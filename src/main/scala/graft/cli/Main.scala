@@ -42,6 +42,7 @@ object Main {
       case "annotate" => annotate(opts)
       case "run" => run(opts)
       case "hdf2parquet" => hdf2parquet(opts)
+      case "parquet2hdf" => parquet2hdf(opts)
       case "profile" => profile(opts)
       case "curate" => curate(opts)
       case "shard" => shard(opts)
@@ -107,6 +108,23 @@ object Main {
     try {
       val df = Hdf5Source.hdf5ToParquet(spark, in, out)
       println(s"$in -> $out (${df.columns.mkString(", ")})")
+    } finally spark.stop()
+  }
+
+  /** Reverse converter: any Spark-readable parquet exports as one HDF5
+    * file per partition (scalar + array<float/double> matrix columns —
+    * [[graft.io.Hdf5Export]]); `--partitions N` resizes first.
+    */
+  private def parquet2hdf(opts: Map[String, String]): Unit = {
+    val in = req(opts, "in")
+    val out = req(opts, "out")
+    val spark = session()
+    try {
+      val base = spark.read.parquet(in)
+      val df = opts.get("partitions").map(_.toInt)
+        .fold(base)(base.repartition(_))
+      val n = graft.io.Hdf5Export.write(df, out)
+      println(s"$in -> $out ($n files; ${df.columns.mkString(", ")})")
     } finally spark.stop()
   }
 
@@ -361,6 +379,7 @@ object Main {
       |  graft.cli.Main annotate --input DIR [--config c.json] [--fields f.json] [--out manifest.json] [--write-back true]
       |  graft.cli.Main run --manifest m.json --data-dir DIR --out DIR [--single-file true]
       |  graft.cli.Main hdf2parquet --in GLOB --out DIR
+      |  graft.cli.Main parquet2hdf --in PARQUET --out DIR [--partitions N]
       |  graft.cli.Main profile --input PARQUET [--approx true] [--keys true]
       |    [--corr a,b,c] [--hist col[:buckets]] [--outliers group:value]
       |    [--gini group:value] [--entropy group:textcol] [--ols group:x:y]
