@@ -59,6 +59,20 @@ for q in qs.split(","):
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+    # a spill-budget/disk exhaustion is the oracle's infeasibility at
+    # this scale, not an engine failure — classify like a timeout
+    if one.get("status") == "fail" and any(t in one.get("why", "") for t in
+            ("No space left", "Could not write file",
+             "temp_directory_size", "Out of Memory")):
+        try:
+            import duckdb
+            n = duckdb.sql(
+                f"SELECT count(*) FROM '{outdir}/{q}/*.parquet'"
+            ).fetchone()[0]
+        except Exception:
+            n = -1
+        one = {"status": "oracle_timeout", "rows": n,
+               "why": "oracle replay exhausted its spill budget"}
     record[q] = one
     fails = dump()  # incremental: a killed run still leaves the artifact
     print(f"{one.get('status','?'):>14} {q}" +

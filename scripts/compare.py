@@ -31,6 +31,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 con = duckdb.connect()
 con.sql("SET temp_directory='/tmp/duckdb_spill'")  # never spill into the repo
+# bound the spill: an oracle that cannot replay in 20 GB of temp at this
+# scale errors out (classified oracle-infeasible) instead of filling the
+# disk (q158's sf1 triangle replay ate 60 GB before dying)
+con.sql("SET max_temp_directory_size='20GB'")
 import os as _os
 for t in TABLES:
     # driver testdata ships single files; Spark-written scale steps
