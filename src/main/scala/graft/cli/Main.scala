@@ -51,8 +51,97 @@ object Main {
       case "diff" => diff(opts)
       case "trainorder" => trainorder(opts)
       case "eval" => eval(opts)
+      case "table" =>
+        if (args.length < 2) { usage(); sys.exit(2) }
+        table(args(1), parseArgs(args.drop(2).toSeq))
       case other => System.err.println(s"unknown command: $other"); usage()
         sys.exit(2)
+    }
+  }
+
+  /** Versioned table-log operations (graft.io.TxLog / TableChecks) —
+    * the lakehouse surface as a CLI: append (optionally zone-mapped /
+    * Bloom-indexed / constraint-gated), snapshot + time-travel reads,
+    * merge-on-read delete, MERGE upsert, history, compaction (plain,
+    * policy, or clustered), and vacuum.
+    */
+  private def table(verb: String, opts: Map[String, String]): Unit = {
+    import graft.io.{TableChecks, TxLog}
+    val spark = session()
+    val t = req(opts, "table")
+    verb match {
+      case "append" =>
+        val df = spark.read.parquet(req(opts, "input"))
+        val files = opts.getOrElse("target-files", "4").toInt
+        val v = (opts.get("zone-col"), opts.get("bloom-col")) match {
+          case (Some(z), _) => TxLog.commitWithZone(spark, t, df, z, files)
+          case (_, Some(b)) => TxLog.commitWithBloom(spark, t, df, b,
+            targetFiles = files)
+          case _ =>
+            val notNull = opts.get("not-null").toSeq
+              .flatMap(_.split(",")).filter(_.nonEmpty)
+            val uniq = opts.get("unique-key")
+              .map(_.split(",").toSeq.filter(_.nonEmpty))
+            val checks = opts.get("check").toSeq.map(c => ("cli", c))
+            if (notNull.nonEmpty || uniq.nonEmpty || checks.nonEmpty)
+              TableChecks.commitChecked(spark, t, df, notNull, checks,
+                uniq, files)
+            else TxLog.commit(spark, t, df, files)
+        }
+        println(s"""{"version":$v}""")
+      case "read" =>
+        val version = opts.get("version").map(_.toInt)
+        val df =
+          if (opts.get("resolved").contains("true"))
+            TxLog.readResolved(spark, t, version)
+          else TxLog.read(spark, t, version)
+        df.write.mode("overwrite").parquet(req(opts, "out"))
+      case "delete" =>
+        val v = TxLog.deleteWhere(spark, t, req(opts, "where"),
+          req(opts, "keys").split(",").toSeq)
+        println(s"""{"version":$v,"delete_vectors":${
+          TxLog.deleteVectorCount(t)}}""")
+      case "merge" =>
+        val v = TxLog.merge(spark, t, spark.read.parquet(req(opts, "input")),
+          req(opts, "keys").split(",").toSeq,
+          opts.getOrElse("target-files", "4").toInt)
+        println(s"""{"version":$v}""")
+      case "history" =>
+        TxLog.history(spark, t).orderBy("version").collect().foreach { r =>
+          println(s"""{"version":${r.getInt(0)},"n_dirs":${r.getInt(1)},""" +
+            s""""dirs_added":${r.getInt(2)},"is_rewrite":${r.getBoolean(3)}}""")
+        }
+      case "compact" =>
+        val v = opts.get("cluster-col") match {
+          case Some(c) => TxLog.compactClustered(spark, t, c,
+            opts.getOrElse("buckets", "16").toInt)
+          case None => opts.get("max-dirs") match {
+            case Some(m) =>
+              val (b, a, did) = TxLog.compactIfNeeded(spark, t, m.toInt,
+                opts.getOrElse("target-files", "4").toInt)
+              println(s"""{"dirs_before":$b,"dirs_after":$a,"compacted":$did}""")
+              return
+            case None => TxLog.compact(spark, t,
+              opts.getOrElse("target-files", "4").toInt)
+          }
+        }
+        println(s"""{"version":$v}""")
+      case "vacuum" =>
+        val n = TxLog.vacuum(t, opts.getOrElse("keep", "1").toInt)
+        println(s"""{"dirs_deleted":$n}""")
+      case "clone" =>
+        val v = TxLog.cloneTable(t, req(opts, "dst"))
+        println(s"""{"version":$v}""")
+      case "analyze" =>
+        TxLog.analyze(spark, t, req(opts, "cols").split(",").toSeq)
+          .orderBy("col_name").collect().foreach { r =>
+            def cell(i: Int): String =
+              if (r.isNullAt(i)) "null" else r.getLong(i).toString
+            println(s"""{"col":"${r.getString(0)}","ndv":${cell(1)},""" +
+              s""""nulls":${cell(2)},"min":${cell(3)},"max":${cell(4)}}""")
+          }
+      case other =>
+        System.err.println(s"unknown table verb: $other"); usage(); sys.exit(2)
     }
   }
 
@@ -399,5 +488,18 @@ object Main {
       |  graft.cli.Main trainorder --input PARQUET --out DIR
       |    [--seed 12345] [--shards 8] [--id-col doc_id]
       |  graft.cli.Main eval --input PARQUET [--vec-col embedding]
-      |    [--id-col vec_id] [--label-col label] [--pos 1]""".stripMargin)
+      |    [--id-col vec_id] [--label-col label] [--pos 1]
+      |  graft.cli.Main table append --table DIR --input PARQUET
+      |    [--zone-col c | --bloom-col c] [--not-null a,b] [--check SQL]
+      |    [--unique-key a,b] [--target-files 4]
+      |  graft.cli.Main table read --table DIR --out DIR [--version N]
+      |    [--resolved true]
+      |  graft.cli.Main table delete --table DIR --where SQL --keys a,b
+      |  graft.cli.Main table merge --table DIR --input PARQUET --keys a,b
+      |  graft.cli.Main table history --table DIR
+      |  graft.cli.Main table compact --table DIR [--cluster-col c
+      |    --buckets 16] [--max-dirs N] [--target-files 4]
+      |  graft.cli.Main table vacuum --table DIR [--keep 1]
+      |  graft.cli.Main table clone --table SRC --dst DST
+      |  graft.cli.Main table analyze --table DIR --cols a,b,c""".stripMargin)
 }

@@ -45,6 +45,28 @@ object TxLog {
   private def fs(table: String): FileSystem =
     new HPath(table).getFileSystem(new Configuration())
 
+  /** A log entry normally lists table-relative directories
+    * (`data/cNNNNN`). A SHALLOW CLONE's entry lists ABSOLUTE
+    * directories of its source table — resolve both.
+    */
+  private def resolveDir(table: String, sub: String): String =
+    if (sub.startsWith("/") || sub.contains("://")) sub else s"$table/$sub"
+
+  /** Sidecar path for a data directory. A table-relative ref keeps its
+    * sidecars in this table's `_log/`; an absolute ref (shallow clone)
+    * resolves against ITS OWN table root — clones inherit the source's
+    * zone/bloom sidecars and keep skipping without copying them.
+    */
+  private def sidecarPath(table: String, sub: String,
+      prefix: String): HPath = {
+    val i = sub.lastIndexOf("/data/")
+    if (i >= 0)
+      new HPath(sub.substring(0, i) + s"/_log/${prefix}_" +
+        sub.substring(i + 6) + ".json")
+    else
+      new HPath(table, sub.replace("data/", s"_log/${prefix}_") + ".json")
+  }
+
   private def logDir(table: String): HPath = new HPath(table, "_log")
 
   private def entryPath(table: String, v: Int): HPath =
@@ -76,15 +98,27 @@ object TxLog {
 
   def currentVersion(table: String): Option[Int] = versions(table).lastOption
 
-  private def readEntry(table: String, v: Int): Seq[String] = {
+  private def readEntry(table: String, v: Int): Seq[String] =
+    readEntryFull(table, v)._1
+
+  /** Full entry parse: (data directories, equality-delete directories).
+    * Entries written before delete support carry no `"dels"` field and
+    * parse as having none — old tables stay readable unchanged.
+    */
+  private def readEntryFull(table: String, v: Int): (Seq[String], Seq[String]) = {
     val txt = readString(fs(table), entryPath(table, v))
-    // minimal parse of {"version":N,"dirs":["...","..."]} — the only
-    // writer is `writeEntry` below, so the shape is fixed
-    val m = raw""""dirs"\s*:\s*\[([^\]]*)\]""".r
-      .findFirstMatchIn(txt)
-      .getOrElse(sys.error(s"malformed log entry v$v for $table"))
-    m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
+    // minimal parse of {"version":N,"dirs":[...],"dels":[...]} — the
+    // only writer is `writeEntry` below, so the shape is fixed
+    def list(key: String, required: Boolean): Seq[String] = {
+      val m = raw""""$key"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      if (m.isEmpty) {
+        if (required) sys.error(s"malformed log entry v$v for $table")
+        Seq.empty
+      } else m.get.group(1).split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }
+    (list("dirs", required = true), list("dels", required = false))
   }
 
   /** Commit the version-`v` entry, or throw [[ConcurrentCommitException]]
@@ -94,11 +128,17 @@ object TxLog {
     * compare after it (POSIX rename() REPLACES silently — the local-FS
     * race a pre-check alone cannot close).
     */
-  private[io] def writeEntry(table: String, v: Int, dirs: Seq[String]): Unit = {
+  private[io] def writeEntry(table: String, v: Int, dirs: Seq[String],
+      dels: Seq[String] = Seq.empty): Unit = {
     val f = fs(table)
     f.mkdirs(logDir(table))
+    // `dels` omitted when empty: entries for delete-free tables keep
+    // the exact pre-delete-support shape (byte-stable history)
+    val delsJson =
+      if (dels.isEmpty) ""
+      else dels.map("\"" + _ + "\"").mkString(""","dels":[""", ",", "]")
     val json = dirs.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$v,"dirs":[""", ",", "]}")
+      .mkString(s"""{"version":$v,"dirs":[""", ",", s"]$delsJson}")
     // writer-unique temp name: two racers must never share a tmp file
     val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.hashCode.toHexString + "-" +
@@ -128,9 +168,11 @@ object TxLog {
     val sub = f"data/c$v%05d"
     df.repartition(targetFiles).write.mode("errorifexists")
       .parquet(s"$table/$sub")
-    val prev = currentVersion(table).map(readEntry(table, _))
-      .getOrElse(Seq.empty)
-    writeEntry(table, v, prev :+ sub)
+    // carry BOTH lists: an append must not drop standing delete
+    // vectors, or merge-on-read deleted rows would resurface
+    val (prevDirs, prevDels) = currentVersion(table)
+      .map(readEntryFull(table, _)).getOrElse((Seq.empty, Seq.empty))
+    writeEntry(table, v, prevDirs :+ sub, prevDels)
     v
   }
 
@@ -139,7 +181,7 @@ object TxLog {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    val dirs = readEntry(table, v).map(d => s"$table/$d")
+    val dirs = readEntry(table, v).map(resolveDir(table, _))
     spark.read.parquet(dirs: _*)
   }
 
@@ -154,8 +196,66 @@ object TxLog {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    val dirs = readEntry(table, v).map(d => s"$table/$d")
+    val dirs = readEntry(table, v).map(resolveDir(table, _))
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Merge-on-read DELETE (equality-delete vectors, the Iceberg
+    * equality-delete idea): rows of the current RESOLVED snapshot
+    * matching `cond` (a SQL predicate) have their `keys`-tuple written
+    * to a tiny `del/dNNNNN` parquet directory, and the new version
+    * lists it alongside the untouched data directories. No data file is
+    * rewritten — a delete costs O(|deleted keys|) bytes, not an O(table)
+    * copy-on-write pass. [[readResolved]] applies the vectors as
+    * broadcast anti joins; [[compact]] materializes them away.
+    *
+    * Semantics note: a delete vector removes EVERY row whose key-tuple
+    * matches (equality-delete semantics). Include enough columns in
+    * `keys` to identify exactly the rows you mean.
+    */
+  def deleteWhere(spark: SparkSession, table: String, cond: String,
+      keys: Seq[String], targetFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to delete from in $table"))
+    val v = cur + 1
+    val sub = f"del/d$v%05d"
+    readResolved(spark, table, Some(cur))
+      .filter(cond).select(keys.map(col): _*).distinct()
+      .repartition(targetFiles)
+      .write.mode("errorifexists").parquet(s"$table/$sub")
+    val (dirs, dels) = readEntryFull(table, cur)
+    writeEntry(table, v, dirs, dels :+ sub)
+    v
+  }
+
+  /** Snapshot read with delete vectors APPLIED — the logical table a
+    * user means. Each vector is anti-joined on its own key columns;
+    * vectors are broadcast (they are small by contract — a table whose
+    * delete set grew data-sized should be [[compact]]ed, which folds
+    * the vectors in and clears them). [[read]] stays the raw physical
+    * read (all rows ever committed, vectors ignored).
+    */
+  def readResolved(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val (dirs, dels) = readEntryFull(table, v)
+    val base = spark.read.parquet(dirs.map(resolveDir(table, _)): _*)
+    dels.foldLeft(base) { (df, sub) =>
+      val vec = spark.read.parquet(resolveDir(table, sub))
+      df.join(broadcast(vec), vec.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Number of delete-vector directories the version's snapshot carries
+    * (0 once a compaction has folded them in).
+    */
+  def deleteVectorCount(table: String, version: Option[Int] = None): Int = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    readEntryFull(table, v)._2.size
   }
 
   /** Commit history, newest last: one row per version with its
@@ -194,17 +294,23 @@ object TxLog {
     val vs = versions(table)
     if (vs.isEmpty) return 0
     val kept = vs.takeRight(keepVersions)
-    val referenced = kept.flatMap(readEntry(table, _)).toSet
-    val dataRoot = new HPath(table, "data")
-    val all =
-      if (!f.exists(dataRoot)) Seq.empty[HPath]
-      else f.listStatus(dataRoot).toSeq.map(_.getPath)
-    val doomed = all.filterNot(p => referenced.contains(s"data/${p.getName}"))
+    val referenced = kept.flatMap { v =>
+      val (dirs, dels) = readEntryFull(table, v)
+      dirs ++ dels
+    }.toSet
+    def unreferenced(root: String): Seq[HPath] = {
+      val r = new HPath(table, root)
+      if (!f.exists(r)) Seq.empty[HPath]
+      else f.listStatus(r).toSeq.map(_.getPath)
+        .filterNot(p => referenced.contains(s"$root/${p.getName}"))
+    }
+    val doomed = unreferenced("data") ++ unreferenced("del")
     doomed.foreach { dir =>
       f.delete(dir, true)
-      // the sidecar of a deleted directory must go with it, or orphan
-      // zone files accumulate forever
+      // the sidecars of a deleted directory must go with it, or orphan
+      // zone/bloom files accumulate forever
       f.delete(zonePath(table, s"data/${dir.getName}"), false)
+      f.delete(bloomPath(table, s"data/${dir.getName}"), false)
     }
     vs.dropRight(keepVersions).foreach(v => f.delete(entryPath(table, v), false))
     doomed.size
@@ -215,7 +321,7 @@ object TxLog {
     * [[commitWithZone]]; consulted by [[readPruned]].
     */
   private def zonePath(table: String, sub: String): HPath =
-    new HPath(table, sub.replace("data/", "_log/zone_") + ".json")
+    sidecarPath(table, sub, "zone")
 
   /** Append `df` as a new commit AND record the zone map of `zoneCol`
     * (a long column) for the new directory — the footer-statistics
@@ -226,15 +332,139 @@ object TxLog {
     */
   def commitWithZone(spark: SparkSession, table: String, df: DataFrame,
       zoneCol: String, targetFiles: Int = 4): Int = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     val v = commit(spark, table, df, targetFiles)
-    val sub = f"data/c$v%05d"
+    writeZone(spark, table, f"data/c$v%05d", zoneCol)
+    v
+  }
+
+  /** Compute and write the zone sidecar of an already-written data
+    * directory (no sidecar when the directory is empty — there is no
+    * envelope to record; the no-sidecar fallback scans it safely).
+    */
+  private def writeZone(spark: SparkSession, table: String, sub: String,
+      zoneCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     val r = spark.read.parquet(s"$table/$sub")
       .agg(smin(col(zoneCol)), smax(col(zoneCol))).head()
     if (!r.isNullAt(0) && !r.isNullAt(1))
       writeString(fs(table), zonePath(table, sub),
         s"""{"col":"$zoneCol","min":${r.getLong(0)},"max":${r.getLong(1)}}""")
+  }
+
+  /** Zone-map-driven partial overwrite (the replaceWhere/dynamic-
+    * partition-overwrite idea, driven by the commit envelopes instead
+    * of a partition column): replace all rows with `zoneCol` in
+    * [lo, hi] by `df`. Commit directories whose zone envelope is
+    * DISJOINT from the range are carried into the new version verbatim
+    * — zero bytes rewritten for untouched data; only overlapping
+    * directories are filtered (rows outside the range kept) and
+    * rewritten. At 100 TB with date-ranged commits, a one-day restate
+    * rewrites one day, not the table. Delete vectors are carried
+    * through unchanged (they keep applying to the carried directories;
+    * a key re-inserted by `df` that an old vector names should be
+    * resolved by [[compact]]ing before the restate — documented
+    * contract). Returns (newVersion, dirsCarried, dirsRewritten).
+    */
+  def replaceRange(spark: SparkSession, table: String, df: DataFrame,
+      zoneCol: String, lo: Long, hi: Long,
+      targetFiles: Int = 4): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val f = fs(table)
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to replace in $table"))
+    val (dirs, dels) = readEntryFull(table, cur)
+    val (carried, touched) = dirs.partition { sub =>
+      val zp = zonePath(table, sub)
+      f.exists(zp) && {
+        val txt = readString(f, zp)
+        def g(k: String): Long =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        g("max") < lo || hi < g("min")
+      }
+    }
+    val v = cur + 1
+    var newDirs = carried
+    if (touched.nonEmpty) {
+      val subRw = f"data/c$v%05d_rw"
+      spark.read.parquet(touched.map(resolveDir(table, _)): _*)
+        .filter(col(zoneCol) < lo || col(zoneCol) > hi)
+        .repartition(targetFiles)
+        .write.mode("errorifexists").parquet(s"$table/$subRw")
+      writeZone(spark, table, subRw, zoneCol)
+      newDirs = newDirs :+ subRw
+    }
+    val subNew = f"data/c$v%05d_new"
+    df.repartition(targetFiles)
+      .write.mode("errorifexists").parquet(s"$table/$subNew")
+    writeZone(spark, table, subNew, zoneCol)
+    writeEntry(table, v, newDirs :+ subNew, dels)
+    (v, carried.size, touched.size)
+  }
+
+  /** Per-commit Bloom sidecar for a STRING key column — the skipping
+    * structure zone maps can't provide (no meaningful min/max order).
+    * Built with Spark's own mergeable sketch
+    * (`DataFrameStatFunctions.bloomFilter`, computed distributed and
+    * merged on the driver), serialized base64 into
+    * `_log/bloom_cNNNNN.json`. [[readPrunedKey]] skips every commit
+    * whose filter says "definitely absent" — no false negatives, so a
+    * skipped commit provably lacks the key; false positives only cost
+    * an extra scan (rate `fpp`).
+    */
+  private def bloomPath(table: String, sub: String): HPath =
+    sidecarPath(table, sub, "bloom")
+
+  def commitWithBloom(spark: SparkSession, table: String, df: DataFrame,
+      keyCol: String, fpp: Double = 1e-6, targetFiles: Int = 4): Int = {
+    val v = commit(spark, table, df, targetFiles)
+    val sub = f"data/c$v%05d"
+    val committed = spark.read.parquet(s"$table/$sub")
+    val n = committed.count()
+    if (n > 0) {
+      val bf = committed.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      writeString(fs(table), bloomPath(table, sub),
+        s"""{"col":"$keyCol","fpp":$fpp,"bits":"$b64"}""")
+    }
     v
+  }
+
+  /** Point read of a string key pruned by the commit Bloom sidecars:
+    * only directories whose filter might contain `value` (or that have
+    * no sidecar — safe fallback) are scanned. Empty-prune returns an
+    * empty frame with the table schema, like [[readPruned]].
+    * Returns (frame, dirsScanned, dirsTotal).
+    */
+  def readPrunedKey(spark: SparkSession, table: String, keyCol: String,
+      value: String): (DataFrame, Int, Int) = {
+    val f = fs(table)
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val dirs = readEntry(table, v)
+    val kept = dirs.filter { sub =>
+      val bp = bloomPath(table, sub)
+      if (!f.exists(bp)) true
+      else {
+        val txt = readString(f, bp)
+        val b64 = raw""""bits":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .get.group(1)
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
+        bf.mightContainString(value)
+      }
+    }
+    if (kept.isEmpty) {
+      val schema =
+        spark.read.parquet(resolveDir(table, dirs.head)).schema
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        0, dirs.size)
+    } else
+      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
+        kept.size, dirs.size)
   }
 
   /** Snapshot read pruned by the commit zone maps: only directories
@@ -263,11 +493,12 @@ object TxLog {
     }
     if (kept.isEmpty) {
       // schema from one footer of the current snapshot — no data read
-      val schema = spark.read.parquet(s"$table/${dirs.head}").schema
+      val schema =
+        spark.read.parquet(resolveDir(table, dirs.head)).schema
       (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         0, dirs.size)
     } else
-      (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
+      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
         kept.size, dirs.size)
   }
 
@@ -294,11 +525,12 @@ object TxLog {
       }
     }
     if (kept.isEmpty) {
-      val schema = spark.read.parquet(s"$table/${dirs.head}").schema
+      val schema =
+        spark.read.parquet(resolveDir(table, dirs.head)).schema
       (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         0, dirs.size)
     } else
-      (spark.read.parquet(kept.map(d => s"$table/$d"): _*),
+      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
         kept.size, dirs.size)
   }
 
@@ -334,7 +566,7 @@ object TxLog {
     val added = readEntry(table, toVersion).filterNot(before)
     require(added.nonEmpty,
       s"no appended data between v$fromVersion and v$toVersion")
-    spark.read.parquet(added.map(d => s"$table/$d"): _*)
+    spark.read.parquet(added.map(resolveDir(table, _)): _*)
   }
 
   /** Copy-on-write MERGE (upsert): rows of the current snapshot whose
@@ -349,16 +581,155 @@ object TxLog {
       .getOrElse(sys.error(s"nothing to merge into in $table"))
     val v = cur + 1
     val sub = f"data/c$v%05d"
-    val kept = read(spark, table, Some(cur)).join(updates, keys, "left_anti")
+    // merge operates on the RESOLVED view (delete vectors applied) and
+    // its rewrite folds them in — the new entry carries none
+    val kept = readResolved(spark, table, Some(cur))
+      .join(updates, keys, "left_anti")
     kept.unionByName(updates).repartition(targetFiles)
       .write.mode("errorifexists").parquet(s"$table/$sub")
     writeEntry(table, v, Seq(sub))
     v
   }
 
+  /** Clustered compaction (the 1-D core of OPTIMIZE ... ZORDER):
+    * rewrite the resolved snapshot into up to `buckets` RANGE-DISJOINT
+    * directories split at exact quantiles of `zoneCol` (a long column),
+    * each with its own zone sidecar — after it, a point/range read
+    * prunes to the one bucket that can hold the value, even when the
+    * original commits all straddled the full range. Split points come
+    * from the distinct-value histogram's prefix sums (the window runs
+    * over the O(|domain|) aggregate, never row-scale); the data moves
+    * ONCE through a single partitionBy write, then the bucket
+    * directories are renamed into the commit and the swap is one log
+    * entry. Values are never split across buckets, so bucket envelopes
+    * are disjoint by construction. Delete vectors are folded in (the
+    * new entry carries none). Returns the new version.
+    */
+  def compactClustered(spark: SparkSession, table: String, zoneCol: String,
+      buckets: Int): Int = {
+    import org.apache.spark.sql.functions.{col, count, floor,
+      least, lit, sum}
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1)
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"nothing to compact in $table"))
+    val v = cur + 1
+    val snap = readResolved(spark, table, Some(cur))
+    val total = snap.count()
+    require(total > 0, s"cannot cluster an empty snapshot of $table")
+    val hist = snap.groupBy(col(zoneCol).cast("long").as("__z"))
+      .agg(count(lit(1)).as("__c"))
+    val zb = hist
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("__z")))
+      .select(col("__z"), least(lit(buckets - 1L),
+        floor((col("__cum") - col("__c")) * buckets / lit(total)))
+        .cast("int").as("__b"))
+    val tmp = new HPath(table, s".clustered_v$v")
+    // no forced broadcast: the value→bucket map is O(|domain|), which a
+    // high-cardinality zone column can make data-sized — AQE picks the
+    // join strategy from its actual size
+    snap.join(zb, snap(zoneCol).cast("long") <=> zb("__z"))
+      .drop("__z")
+      .repartition(buckets, col("__b")).sortWithinPartitions(zoneCol)
+      .write.mode("errorifexists").partitionBy("__b").parquet(tmp.toString)
+    val f = fs(table)
+    val subs = f.listStatus(tmp).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__b=")).sortBy(_.stripPrefix("__b=").toInt)
+      .map { n =>
+        val sub = f"data/c$v%05d_b${n.stripPrefix("__b=").toInt}%02d"
+        f.rename(new HPath(tmp, n), new HPath(table, sub))
+        writeZone(spark, table, sub, zoneCol)
+        sub
+      }
+    f.delete(tmp, true)
+    writeEntry(table, v, subs)
+    v
+  }
+
+  /** SHALLOW CLONE: create `dst` as a new table whose v1 entry lists
+    * the SOURCE's current data (and delete-vector) directories by
+    * absolute path — zero data bytes copied, like Delta's SHALLOW
+    * CLONE. The clone inherits the source's zone/bloom sidecars (they
+    * resolve against the ref's own table root), diverges independently
+    * on append/delete/merge, and MATERIALIZES (drops all source refs)
+    * on any compaction. Retention is per-table: vacuuming the SOURCE
+    * can reclaim directories a live clone still references — compact
+    * the clone first (the same caveat shallow clones carry in every
+    * table format).
+    */
+  def cloneTable(src: String, dst: String): Int = {
+    val cur = currentVersion(src)
+      .getOrElse(sys.error(s"nothing to clone in $src"))
+    require(currentVersion(dst).isEmpty, s"$dst already has a log")
+    val (dirs, dels) = readEntryFull(src, cur)
+    writeEntry(dst, 1, dirs.map(resolveDir(src, _)),
+      dels.map(resolveDir(src, _)))
+    1
+  }
+
+  /** ANALYZE: compute per-column statistics of the current RESOLVED
+    * snapshot — exact distinct count, null count, and (min, max) as
+    * longs — in ONE distributed aggregation pass, persist them as an
+    * O(columns) sidecar (`_log/stats_vNNNNN.json`) tied to the version,
+    * and return the stats frame. [[readStats]] serves them back without
+    * touching data — the input a cost-based planner or a layout advisor
+    * reads. Columns must cast to long (the engine's stats domain, like
+    * the zone maps); nulls in min/max (all-null column) are recorded as
+    * JSON null.
+    */
+  def analyze(spark: SparkSession, table: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count_distinct, lit, max,
+      min, sum, when}
+    require(cols.nonEmpty)
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val df = readResolved(spark, table, Some(v))
+    val aggs = cols.flatMap(c => Seq(
+      count_distinct(col(c)).as(s"ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def cell(i: Int): String = if (r.isNullAt(i)) "null" else r.getLong(i).toString
+    val json = cols.zipWithIndex.map { case (c, k) =>
+      val b = 4 * k
+      s"""{"col":"$c","ndv":${cell(b)},"nulls":${cell(b + 1)},""" +
+        s""""min":${cell(b + 2)},"max":${cell(b + 3)}}"""
+    }.mkString(s"""{"version":$v,"stats":[""", ",", "]}")
+    val p = new HPath(table, f"_log/stats_v$v%05d.json")
+    val f = fs(table)
+    f.delete(p, false) // re-ANALYZE of the same version replaces
+    writeString(f, p, json)
+    readStats(spark, table, Some(v))
+  }
+
+  /** Serve the ANALYZE sidecar of a version (default: the newest
+    * version that has one) as a frame — no data read.
+    */
+  def readStats(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val f = fs(table)
+    val v = version.orElse(
+      versions(table).reverse.find(v =>
+        f.exists(new HPath(table, f"_log/stats_v$v%05d.json"))))
+      .getOrElse(sys.error(s"no ANALYZE sidecar in $table"))
+    val txt = readString(f, new HPath(table, f"_log/stats_v$v%05d.json"))
+    val one = raw"""\{"col":"([^"]+)","ndv":(null|-?\d+),"nulls":(null|-?\d+),"min":(null|-?\d+),"max":(null|-?\d+)\}""".r
+    def opt(s: String): Option[Long] =
+      if (s == "null") None else Some(s.toLong)
+    one.findAllMatchIn(txt).map { m =>
+      (m.group(1), opt(m.group(2)), opt(m.group(3)), opt(m.group(4)),
+        opt(m.group(5)))
+    }.toSeq.toDF("col_name", "ndv", "n_nulls", "min_v", "max_v")
+  }
+
   /** Rewrite the CURRENT snapshot into one fresh directory (the
-    * small-file compaction) and commit the swap; row set is unchanged
-    * (same data, new layout), old versions stay readable.
+    * small-file compaction) and commit the swap; the LOGICAL row set is
+    * unchanged (delete vectors are materialized away and the new entry
+    * carries none — merge-on-read debt is paid here), old versions stay
+    * readable.
     */
   def compact(spark: SparkSession, table: String,
       targetFiles: Int = 4): Int = {
@@ -366,7 +737,7 @@ object TxLog {
       .getOrElse(sys.error(s"nothing to compact in $table"))
     val v = cur + 1
     val sub = f"data/c$v%05d"
-    read(spark, table, Some(cur)).repartition(targetFiles)
+    readResolved(spark, table, Some(cur)).repartition(targetFiles)
       .write.mode("errorifexists").parquet(s"$table/$sub")
     writeEntry(table, v, Seq(sub))
     v

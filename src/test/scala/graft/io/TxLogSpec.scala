@@ -150,4 +150,200 @@ class TxLogSpec extends AnyFunSuite {
     // the table stays consistent: v2 resolves to the winner's list
     assert(TxLog.read(spark, t, Some(2)).count() == 2)
   }
+
+  test("equality deletes are merge-on-read; compaction folds them in") {
+    val t = freshTable()
+    TxLog.commit(spark, t, (1L to 10L).toDF("x"), targetFiles = 1)
+    TxLog.commit(spark, t, (11L to 20L).toDF("x"), targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "x % 2 = 0", Seq("x"))
+    // physical read keeps every committed row; resolved applies the vector
+    assert(TxLog.read(spark, t).count() == 20)
+    assert(TxLog.readResolved(spark, t).count() == 10)
+    assert(TxLog.deleteVectorCount(t) == 1)
+    // second vector stacks on the resolved view
+    TxLog.deleteWhere(spark, t, "x > 15", Seq("x"))
+    assert(TxLog.readResolved(spark, t)
+      .agg(sum("x")).head().getLong(0) == Seq(1L, 3, 5, 7, 9, 11, 13, 15).sum)
+    assert(TxLog.deleteVectorCount(t) == 2)
+    // time travel to the pre-delete version resolves with no vectors
+    assert(TxLog.readResolved(spark, t, Some(2)).count() == 20)
+    // compaction materializes the logical set and clears the vectors
+    TxLog.compact(spark, t, targetFiles = 1)
+    assert(TxLog.deleteVectorCount(t) == 0)
+    assert(TxLog.read(spark, t).count() == 8)
+  }
+
+  test("an append after a delete carries the standing vectors") {
+    val t = freshTable()
+    TxLog.commit(spark, t, (1L to 10L).toDF("x"), targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "x <= 3", Seq("x"))
+    TxLog.commit(spark, t, (11L to 12L).toDF("x"), targetFiles = 1)
+    // deleted 1..3 must NOT resurface through the append's entry
+    assert(TxLog.deleteVectorCount(t) == 1)
+    assert(TxLog.readResolved(spark, t).count() == 9)
+  }
+
+  test("merge resolves delete vectors before upserting") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "k = 2", Seq("k"))
+    TxLog.merge(spark, t, Seq((3L, "C")).toDF("k", "v"), Seq("k"))
+    val rows = TxLog.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the deleted k=2 must NOT resurface through the merge rewrite
+    assert(rows == Seq((1L, "a"), (3L, "C")))
+    assert(TxLog.deleteVectorCount(t) == 0)
+  }
+
+  test("vacuum reclaims unreferenced delete-vector directories") {
+    val t = freshTable()
+    TxLog.commit(spark, t, (1L to 4L).toDF("x"), targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "x = 1", Seq("x"))
+    TxLog.compact(spark, t, targetFiles = 1)
+    // kept window = the compacted snapshot only: old data dir + del dir go
+    assert(TxLog.vacuum(t, keepVersions = 1) == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(t, "del", "d00002")))
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+
+  test("replaceRange carries disjoint commits and rewrites overlaps") {
+    val t = freshTable()
+    TxLog.commitWithZone(spark, t,
+      Seq((1L, 10L), (2L, 25L)).toDF("x", "z"), "z", targetFiles = 1)
+    TxLog.commitWithZone(spark, t,
+      Seq((3L, 40L), (4L, 45L)).toDF("x", "z"), "z", targetFiles = 1)
+    val (v, carried, rewritten) = TxLog.replaceRange(spark, t,
+      Seq((9L, 22L)).toDF("x", "z"), "z", 20L, 30L, targetFiles = 1)
+    assert((v, carried, rewritten) == (3, 1, 1))
+    val rows = TxLog.read(spark, t).orderBy("z").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (9L, 22L), (3L, 40L), (4L, 45L)))
+    // the carried commit's bytes are the SAME files (zero rewritten)
+    assert(TxLog.read(spark, t).select(input_file_name().as("f"))
+      .distinct().count() == 3)
+    // time travel: pre-restate snapshot intact
+    assert(TxLog.read(spark, t, Some(2)).count() == 4)
+  }
+
+  test("bloom sidecars skip commits that cannot hold the key") {
+    val t = freshTable()
+    TxLog.commitWithBloom(spark, t,
+      Seq(("alpha", 1L), ("beta", 2L)).toDF("k", "v"), "k", targetFiles = 1)
+    TxLog.commitWithBloom(spark, t,
+      Seq(("gamma", 3L), ("delta", 4L)).toDF("k", "v"), "k", targetFiles = 1)
+    val (df, scanned, total) = TxLog.readPrunedKey(spark, t, "k", "gamma")
+    assert(total == 2 && scanned >= 1 && scanned <= 2)
+    assert(df.filter(col("k") === "gamma").count() == 1)
+    // a key in no commit: overwhelmingly likely both prune (fpp 1e-6);
+    // the contract we PIN is no false negatives + typed empty frame
+    val (df2, scanned2, _) = TxLog.readPrunedKey(spark, t, "k", "omega")
+    assert(df2.filter(col("k") === "omega").count() == 0)
+    assert(scanned2 <= 2)
+    if (scanned2 == 0) assert(df2.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("clustered compaction yields range-disjoint zone-mapped buckets") {
+    val t = freshTable()
+    // interleaved commits: every commit straddles the full z range
+    TxLog.commitWithZone(spark, t,
+      Seq((1L, 1L), (2L, 50L), (3L, 99L)).toDF("x", "z"), "z", targetFiles = 1)
+    TxLog.commitWithZone(spark, t,
+      Seq((4L, 2L), (5L, 51L), (6L, 98L)).toDF("x", "z"), "z", targetFiles = 1)
+    val (_, preScan, _) = TxLog.readPruned(spark, t, "z", 50L)
+    assert(preScan == 2, "interleaved layout defeats zone maps")
+    val v = TxLog.compactClustered(spark, t, "z", buckets = 3)
+    assert(v == 3)
+    // row set preserved, point read prunes to one bucket
+    assert(TxLog.read(spark, t).count() == 6)
+    val (df, postScan, postTotal) = TxLog.readPruned(spark, t, "z", 50L)
+    assert((postScan, postTotal) == (1, 3))
+    assert(df.filter(col("z") === 50L).head().getLong(0) == 2L)
+    // a value is never split: all copies of z=51 in the same bucket dir
+    assert(TxLog.read(spark, t).filter(col("z") === 51L)
+      .select(input_file_name()).distinct().count() == 1)
+    // delete vectors are folded in by the clustered rewrite
+    TxLog.deleteWhere(spark, t, "z = 99", Seq("z"))
+    TxLog.compactClustered(spark, t, "z", buckets = 2)
+    assert(TxLog.deleteVectorCount(t) == 0)
+    assert(TxLog.read(spark, t).count() == 5)
+  }
+
+  test("shallow clone copies zero bytes and diverges independently") {
+    val root = Files.createTempDirectory("graft_txlog")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    TxLog.commitWithZone(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("x", "z"), "z", targetFiles = 1)
+    assert(TxLog.cloneTable(src, dst) == 1)
+    // zero-copy: the clone has NO local data at clone time
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "data")))
+    assert(TxLog.read(spark, dst).count() == 2)
+    // the clone inherits the source's zone sidecars through abs refs
+    val (_, scanned, total) = TxLog.readPruned(spark, dst, "z", 10L)
+    assert((scanned, total) == (1, 1))
+    // divergence: mutate the clone, source untouched
+    TxLog.commit(spark, dst, Seq((3L, 30L)).toDF("x", "z"), targetFiles = 1)
+    TxLog.deleteWhere(spark, dst, "x = 1", Seq("x"))
+    assert(TxLog.readResolved(spark, dst).count() == 2)
+    assert(TxLog.read(spark, src).count() == 2)
+    assert(TxLog.versions(src) == Seq(1))
+    // compaction materializes: all refs become local, source still clean
+    TxLog.compact(spark, dst, targetFiles = 1)
+    assert(Files.exists(java.nio.file.Paths.get(dst, "data")))
+    assert(TxLog.read(spark, dst).count() == 2)
+    // a second clone into an existing log must refuse
+    intercept[RuntimeException] { TxLog.cloneTable(src, dst) }
+  }
+
+  test("analyze persists exact resolved-snapshot stats; readStats serves them") {
+    val t = freshTable()
+    TxLog.commit(spark, t,
+      Seq((1L, Some(10L)), (2L, None), (2L, Some(30L))).toDF("k", "v"),
+      targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "k = 1", Seq("k"))
+    TxLog.analyze(spark, t, Seq("k", "v"))
+    val got = TxLog.readStats(spark, t).orderBy("col_name").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // resolved snapshot = rows with k=2 only: (2, null), (2, 30)
+    assert(got == Seq(("k", 1L, 0L, 2L, 2L), ("v", 1L, 1L, 30L, 30L)))
+  }
+
+  test("layout advisor ranks the tightly-sliced candidate first") {
+    // slice by s: 'good' has width 2 per slice (sum 6, global 30);
+    // 'bad' straddles [0, 100] in every slice (sum 303, global 101)
+    val df = Seq(
+      (0L, 0L, 0L), (0L, 1L, 100L),
+      (1L, 10L, 0L), (1L, 11L, 100L),
+      (2L, 28L, 0L), (2L, 29L, 100L)).toDF("s", "good", "bad")
+    val rows = LayoutAdvisor.advise(df, col("s"), Seq("bad", "good"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("good", 6L, 30L, 3L), ("bad", 303L, 101L, 3L)))
+  }
+
+  test("constraint-gated commit rejects atomically; clean frame lands") {
+    val t = freshTable()
+    val dirty = Seq((1L, "a"), (2L, null: String), (2L, "c"), (3L, "d"))
+      .toDF("k", "name")
+    val audit = TableChecks.audit(dirty, Seq("name"),
+      Seq(("k_positive", "k > 0")), Some(Seq("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit == Map("not_null_name" -> 1L, "check_k_positive" -> 0L,
+      "unique_k" -> 1L))
+    intercept[TableChecks.ConstraintViolationException] {
+      TableChecks.commitChecked(spark, t, dirty, notNull = Seq("name"),
+        uniqueKey = Some(Seq("k")))
+    }
+    assert(TxLog.versions(t).isEmpty, "rejected commit must not create a version")
+    val v = TableChecks.commitChecked(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"),
+      notNull = Seq("name"), checks = Seq(("k_positive", "k > 0")),
+      uniqueKey = Some(Seq("k")), targetFiles = 1)
+    assert(v == 1 && TxLog.read(spark, t).count() == 2)
+  }
 }
