@@ -313,6 +313,27 @@ class TxLogSpec extends AnyFunSuite {
     assert(got == Seq(("k", 1L, 0L, 2L, 2L), ("v", 1L, 1L, 30L, 30L)))
   }
 
+  test("layout advisor handles one slice and constant candidates") {
+    val df = Seq((0L, 7L, 1L), (0L, 7L, 9L)).toDF("s", "const", "spread")
+    val rows = LayoutAdvisor.advise(df, col("s"), Seq("spread", "const"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // constant column: width 1 everywhere (perfectly clustered, trivially)
+    assert(rows == Seq(("const", 1L, 1L, 1L), ("spread", 9L, 9L, 1L)))
+  }
+
+  test("clustered compaction into more buckets than distinct values") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq((1L, 5L), (2L, 5L), (3L, 9L)).toDF("x", "z"),
+      targetFiles = 1)
+    // 2 distinct z values, 8 requested buckets: only non-empty bucket
+    // dirs are committed, and the row set is intact
+    TxLog.compactClustered(spark, t, "z", buckets = 8)
+    assert(TxLog.read(spark, t).count() == 3)
+    val (_, scanned, total) = TxLog.readPruned(spark, t, "z", 9L)
+    assert(scanned == 1 && total <= 8)
+  }
+
   test("layout advisor ranks the tightly-sliced candidate first") {
     // slice by s: 'good' has width 2 per slice (sum 6, global 30);
     // 'bad' straddles [0, 100] in every slice (sum 303, global 101)
