@@ -569,6 +569,29 @@ object TxLog {
     spark.read.parquet(added.map(resolveDir(table, _)): _*)
   }
 
+  /** Row-level diff between two versions, as a CDC frame: the rows of
+    * `to`'s RESOLVED snapshot absent from `from`'s (`change = 'insert'`)
+    * plus the rows of `from`'s absent from `to`'s (`change = 'delete'`)
+    * — Delta's `table_changes` semantics recovered for ANY version pair,
+    * including across rewrites (MERGE/compaction), where the append-only
+    * [[readChanges]] contract does not apply. An update surfaces as its
+    * delete + insert pair. Cost is two anti joins over the two
+    * snapshots — shuffle-heavy but single-pass, the honest price of a
+    * content diff; incremental consumers should prefer [[readChanges]]
+    * between append-only versions and fall back to this across
+    * `is_rewrite` steps (see [[history]]).
+    */
+  def diff(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = readResolved(spark, table, Some(fromVersion))
+    val b = readResolved(spark, table, Some(toVersion))
+    val cols = a.columns.toSeq
+    b.join(a, cols, "left_anti").withColumn("change", lit("insert"))
+      .unionByName(
+        a.join(b, cols, "left_anti").withColumn("change", lit("delete")))
+  }
+
   /** Copy-on-write MERGE (upsert): rows of the current snapshot whose
     * `keys` match a row in `updates` are REPLACED by the update row;
     * everything else is carried over. One anti join + one rewrite into
