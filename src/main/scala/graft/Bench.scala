@@ -169,23 +169,26 @@ object Bench {
       ("e2e_sample_inference" -> e2eSample))
     val qsMed = obj(results.map { case (k, (_, md, _)) => k -> md })
     val qsLoad = obj(results.map { case (k, (_, _, la)) => k -> la })
-    def fullLine(sf1Json: String): String =
-      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_median":$qsMed,"queries_loadavg":$qsLoad,"errors":$errors,"loadavg_start":$loadStart,"loadavg_at_timing_start":$loadTimingStart,"quiet_wait_sec":$quietWait,"loadavg_end":$loadEnd,"sf":"$sfName","sf1":$sf1Json}"""
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = obj(results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
       .map { case (k, (mn, _, _)) => k -> r3(mn) })
-    def headline(sf1Json: String): String =
-      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","sf":"$sfName","n_queries":${results.size},"errors":$errors,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"queries_file":"${Paths.get("bench_full.json").toAbsolutePath}","slowest_min_sec":$slowest,"sf1":$sf1Json}"""
-    // The full line is ~10 KB with 400+ queries — longer than a log-tail
-    // capture can hold. Persist it to a file, print it for whole-log
-    // readers, and make the LAST stdout line a compact headline record
-    // that survives any tail truncation (round-3's bench artifact was
-    // lost mid-map to exactly this).
+    def fullLine(sf1Json: String): String =
+      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_median":$qsMed,"queries_loadavg":$qsLoad,"errors":$errors,"loadavg_start":$loadStart,"loadavg_at_timing_start":$loadTimingStart,"quiet_wait_sec":$quietWait,"loadavg_end":$loadEnd,"sf":"$sfName","slowest_min_sec":$slowest,"sf1":$sf1Json}"""
+    // FINAL-LINE CONTRACT (round-8 lesson — BENCH_r08.json was rc:0 but
+    // parsed:null): the LAST stdout line must be the minimal r6-shaped
+    // object {metric,value,unit,sf,n_queries,errors} — the exact shape
+    // the driver parsed in rounds 4–6. Everything else (per-query
+    // timings, slowest list, the whole sf1 section) lives ONLY in
+    // bench_full.json and in the full line printed EARLIER in the log;
+    // the headline stays a one-short-line record that survives any
+    // tail truncation and any trailing build-tool epilogue.
+    def headline: String =
+      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","sf":"$sfName","n_queries":${results.size},"errors":$errors}"""
     val fullPath = Paths.get("bench_full.json").toAbsolutePath
     def emit(sf1Json: String): Unit = {
       Files.writeString(fullPath, fullLine(sf1Json) + "\n")
       println(fullLine(sf1Json))
-      println(headline(sf1Json))
+      println(headline)
     }
     // INCREMENTAL FLUSH: a parseable record exists from this point on —
     // a timeout inside the sf1 section can no longer cost the artifact.
@@ -207,7 +210,10 @@ object Bench {
           BenchData.ensureScaled(spark, sfDir, sf1Dir, factor = 10)
           val e2e1a = runE2eIn(sf1Dir, graft.model.ReadOpts())
           val e2e1b = runE2eIn(sf1Dir, graft.model.ReadOpts())
-          val topN = knob("SPARK_GRAFT_SF1_TOP", "25", "50").toInt
+          // driver tier widened 25 → 50 (round-8 verdict task 6): with
+          // the sf1 blob out of the headline the parse risk is gone and
+          // the 600 s budget guard below still truncates, never overruns
+          val topN = knob("SPARK_GRAFT_SF1_TOP", "50", "50").toInt
           val passes = knob("SPARK_GRAFT_SF1_PASSES", "1", "2").toInt
           // rank by MIN, not median: with 2 runs the median IS the max,
           // and a query whose first run built a one-time fixture (q185's

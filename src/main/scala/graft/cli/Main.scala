@@ -73,20 +73,31 @@ object Main {
       case "append" =>
         val df = spark.read.parquet(req(opts, "input"))
         val files = opts.getOrElse("target-files", "4").toInt
+        val notNull = opts.get("not-null").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+        val uniq = opts.get("unique-key")
+          .map(_.split(",").toSeq.filter(_.nonEmpty))
+        val checks = opts.get("check").toSeq.map(c => ("cli", c))
+        // constraints compose with indexing: the audit gates FIRST (a
+        // violation aborts before any bytes land), then the chosen
+        // commit flavor runs — previously --zone-col/--bloom-col
+        // silently ignored the constraint flags (round-8 advice)
+        if (notNull.nonEmpty || uniq.nonEmpty || checks.nonEmpty) {
+          val bad = TableChecks.audit(df, notNull, checks, uniq)
+            .filter(org.apache.spark.sql.functions.col("violations") > 0)
+            .collect()
+          if (bad.nonEmpty) {
+            System.err.println(bad.map(r =>
+              s"${r.getString(0)}=${r.getLong(1)}").mkString(
+              s"constraint violations rejected append to $t: ", ", ", ""))
+            sys.exit(3)
+          }
+        }
         val v = (opts.get("zone-col"), opts.get("bloom-col")) match {
           case (Some(z), _) => TxLog.commitWithZone(spark, t, df, z, files)
           case (_, Some(b)) => TxLog.commitWithBloom(spark, t, df, b,
             targetFiles = files)
-          case _ =>
-            val notNull = opts.get("not-null").toSeq
-              .flatMap(_.split(",")).filter(_.nonEmpty)
-            val uniq = opts.get("unique-key")
-              .map(_.split(",").toSeq.filter(_.nonEmpty))
-            val checks = opts.get("check").toSeq.map(c => ("cli", c))
-            if (notNull.nonEmpty || uniq.nonEmpty || checks.nonEmpty)
-              TableChecks.commitChecked(spark, t, df, notNull, checks,
-                uniq, files)
-            else TxLog.commit(spark, t, df, files)
+          case _ => TxLog.commit(spark, t, df, files)
         }
         println(s"""{"version":$v}""")
       case "read" =>
@@ -109,7 +120,8 @@ object Main {
       case "history" =>
         TxLog.history(spark, t).orderBy("version").collect().foreach { r =>
           println(s"""{"version":${r.getInt(0)},"n_dirs":${r.getInt(1)},""" +
-            s""""dirs_added":${r.getInt(2)},"is_rewrite":${r.getBoolean(3)}}""")
+            s""""dirs_added":${r.getInt(2)},"is_rewrite":${r.getBoolean(3)},""" +
+            s""""dels_added":${r.getInt(4)}}""")
         }
       case "compact" =>
         val v = opts.get("cluster-col") match {

@@ -176,6 +176,46 @@ object TxLog {
     v
   }
 
+  /** Append with RETRY-REBASE — the commuting-commit path a real
+    * multi-writer lake needs on top of [[commit]]'s detect-and-throw:
+    * an append's data directory is written ONCE under a writer-unique
+    * name (never the version-named `cNNNNN` two racers would collide
+    * on), then the log entry is attempted against the current head; on
+    * a lost race the entry — not the data — is REBASED onto the new
+    * head (its dirs/dels plus ours) and retried. An append commutes
+    * with any concurrent commit (its rows are new and its directory is
+    * untouched by the other writer's list edit), so the rebase is
+    * always semantically safe; after `maxRetries` consecutive lost
+    * races the last [[ConcurrentCommitException]] propagates. Returns
+    * the version that actually landed.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      targetFiles: Int = 4, maxRetries: Int = 10): Int = {
+    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.hashCode.toHexString + "-" +
+      Thread.currentThread().getId.toHexString + "-" +
+      System.nanoTime().toHexString
+    val sub = s"data/a$nonce"
+    df.repartition(targetFiles).write.mode("errorifexists")
+      .parquet(s"$table/$sub")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val v = cur.getOrElse(0) + 1
+      val (prevDirs, prevDels) = cur.map(readEntryFull(table, _))
+        .getOrElse((Seq.empty[String], Seq.empty[String]))
+      try {
+        writeEntry(table, v, prevDirs :+ sub, prevDels)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Snapshot read — latest version, or time travel to `version`. */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
@@ -229,24 +269,36 @@ object TxLog {
     v
   }
 
+  /** Apply the version's standing delete vectors to `df` as broadcast
+    * anti joins. NULL-SAFE equality (`<=>`) on every key column — a
+    * plain equality anti join never matches a row whose key tuple
+    * contains a NULL, so such a row would be written into the vector
+    * and then silently never removed (the round-8 advice finding).
+    */
+  private def applyDels(spark: SparkSession, table: String,
+      dels: Seq[String], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    dels.foldLeft(df) { (d, sub) =>
+      val vec = spark.read.parquet(resolveDir(table, sub))
+      val cond = vec.columns.map(c => d(c) <=> vec(c)).reduce(_ && _)
+      d.join(broadcast(vec), cond, "left_anti")
+    }
+  }
+
   /** Snapshot read with delete vectors APPLIED — the logical table a
-    * user means. Each vector is anti-joined on its own key columns;
-    * vectors are broadcast (they are small by contract — a table whose
-    * delete set grew data-sized should be [[compact]]ed, which folds
-    * the vectors in and clears them). [[read]] stays the raw physical
-    * read (all rows ever committed, vectors ignored).
+    * user means. Each vector is anti-joined (null-safely) on its own
+    * key columns; vectors are broadcast (they are small by contract — a
+    * table whose delete set grew data-sized should be [[compact]]ed,
+    * which folds the vectors in and clears them). [[read]] stays the
+    * raw physical read (all rows ever committed, vectors ignored).
     */
   def readResolved(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val v = version.orElse(currentVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val (dirs, dels) = readEntryFull(table, v)
     val base = spark.read.parquet(dirs.map(resolveDir(table, _)): _*)
-    dels.foldLeft(base) { (df, sub) =>
-      val vec = spark.read.parquet(resolveDir(table, sub))
-      df.join(broadcast(vec), vec.columns.toSeq, "left_anti")
-    }
+    applyDels(spark, table, dels, base)
   }
 
   /** Number of delete-vector directories the version's snapshot carries
@@ -269,14 +321,23 @@ object TxLog {
     import spark.implicits._
     val vs = versions(table)
     val rows = vs.foldLeft(
-      (Seq.empty[(Int, Int, Int, Boolean)], Set.empty[String])) {
-      case ((acc, prev), v) =>
-        val dirs = readEntry(table, v).toSet
+      (Seq.empty[(Int, Int, Int, Boolean, Int)],
+        Set.empty[String], Set.empty[String])) {
+      case ((acc, prev, prevDels), v) =>
+        val (dirsL, delsL) = readEntryFull(table, v)
+        val (dirs, dels) = (dirsL.toSet, delsL.toSet)
         val added = (dirs diff prev).size
         val rewrite = prev.nonEmpty && !prev.subsetOf(dirs)
-        (acc :+ ((v, dirs.size, added, rewrite)), dirs)
+        // delete vectors added by this version: a merge-on-read DELETE
+        // has dirs_added = 0 and is_rewrite = false, so without this
+        // column a change-feed consumer folding readChanges would
+        // silently miss it (round-8 advice finding). MV-consumer
+        // contract: resync on `is_rewrite OR dels_added > 0`.
+        val delsAdded = (dels diff prevDels).size
+        (acc :+ ((v, dirs.size, added, rewrite, delsAdded)), dirs, dels)
     }._1
-    rows.toDF("version", "n_dirs", "dirs_added", "is_rewrite")
+    rows.toDF("version", "n_dirs", "dirs_added", "is_rewrite",
+      "dels_added")
   }
 
   /** Vacuum: delete data directories no snapshot in the kept-version
@@ -387,8 +448,14 @@ object TxLog {
     var newDirs = carried
     if (touched.nonEmpty) {
       val subRw = f"data/c$v%05d_rw"
+      // NULL zoneCol rows are OUTSIDE any [lo, hi] range and must be
+      // carried: without the isNull arm the keep-filter evaluates to
+      // NULL for them and the rewrite silently drops them (the round-8
+      // advice finding — no-sidecar dirs are always classified touched,
+      // so plain-commit data was exposed too)
       spark.read.parquet(touched.map(resolveDir(table, _)): _*)
-        .filter(col(zoneCol) < lo || col(zoneCol) > hi)
+        .filter(col(zoneCol).isNull ||
+          col(zoneCol) < lo || col(zoneCol) > hi)
         .repartition(targetFiles)
         .write.mode("errorifexists").parquet(s"$table/$subRw")
       writeZone(spark, table, subRw, zoneCol)
@@ -435,15 +502,17 @@ object TxLog {
   /** Point read of a string key pruned by the commit Bloom sidecars:
     * only directories whose filter might contain `value` (or that have
     * no sidecar — safe fallback) are scanned. Empty-prune returns an
-    * empty frame with the table schema, like [[readPruned]].
-    * Returns (frame, dirsScanned, dirsTotal).
+    * empty frame with the table schema, like [[readPruned]]. Standing
+    * delete vectors ARE applied (like [[readResolved]]) — a pruned
+    * point read on a table with un-compacted deletes must not
+    * resurface deleted rows. Returns (frame, dirsScanned, dirsTotal).
     */
   def readPrunedKey(spark: SparkSession, table: String, keyCol: String,
       value: String): (DataFrame, Int, Int) = {
     val f = fs(table)
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no committed version in $table"))
-    val dirs = readEntry(table, v)
+    val (dirs, dels) = readEntryFull(table, v)
     val kept = dirs.filter { sub =>
       val bp = bloomPath(table, sub)
       if (!f.exists(bp)) true
@@ -463,7 +532,8 @@ object TxLog {
       (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         0, dirs.size)
     } else
-      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
+      (applyDels(spark, table, dels,
+        spark.read.parquet(kept.map(resolveDir(table, _)): _*)),
         kept.size, dirs.size)
   }
 
@@ -472,7 +542,8 @@ object TxLog {
     * directories without a sidecar are always scanned (safe fallback).
     * When EVERY commit is pruned, returns an empty frame with the
     * table's schema and dirsScanned = 0 — a point read of an absent
-    * key is a legitimate query, not an error.
+    * key is a legitimate query, not an error. Standing delete vectors
+    * ARE applied (the [[readResolved]] contract).
     * Returns (frame, dirsScanned, dirsTotal).
     */
   def readPruned(spark: SparkSession, table: String, zoneCol: String,
@@ -480,7 +551,7 @@ object TxLog {
     val f = fs(table)
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no committed version in $table"))
-    val dirs = readEntry(table, v)
+    val (dirs, dels) = readEntryFull(table, v)
     val kept = dirs.filter { sub =>
       val zp = zonePath(table, sub)
       if (!f.exists(zp)) true
@@ -498,14 +569,16 @@ object TxLog {
       (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         0, dirs.size)
     } else
-      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
+      (applyDels(spark, table, dels,
+        spark.read.parquet(kept.map(resolveDir(table, _)): _*)),
         kept.size, dirs.size)
   }
 
   /** Snapshot read pruned to the commits whose zone envelope overlaps
     * [lo, hi] — the range twin of [[readPruned]] (same sidecar, same
     * no-sidecar always-scan fallback, same empty-frame result when
-    * everything prunes). Returns (frame, dirsScanned, dirsTotal).
+    * everything prunes, same delete-vector application).
+    * Returns (frame, dirsScanned, dirsTotal).
     */
   def readPrunedRange(spark: SparkSession, table: String, zoneCol: String,
       lo: Long, hi: Long): (DataFrame, Int, Int) = {
@@ -513,7 +586,7 @@ object TxLog {
     val f = fs(table)
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no committed version in $table"))
-    val dirs = readEntry(table, v)
+    val (dirs, dels) = readEntryFull(table, v)
     val kept = dirs.filter { sub =>
       val zp = zonePath(table, sub)
       if (!f.exists(zp)) true
@@ -530,7 +603,8 @@ object TxLog {
       (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         0, dirs.size)
     } else
-      (spark.read.parquet(kept.map(resolveDir(table, _)): _*),
+      (applyDels(spark, table, dels,
+        spark.read.parquet(kept.map(resolveDir(table, _)): _*)),
         kept.size, dirs.size)
   }
 
@@ -587,9 +661,13 @@ object TxLog {
     val a = readResolved(spark, table, Some(fromVersion))
     val b = readResolved(spark, table, Some(toVersion))
     val cols = a.columns.toSeq
-    b.join(a, cols, "left_anti").withColumn("change", lit("insert"))
-      .unionByName(
-        a.join(b, cols, "left_anti").withColumn("change", lit("delete")))
+    // null-safe (<=>) anti joins: with plain equality a row containing
+    // any NULL never matches ITSELF, so it would be reported as both
+    // insert and delete on every diff call (round-8 advice finding)
+    def anti(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, cols.map(c => l(c) <=> r(c)).reduce(_ && _), "left_anti")
+    anti(b, a).withColumn("change", lit("insert"))
+      .unionByName(anti(a, b).withColumn("change", lit("delete")))
   }
 
   /** Copy-on-write MERGE (upsert): rows of the current snapshot whose

@@ -367,4 +367,101 @@ class TxLogSpec extends AnyFunSuite {
       uniqueKey = Some(Seq("k")), targetFiles = 1)
     assert(v == 1 && TxLog.read(spark, t).count() == 2)
   }
+
+  // ---- round-9 hardening (the round-8 advice findings) ---------------
+
+  test("replaceRange carries NULL-zone rows out of rewritten dirs") {
+    val t = freshTable()
+    // plain commit (no zone sidecar → always classified touched) with
+    // two null-zone rows: the rewrite filter must keep them
+    TxLog.commit(spark, t,
+      Seq(Some(5L), Some(15L), None, None).toDF("z"), targetFiles = 1)
+    val (v, carried, rewritten) = TxLog.replaceRange(spark, t,
+      Seq(10L, 11L).toDF("z"), "z", lo = 10L, hi = 20L, targetFiles = 1)
+    assert((v, carried, rewritten) == (2, 0, 1))
+    val rows = TxLog.read(spark, t).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // 15 replaced; 5 kept; the two NULLs kept (were silently dropped
+    // before the round-9 fix); 10 and 11 are the restatement
+    assert(rows.sorted(Ordering.Option[Long]) ==
+      Seq(None, None, Some(5L), Some(10L), Some(11L)))
+  }
+
+  test("deleteWhere removes rows whose key tuple contains NULL") {
+    val t = freshTable()
+    TxLog.commit(spark, t,
+      Seq((Some("a"), 1L), (None: Option[String], 2L), (Some("c"), 3L))
+        .toDF("name", "x"), targetFiles = 1)
+    // matches the NULL-name row; the vector carries a NULL key value —
+    // the null-safe anti join must still remove it
+    TxLog.deleteWhere(spark, t, "x = 2", keys = Seq("name", "x"))
+    val left = TxLog.readResolved(spark, t).select("x")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(1L, 3L))
+    // diff across the delete: exactly one delete row, zero inserts —
+    // and repeated diffs of IDENTICAL versions with null-bearing rows
+    // report no phantom churn
+    val d = TxLog.diff(spark, t, 1, 2).groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("delete" -> 1L))
+    assert(TxLog.diff(spark, t, 2, 2).count() == 0)
+  }
+
+  test("pruned reads apply standing delete vectors") {
+    val t = freshTable()
+    TxLog.commitWithZone(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("z", "name"), "z", targetFiles = 1)
+    TxLog.commitWithZone(spark, t,
+      Seq((10L, "x"), (11L, "y")).toDF("z", "name"), "z", targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "z = 10", keys = Seq("z", "name"))
+    val (point, scanned, total) = TxLog.readPruned(spark, t, "z", 10L)
+    assert((scanned, total) == (1, 2))
+    assert(point.filter(col("z") === 10L).count() == 0,
+      "pruned point read must not resurface a deleted row")
+    val (range, _, _) = TxLog.readPrunedRange(spark, t, "z", 1L, 11L)
+    assert(range.select("z").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 11L))
+  }
+
+  test("history flags delete-vector growth for change-feed consumers") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("x", "name"),
+      targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "x = 1", keys = Seq("x", "name"))
+    TxLog.commit(spark, t, Seq((3L, "c")).toDF("x", "name"),
+      targetFiles = 1)
+    val h = TxLog.history(spark, t).orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getBoolean(3), r.getInt(4)))
+      .toSeq
+    // v2 (the delete) adds no data dir and is not a rewrite — without
+    // dels_added a fold-readChanges consumer would skip it silently
+    assert(h == Seq((1, 1, false, 0), (2, 0, false, 1), (3, 1, false, 0)))
+  }
+
+  test("two concurrent appenders both land via retry-rebase") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq(0L).toDF("x"), targetFiles = 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def appender(lo: Long): Future[Int] = Future {
+      val df = Seq(lo, lo + 1).toDF("x")
+      barrier.await()
+      TxLog.append(spark, t, df, targetFiles = 1)
+    }
+    val vs = Await.result(
+      Future.sequence(Seq(appender(10L), appender(20L))), 120.seconds)
+    pool.shutdown()
+    // both landed, on distinct consecutive versions (linear history)
+    assert(vs.toSet == Set(2, 3), s"got $vs")
+    assert(TxLog.versions(t) == Seq(1, 2, 3))
+    assert(TxLog.read(spark, t).agg(sum("x")).head().getLong(0) ==
+      0L + 10 + 11 + 20 + 21)
+    // snapshot isolation preserved: v2 contains exactly one appender's
+    // rows on top of v1
+    assert(TxLog.read(spark, t, Some(2)).count() == 3)
+  }
 }
