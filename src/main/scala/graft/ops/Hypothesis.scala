@@ -41,16 +41,20 @@ object Hypothesis {
     */
   private def fdrAdjust(df: DataFrame, pCol: String, idCol: String,
       alpha: Double, factor: Column => Column): DataFrame = {
-    val tot = df.agg(count(lit(1)).as("__n"))
+    // ONE measured count serves three roles: BH's n, and the size hint
+    // for both ScaleWindows scans (the gate then skips its own
+    // count+persist per call — the round-8 q138 toy-scale regression)
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
     val ranked = ScaleWindows
-      .globalRowNumber(df, pCol, Seq(idCol), "rank")
-      .crossJoin(broadcast(tot))
-      .withColumn("__bhterm", col(pCol) * factor(col("__n")) / col("rank"))
+      .globalRowNumber(p, pCol, Seq(idCol), "rank", sizeHint = Some(n))
+      .withColumn("__bhterm", col(pCol) * factor(lit(n)) / col("rank"))
     ScaleWindows
-      .globalSuffixMin(ranked, pCol, Seq(idCol), "__bhterm", "__tailmin")
+      .globalSuffixMin(ranked, pCol, Seq(idCol), "__bhterm", "__tailmin",
+        sizeHint = Some(n))
       .withColumn("q_value", least(lit(1.0), col("__tailmin")))
       .withColumn("significant", col("q_value") <= alpha)
-      .drop("__n", "__bhterm", "__tailmin")
+      .drop("__bhterm", "__tailmin")
   }
 
   /** Pearson chi-square test of independence for two categorical

@@ -40,13 +40,32 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
           }
           // a subtree is domain-reduced if the rows the window walks
           // came through an aggregation (histogram/offsets/stat frame)
-          // or a bounded limit (top-k head) — both O(domain), not O(rows)
-          def reduced(p: SparkPlan): Boolean = p.collectFirst {
-            case a: BaseAggregateExec => a
-            case l: GlobalLimitExec => l
-            case t: TakeOrderedAndProjectExec => t
-          }.isDefined
-          val bad = globals.filterNot(w => reduced(w.child))
+          // or a bounded limit (top-k head) — both O(domain), not O(rows).
+          // ScaleWindows' size gate persists its input, so the window may
+          // sit above an InMemoryTableScan — traverse into the CACHED
+          // plan (and any adaptive wrapper inside it) rather than
+          // treating the cache boundary as an opaque leaf: the small
+          // branch is admitted only when the cached subtree itself
+          // reduced the domain.
+          def reduced(p: SparkPlan): Boolean =
+            PlanWalk.findFirst(p) {
+              case _: BaseAggregateExec | _: GlobalLimitExec |
+                   _: TakeOrderedAndProjectExec => true
+              case _ => false
+            }.isDefined
+          // a ScaleWindows size-gated frame is bounded by MEASUREMENT:
+          // the gate counted it at/under the small threshold before
+          // taking the single-window branch (the marker rides the
+          // persisted schema's metadata) — at a scale where the count
+          // exceeds the threshold the two-level plan is taken instead,
+          // so admitting the marker admits only runtime-proven-small
+          // inputs
+          def gated(p: SparkPlan): Boolean =
+            PlanWalk.findFirst(p)(_.output.exists(
+              _.metadata.contains(graft.ops.ScaleWindows.GateTag)))
+              .isDefined
+          val bad = globals.filterNot(w =>
+            reduced(w.child) || gated(w.child))
           if (bad.isEmpty || whitelist.contains(name)) None
           else Some(s"$name: ${bad.size} unpartitioned window(s) not above " +
             s"an aggregate, e.g.\n${bad.head.simpleStringWithNodeId()}")
