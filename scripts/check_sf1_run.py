@@ -73,6 +73,32 @@ for q in qs.split(","):
             n = -1
         one = {"status": "oracle_timeout", "rows": n,
                "why": "oracle replay exhausted its spill budget"}
+    # UPGRADE PATH (round-8 verdict task 4): a query whose full oracle
+    # was skipped (rows_only) or died (oracle_timeout) but that has a
+    # declared LINEAR invariant oracle gets value-verified through it —
+    # sampled exact recompute / closure-from-verified-pairs, see
+    # graft.queries.Sf1Invariants. A pass records "invariant_pass"; a
+    # violation is a real fail with the violated checks listed.
+    inv_path = os.path.join(outdir, "sf1_invariants.json")
+    has_inv = False
+    if one.get("status") in ("rows_only", "oracle_timeout") and \
+            os.path.exists(inv_path):
+        try:
+            has_inv = q in json.load(open(inv_path))
+        except Exception:
+            has_inv = False
+    if has_inv:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "run_invariant.py"),
+                 sfdir, outdir, q],
+                timeout=per_q, capture_output=True, text=True)
+            iv = json.loads(r.stdout.strip().splitlines()[-1])
+            iv["oracle"] = "invariant"
+            one = iv
+        except Exception as e:
+            one = {"status": "fail", "oracle": "invariant",
+                   "why": str(e)[:200]}
     record[q] = one
     fails = dump()  # incremental: a killed run still leaves the artifact
     print(f"{one.get('status','?'):>14} {q}" +

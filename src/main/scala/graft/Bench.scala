@@ -172,8 +172,8 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = obj(results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
       .map { case (k, (mn, _, _)) => k -> r3(mn) })
-    def fullLine(sf1Json: String): String =
-      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_median":$qsMed,"queries_loadavg":$qsLoad,"errors":$errors,"loadavg_start":$loadStart,"loadavg_at_timing_start":$loadTimingStart,"quiet_wait_sec":$quietWait,"loadavg_end":$loadEnd,"sf":"$sfName","slowest_min_sec":$slowest,"sf1":$sf1Json}"""
+    def fullLine(sf1Json: String, sf10Json: String): String =
+      s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_median":$qsMed,"queries_loadavg":$qsLoad,"errors":$errors,"loadavg_start":$loadStart,"loadavg_at_timing_start":$loadTimingStart,"quiet_wait_sec":$quietWait,"loadavg_end":$loadEnd,"sf":"$sfName","slowest_min_sec":$slowest,"sf1":$sf1Json,"sf10":$sf10Json}"""
     // FINAL-LINE CONTRACT (round-8 lesson — BENCH_r08.json was rc:0 but
     // parsed:null): the LAST stdout line must be the minimal r6-shaped
     // object {metric,value,unit,sf,n_queries,errors} — the exact shape
@@ -185,14 +185,14 @@ object Bench {
     def headline: String =
       s"""{"metric":"e2e_ingest_melt_parquet","value":$e2e,"unit":"sec","sf":"$sfName","n_queries":${results.size},"errors":$errors}"""
     val fullPath = Paths.get("bench_full.json").toAbsolutePath
-    def emit(sf1Json: String): Unit = {
-      Files.writeString(fullPath, fullLine(sf1Json) + "\n")
-      println(fullLine(sf1Json))
+    def emit(sf1Json: String, sf10Json: String): Unit = {
+      Files.writeString(fullPath, fullLine(sf1Json, sf10Json) + "\n")
+      println(fullLine(sf1Json, sf10Json))
       println(headline)
     }
     // INCREMENTAL FLUSH: a parseable record exists from this point on —
     // a timeout inside the sf1 section can no longer cost the artifact.
-    emit("null")
+    emit("null", "null")
 
     // -- sf1 section: one order-of-magnitude scale step ----------------
     // The slow tail at 10× the gate scale, over the top-N queries by
@@ -201,12 +201,17 @@ object Bench {
     // one pass over the top 25 inside a 600 s budget. Full profile: two
     // back-to-back passes over the top 50 (r1/r2 agreement is the
     // in-record noise witness) inside 2400 s.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/benchdata/sf1")
+    // best observed sf1 seconds per query + the e2e best, kept as data
+    // for the sf10 probe's ratios (parsing them back out of the JSON
+    // string would also match the loadavg map)
+    var sf1BestMap = Map.empty[String, Double]
+    var sf1E2eBest = Double.MaxValue
     val sf1Json: String =
       if (sfName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
         try {
-          val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-            "/root/repo/benchdata/sf1")
           BenchData.ensureScaled(spark, sfDir, sf1Dir, factor = 10)
           val e2e1a = runE2eIn(sf1Dir, graft.model.ReadOpts())
           val e2e1b = runE2eIn(sf1Dir, graft.model.ReadOpts())
@@ -262,6 +267,8 @@ object Bench {
             val vs = Seq(r1.get(n), r2.get(n)).flatten.map(_._1).filter(_ >= 0)
             if (vs.isEmpty) None else Some(vs.min)
           }
+          sf1BestMap = top.flatMap(n => best(n).map(n -> _)).toMap
+          sf1E2eBest = math.min(e2e1a, e2e1b)
           val ratio = top.flatMap { n =>
             (best(n), sf01.get(n)) match {
               case (Some(b), Some((mn, _, _))) if mn > 0 =>
@@ -281,7 +288,55 @@ object Bench {
         }
       } else "null"
 
-    emit(sf1Json)
+    emit(sf1Json, "null")
+
+    // -- sf10 probe: the 100×-direction spot check (round-8 task 7) ----
+    // Five headline pipelines once at 100× the gate scale (lineitem +
+    // documents only — the tables those pipelines read), ratios vs
+    // their sf1 bests. OFF in the driver profile (generation + runs
+    // don't fit its wall-clock budget); ON in the FULL profile or via
+    // SPARK_GRAFT_SF10=1. Linear scaling = ratio ≈ 10 vs sf1.
+    val sf10Json: String =
+      if (sfName == "sf0.1" && sys.env.getOrElse("SPARK_GRAFT_SF10",
+          if (fullProfile) "1" else "0") == "1") {
+        try {
+          val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+            "/root/repo/benchdata/sf10")
+          BenchData.ensureScaledTables(spark, sf1Dir, sf10Dir, factor = 10,
+            tables = Some(Set("lineitem", "documents")))
+          val e2e10 = runE2eIn(sf10Dir, graft.model.ReadOpts())
+          val probes = Seq("q13_minhash_neardup", "q53_dup_components",
+            "q87_shard_pack", "q44_curation")
+          val t10 = probes.flatMap { name =>
+            timeOnce({ (s, _) => SparkEntry.queries(name)(s, sf10Dir) }) match {
+              case Right(sec) => Some(name -> sec)
+              case Left(msg) =>
+                System.err.println(s"[bench] sf10 $name failed: $msg")
+                Some(name -> -1.0)
+            }
+          }
+          // ratio vs this run's sf1 best (fall back to 10x the sf0.1
+          // min when the sf1 section did not cover the query)
+          def sf1Best(n: String): Option[Double] =
+            sf1BestMap.get(n).orElse(
+              results.toMap.get(n).map(_._1 * 10).filter(_ > 0))
+          val ratios = t10.flatMap { case (n, s10) =>
+            sf1Best(n).filter(_ => s10 > 0)
+              .map(b => n -> math.rint(s10 / b * 100) / 100)
+          }
+          val e2eRatio =
+            if (sf1E2eBest < Double.MaxValue)
+              s""","e2e_ratio_vs_sf1":${math.rint(e2e10 / sf1E2eBest * 100) / 100}"""
+            else ""
+          s"""{"e2e_ingest_melt_parquet":$e2e10$e2eRatio,"queries":${
+            obj(t10)},"ratio_vs_sf1":${obj(ratios)}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
+          "null"
+        }
+      } else "null"
+
+    emit(sf1Json, sf10Json)
     System.out.flush()
     // hard-exit: the record is on disk and on stdout; JVM/sbt teardown
     // after a 850-job run measured ~4 minutes of the driver's budget

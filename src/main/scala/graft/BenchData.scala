@@ -26,10 +26,24 @@ import java.nio.file.{Files, Paths}
 object BenchData {
 
   def ensureScaled(spark: SparkSession, srcDir: String, dstDir: String,
-      factor: Int): Unit = {
+      factor: Int): Unit =
+    ensureScaledTables(spark, srcDir, dstDir, factor, tables = None)
+
+  /** Subset variant: scale only `tables` (None = all) — the sf10 probe
+    * needs lineitem + documents for its five headline pipelines, not
+    * another full-table universe on disk.
+    */
+  def ensureScaledTables(spark: SparkSession, srcDir: String,
+      dstDir: String, factor: Int, tables: Option[Set[String]]): Unit = {
     val done = Paths.get(s"$dstDir/_DONE")
     if (Files.exists(done)) return
-    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def want(t: String): Boolean = tables.forall(_.contains(t))
+    def src(t: String): DataFrame = {
+      val p = Paths.get(s"$srcDir/$t.parquet")
+      // a scaled source dir holds directory-parquet; driver testdata
+      // single files — the reader takes both
+      spark.read.parquet(p.toString)
+    }
     // key-domain offsets: next power of 10 above the max, so offset
     // arithmetic is readable in any debug dump
     def domain(df: DataFrame, c: String): Long = {
@@ -38,14 +52,14 @@ object BenchData {
       while (d <= mx) d *= 10
       d
     }
-    val dOrder = domain(src("orders"), "o_orderkey")
-    val dCust = domain(src("customer"), "c_custkey")
-    val dSupp = domain(src("supplier"), "s_suppkey")
-    val dPart = domain(src("part"), "p_partkey")
-    val dEvent = domain(src("events"), "event_id")
-    val dUser = domain(src("events"), "user_id")
-    val dDoc = domain(src("documents"), "doc_id")
-    val dVec = domain(src("embeddings"), "vec_id")
+    lazy val dOrder = domain(src("orders"), "o_orderkey")
+    lazy val dCust = domain(src("customer"), "c_custkey")
+    lazy val dSupp = domain(src("supplier"), "s_suppkey")
+    lazy val dPart = domain(src("part"), "p_partkey")
+    lazy val dEvent = domain(src("events"), "event_id")
+    lazy val dUser = domain(src("events"), "user_id")
+    lazy val dDoc = domain(src("documents"), "doc_id")
+    lazy val dVec = domain(src("embeddings"), "vec_id")
 
     def rep(df: DataFrame, offsets: (String, Long)*): DataFrame = {
       val wide = df.crossJoin(
@@ -59,29 +73,40 @@ object BenchData {
       df.drop("rep__").write.mode("overwrite")
         .parquet(s"$dstDir/$t.parquet")
 
-    write(rep(src("lineitem"), "l_orderkey" -> dOrder,
-      "l_partkey" -> dPart, "l_suppkey" -> dSupp), "lineitem")
-    write(rep(src("orders"), "o_orderkey" -> dOrder,
-      "o_custkey" -> dCust), "orders")
-    write(rep(src("customer"), "c_custkey" -> dCust)
-      .withColumn("c_name", concat(col("c_name"), lit("#"), col("rep__"))),
-      "customer")
-    write(rep(src("supplier"), "s_suppkey" -> dSupp)
-      .withColumn("s_name", concat(col("s_name"), lit("#"), col("rep__"))),
-      "supplier")
-    write(rep(src("part"), "p_partkey" -> dPart), "part")
-    write(rep(src("events"), "event_id" -> dEvent, "user_id" -> dUser),
-      "events")
+    if (want("lineitem"))
+      write(rep(src("lineitem"), "l_orderkey" -> dOrder,
+        "l_partkey" -> dPart, "l_suppkey" -> dSupp), "lineitem")
+    if (want("orders"))
+      write(rep(src("orders"), "o_orderkey" -> dOrder,
+        "o_custkey" -> dCust), "orders")
+    if (want("customer"))
+      write(rep(src("customer"), "c_custkey" -> dCust)
+        .withColumn("c_name", concat(col("c_name"), lit("#"), col("rep__"))),
+        "customer")
+    if (want("supplier"))
+      write(rep(src("supplier"), "s_suppkey" -> dSupp)
+        .withColumn("s_name", concat(col("s_name"), lit("#"), col("rep__"))),
+        "supplier")
+    if (want("part"))
+      write(rep(src("part"), "p_partkey" -> dPart), "part")
+    if (want("events"))
+      write(rep(src("events"), "event_id" -> dEvent, "user_id" -> dUser),
+        "events")
     // salt every token with the replica id — replicas stop being
     // near-dups of each other (see scaladoc)
-    write(rep(src("documents"), "doc_id" -> dDoc)
-      .withColumn("text", regexp_replace(col("text"),
-        lit("([A-Za-z0-9]+)"), concat(lit("$1r"), col("rep__")))),
-      "documents")
-    write(rep(src("embeddings"), "vec_id" -> dVec), "embeddings")
-    write(src("region").withColumn("rep__", lit(0L)), "region")
-    write(src("nation").withColumn("rep__", lit(0L)), "nation")
+    if (want("documents"))
+      write(rep(src("documents"), "doc_id" -> dDoc)
+        .withColumn("text", regexp_replace(col("text"),
+          lit("([A-Za-z0-9]+)"), concat(lit("$1r"), col("rep__")))),
+        "documents")
+    if (want("embeddings"))
+      write(rep(src("embeddings"), "vec_id" -> dVec), "embeddings")
+    if (want("region"))
+      write(src("region").withColumn("rep__", lit(0L)), "region")
+    if (want("nation"))
+      write(src("nation").withColumn("rep__", lit(0L)), "nation")
     Files.createDirectories(done.getParent)
-    Files.writeString(done, s"factor=$factor src=$srcDir\n")
+    Files.writeString(done, s"factor=$factor src=$srcDir tables=${
+      tables.map(_.toSeq.sorted.mkString("+")).getOrElse("all")}\n")
   }
 }

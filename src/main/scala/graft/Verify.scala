@@ -45,6 +45,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-tier invariant oracles (linear DuckDB checks over the engine
+    // output + raw tables; zero rows = pass) — consumed by
+    // scripts/check_sf1_run.py for the queries whose full oracles are
+    // quadratic at the 10x step
+    val inv = graft.queries.Sf1Invariants.sql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/sf1_invariants.json"), inv)
     spark.stop()
   }
 }

@@ -29,7 +29,7 @@ object Wave43Queries {
   /** Exhaustive SQL twin: shared-gram co-occurrence (complete for
     * j > 0) + exact jaccard threshold — fine for an oracle, fatal for
     * an engine. */
-  private val dupPairsSql: String =
+  private[queries] val dupPairsSql: String =
     s"""corpus AS (${ExtQueries.nearDupCorpusSql}),
        |tk AS (SELECT doc_id,
        |    list_distinct([array_to_string(toks[i:i+4], ' ')
@@ -49,7 +49,7 @@ object Wave43Queries {
        |                JOIN sz b ON b.doc_id = s.id_b
        |  WHERE 5 * s.i >= 3 * (a.n + b.n - s.i))""".stripMargin
   /** Recursive-closure components over `pairs` → comp(id, component). */
-  private val compSql: String =
+  private[queries] val compSql: String =
     """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |          UNION ALL SELECT id_b, id_a FROM pairs),
       |reach(id, label) AS (
@@ -60,7 +60,7 @@ object Wave43Queries {
       .stripMargin
   /** p_keep of the near-dup corpus (the q150 logistic over `corpus`),
     * quantized to exact millionths. */
-  private val qualSql: String =
+  private[queries] val qualSql: String =
     s"""f AS (SELECT doc_id,
        |    len(toks)::DOUBLE AS nt,
        |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr,
