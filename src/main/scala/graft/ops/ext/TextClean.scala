@@ -46,4 +46,43 @@ object TextClean {
       size(regexp_extract_all(stageIn, lit(pat), lit(0))).as(s"n_$kind")
     }
   }
+
+  /** Unicode text normalization for training corpora — the cleanup
+    * pass that runs before tokenization so cosmetic variants don't
+    * fragment the vocabulary: strip zero-width characters and C0
+    * controls, fold curly quotes / typographic dashes / ellipsis to
+    * ASCII, collapse space-tab runs. Patterns use `\x{...}` escapes
+    * only (ASCII-safe strings, same semantics in java.util.regex and
+    * RE2 — the [[Patterns]] portability contract). Order matters:
+    * invisibles are stripped before the whitespace collapse so a
+    * zero-width char cannot keep two spaces apart.
+    */
+  val NormRules: Seq[(String, String, String)] = Seq(
+    ("zero_width", "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+    ("control", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+    ("curly_single", "[\\x{2018}\\x{2019}]", "'"),
+    ("curly_double", "[\\x{201C}\\x{201D}]", "\""),
+    ("dash", "[\\x{2013}\\x{2014}]", "-"),
+    ("ellipsis", "\\x{2026}", "..."),
+    ("ws_run", "[ \\t]{2,}", " "))
+
+  /** Text with every normalization rule applied, in declaration order. */
+  def normalize(text: Column): Column =
+    NormRules.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** One `n_<rule>` match-count column per normalization rule,
+    * measured on the progressively-normalized text (the
+    * [[matchCounts]] convention — a control char inside a zero-width
+    * run counts once, for the rule that actually consumed it).
+    */
+  def normCounts(text: Column): Seq[Column] = {
+    val stages = NormRules.scanLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+    NormRules.zip(stages).map { case ((rule, pat, _), stageIn) =>
+      size(regexp_extract_all(stageIn, lit(pat), lit(0))).as(s"n_$rule")
+    }
+  }
 }
