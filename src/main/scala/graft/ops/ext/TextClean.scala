@@ -64,7 +64,8 @@ object TextClean {
     ("curly_double", "[\\x{201C}\\x{201D}]", "\""),
     ("dash", "[\\x{2013}\\x{2014}]", "-"),
     ("ellipsis", "\\x{2026}", "..."),
-    ("ws_run", "[ \\t]{2,}", " "))
+    ("tab", "\\t", " "),
+    ("ws_run", " {2,}", " "))
 
   /** Text with every normalization rule applied, in declaration order. */
   def normalize(text: Column): Column =
