@@ -226,8 +226,11 @@ object Bench {
           // tier on its build cost, then post a nonsense sf1 ratio
           val top = results.filter(_._2._1 >= 0)
             .sortBy { case (_, (mn, _, _)) => -mn }.take(topN).map(_._1)
+          // driver budget 600 → 900 with the tier widened to 50 (25
+          // queries fit 600 s in r8; 50 need the headroom, and the
+          // guard still truncates instead of overrunning)
           val budgetSec =
-            knob("SPARK_GRAFT_SF1_BUDGET_SEC", "600", "2400").toDouble
+            knob("SPARK_GRAFT_SF1_BUDGET_SEC", "900", "2400").toDouble
           val t0 = System.nanoTime()
           // bounded cool-down between queries: back-to-back sf1 runs
           // self-heat the box (measured loadavg climbing 4 → 14 across

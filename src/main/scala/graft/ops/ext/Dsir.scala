@@ -44,6 +44,18 @@ object Dsir {
       "* 16 + instr('0123456789abcdef', substring(md5(__tok), 2, 1)) - 1")
       .cast("int")
 
+  /** Bucket (0..255) token counts of a corpus — the sufficient
+    * statistic importance weights derive from. Exposed separately so a
+    * table-log consumer can maintain it O(delta): fold the bucket
+    * counts of `readChanges` batches into a 256-row running table
+    * instead of re-scanning the corpus (q443 proves the fold equals
+    * the full recompute).
+    */
+  def bucketCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", bucketOfTok)
+      .groupBy("__b").agg(count(lit(1)).as("cnt"))
+
   /** Per-document importance scores of `corpus` against `target`.
     * Output: (idCol, n_tokens, score_micro, rank) — the `topN` docs by
     * score descending (ties by id ascending). `score_micro` is the

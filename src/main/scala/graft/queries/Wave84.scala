@@ -126,10 +126,14 @@ object Wave84Queries {
     */
   def q442(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.ext.{Oph, TextAnalysis}
-    val fp = ExtQueries.nearDupCorpus(s, dir).select(
-      col("doc_id").as("id"),
-      Oph.signature(col("text"), shingleSize = 3, k = 32).as("sig"),
-      TextAnalysis.tokenCount(col("text")).as("nt"))
+    val corpus = ExtQueries.nearDupCorpus(s, dir)
+    // single-pass grouped signature build (the corpus-scale form; the
+    // expression form costs k array walks per row — measured 8.9 s vs
+    // ~1 s at sf0.1)
+    val fp = Oph.signatures(corpus, "text", "doc_id",
+        shingleSize = 3, k = 32)
+      .join(corpus.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).as("nt")), "id")
     fp.as("a").join(fp.as("b"), col("b.id") === col("a.id") + 1000000L)
       .filter(col("a.nt") >= 20)
       .select(col("a.id").as("doc_id"),

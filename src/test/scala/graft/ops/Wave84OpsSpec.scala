@@ -56,6 +56,18 @@ class Wave84OpsSpec extends AnyFunSuite {
     assert(noOverlap.isNullAt(0), "zero mutual bins must yield null")
   }
 
+  test("grouped OPH signatures equal the expression form") {
+    val df = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "zz yy xx ww vv uu tt ss rr qq pp oo"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id").as("id"),
+      Oph.signature(col("text"), 3, 8).as("sig"))
+    val viaGroup = Oph.signatures(df, "text", "doc_id", 3, 8)
+    assert(viaGroup.except(viaExpr).isEmpty &&
+      viaExpr.except(viaGroup).isEmpty,
+      "grouped and expression OPH signatures must be identical")
+  }
+
   test("normalization folds typography and accounts per rule") {
     val dirty = "\u201Chi\u201D \u2018x\u2019 a\u200Bb \u2013 c\u2026  d\te"
     val row = Seq(dirty).toDF("text")
