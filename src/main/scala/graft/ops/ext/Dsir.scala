@@ -56,15 +56,15 @@ object Dsir {
       .withColumn("__b", bucketOfTok)
       .groupBy("__b").agg(count(lit(1)).as("cnt"))
 
-  /** Per-document importance scores of `corpus` against `target`.
-    * Output: (idCol, n_tokens, score_micro, rank) — the `topN` docs by
-    * score descending (ties by id ascending). `score_micro` is the
-    * exact integer sum of quantized per-token bucket log-ratios;
-    * divide by 1e6 for nats. Add-one smoothing on both bucket tables
-    * keeps every ratio finite regardless of coverage.
+  /** Per-document importance scores of `corpus` against `target` —
+    * (idCol, n_tokens, score_micro), all rows, no ranking.
+    * `score_micro` is the exact integer sum of quantized per-token
+    * bucket log-ratios; divide by 1e6 for nats. Add-one smoothing on
+    * both bucket tables keeps every ratio finite regardless of
+    * coverage.
     */
-  def importanceTopN(corpus: DataFrame, target: DataFrame,
-      textCol: String, idCol: String, topN: Int): DataFrame = {
+  def importanceScores(corpus: DataFrame, target: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
     val spark = corpus.sparkSession
     def toks(df: DataFrame, withId: Boolean): DataFrame = {
       val base = if (withId)
@@ -87,16 +87,22 @@ object Dsir {
           (coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double") /
             (coalesce(col("__cs"), lit(0L)) + lit(1L)).cast("double")), 6)
           * lit(1e6) + lit(0.5)).cast("long").as("__w"))
-    val scored = corpusToks
+    corpusToks
       .join(broadcast(weights), Seq("__b"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"), sum("__w").as("score_micro"))
-    scored
-      .orderBy(col("score_micro").desc, col("__id"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** The `topN` docs of [[importanceScores]] by score descending (ties
+    * by id ascending), with a 1-based rank.
+    */
+  def importanceTopN(corpus: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, topN: Int): DataFrame =
+    importanceScores(corpus, target, textCol, idCol)
+      .orderBy(col("score_micro").desc, col(idCol))
       .limit(topN)
-      .select(col("__id").as(idCol), col("n_tokens"), col("score_micro"))
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score_micro").desc, col(idCol))).cast("long"))
-  }
 }

@@ -141,14 +141,71 @@ object Wave85Queries {
       .orderBy("id_a", "id_b")
   val q445Sql: String = ExtQueries.oracles("q13_minhash_neardup")
 
+  // ---------------------------------------------------------------- q446
+  /** Per-source DSIR mixture diagnostic: the corpus-wide importance
+    * scores rolled up by source — the table a mixture designer reads
+    * to decide which sources to up/down-sample toward the target
+    * distribution. Exact integer micro-nat sums; the mean is one
+    * fixed-shape division rounded 6 dp.
+    */
+  def q446(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ext.Dsir
+    val docs = T(s, dir, "documents")
+    val scores = Dsir.importanceScores(docs,
+      docs.filter(col("lang") === "en"), "text", "doc_id")
+    docs.select(col("doc_id"), col("source")).join(scores, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("score_micro").as("sum_micro"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("sum_micro"),
+        round(col("sum_micro").cast("double") / lit(1e6)
+          / col("n_docs").cast("double"), 6).as("mean_nats"))
+      .orderBy("source")
+  }
+  val q446Sql: String = {
+    val bucket =
+      "(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1"
+    s"""WITH ctoks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |      t -> len(t)>0)) AS tok
+       |  FROM documents),
+       |cb AS (SELECT doc_id, $bucket AS b FROM ctoks),
+       |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM cb GROUP BY 1),
+       |tb AS (SELECT $bucket AS b FROM
+       |  (SELECT unnest(list_filter(string_split_regex(lower(text),
+       |     '[^a-z0-9]+'), t -> len(t)>0)) AS tok
+       |   FROM documents WHERE lang = 'en')),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY 1),
+       |w AS (SELECT r.range AS b,
+       |    CAST(floor(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE /
+       |      (coalesce(cs.cs, 0) + 1)::DOUBLE), 6) * 1000000.0e0 + 0.5e0)
+       |      AS BIGINT) AS w
+       |  FROM range(0, 256) r
+       |  LEFT JOIN cs ON cs.b = r.range LEFT JOIN ct ON ct.b = r.range),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(w) AS BIGINT) AS score_micro
+       |  FROM cb JOIN w USING (b) GROUP BY 1)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(sc.score_micro) AS BIGINT) AS sum_micro,
+       |  round(CAST(sum(sc.score_micro) AS DOUBLE) / 1000000.0e0
+       |    / CAST(count(*) AS DOUBLE), 6) AS mean_nats
+       |FROM sc JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q443_dsir_incremental" -> (q443 _),
     "q444_oph_recall" -> (q444 _),
-    "q445_oph_neardup" -> (q445 _))
+    "q445_oph_neardup" -> (q445 _),
+    "q446_dsir_mixture" -> (q446 _))
 
   val oracles: Map[String, String] = Map(
     "q443_dsir_incremental" -> q443Sql,
     "q444_oph_recall" -> q444Sql,
-    "q445_oph_neardup" -> q445Sql)
+    "q445_oph_neardup" -> q445Sql,
+    "q446_dsir_mixture" -> q446Sql)
 }
