@@ -144,6 +144,9 @@ object Main {
       case "clone" =>
         val v = TxLog.cloneTable(t, req(opts, "dst"))
         println(s"""{"version":$v}""")
+      case "restore" =>
+        val v = TxLog.restore(t, req(opts, "version").toInt)
+        println(s"""{"version":$v}""")
       case "analyze" =>
         TxLog.analyze(spark, t, req(opts, "cols").split(",").toSeq)
           .orderBy("col_name").collect().foreach { r =>
@@ -513,5 +516,6 @@ object Main {
       |    --buckets 16] [--max-dirs N] [--target-files 4]
       |  graft.cli.Main table vacuum --table DIR [--keep 1]
       |  graft.cli.Main table clone --table SRC --dst DST
+      |  graft.cli.Main table restore --table DIR --version N
       |  graft.cli.Main table analyze --table DIR --cols a,b,c""".stripMargin)
 }

@@ -768,6 +768,51 @@ object TxLog {
     1
   }
 
+  /** RESTORE TABLE ... TO VERSION v: publish a NEW head whose logical
+    * content is exactly version `toVersion`'s, by re-referencing that
+    * version's data directories and delete vectors in a fresh log
+    * entry. Zero data bytes move, and history stays append-only — the
+    * rolled-back versions remain inspectable (time travel still reads
+    * them) and the restore itself is one more atomic entry that
+    * concurrent readers either see or don't.
+    *
+    * The target version's directories must still exist: a [[vacuum]]
+    * run after `toVersion` was superseded may have reclaimed them, in
+    * which case the restore is refused up front (IllegalStateException)
+    * instead of publishing a head with dangling references.
+    *
+    * Concurrency: a restore is a whole-content assignment, so unlike
+    * [[append]] it does NOT commute with concurrent commits — on a
+    * lost race it retries at the new head and the restore wins (the
+    * documented last-writer-wins contract of any rewrite). Returns the
+    * version the restore landed as.
+    */
+  def restore(table: String, toVersion: Int, maxRetries: Int = 10): Int = {
+    val vs = versions(table)
+    require(vs.contains(toVersion),
+      s"version $toVersion does not exist in $table (have ${vs.mkString(",")})")
+    val (dirs, dels) = readEntryFull(table, toVersion)
+    val f = fs(table)
+    (dirs ++ dels).foreach { sub =>
+      if (!f.exists(new HPath(resolveDir(table, sub))))
+        throw new IllegalStateException(
+          s"cannot restore $table to v$toVersion: $sub was vacuumed")
+    }
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(table).getOrElse(0) + 1
+      try {
+        writeEntry(table, v, dirs, dels)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** ANALYZE: compute per-column statistics of the current RESOLVED
     * snapshot — exact distinct count, null count, and (min, max) as
     * longs — in ONE distributed aggregation pass, persist them as an

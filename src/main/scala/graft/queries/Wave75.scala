@@ -46,6 +46,8 @@ object Wave75Queries {
       val t0 = System.currentTimeMillis() - 60000
       Seq(1996, 1997, 1998).zipWithIndex.foreach { case (yr, i) =>
         val stage = s"$tmp/__stage_$yr"
+        // coalesce(1) is FIXTURE STAGING ONLY (one streaming-source file
+        // per micro-batch at gate scale) — never copy into a data path
         yearSlice(s, dir, yr).coalesce(1)
           .write.mode("overwrite").parquet(stage)
         val part = Files.list(Paths.get(stage)).toArray.map(_.toString)

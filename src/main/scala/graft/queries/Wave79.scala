@@ -94,6 +94,8 @@ object Wave79Queries {
         T(s, dir, "orders").filter(year(col("o_orderdate")) === yr)
           .select((col("o_custkey") % 500).as("k"),
             year(col("o_orderdate")).cast("long").as("yr"))
+          // coalesce(1): fixture staging only (one source file per
+          // micro-batch at gate scale) — not a data-path pattern
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
           .filter(_.endsWith(".parquet")).head

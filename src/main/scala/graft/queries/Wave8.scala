@@ -238,6 +238,8 @@ object Wave8Queries {
       def dump(df: org.apache.spark.sql.DataFrame, name: String,
                mtime: Long): Unit = {
         val stage = s"$tmp/__stage_$name"
+        // coalesce(1): fixture staging only (single-file streaming
+        // source at gate scale) — not a data-path pattern
         df.select("ts").coalesce(1).write.mode("overwrite").parquet(stage)
         val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
           .filter(_.endsWith(".parquet")).head

@@ -464,4 +464,35 @@ class TxLogSpec extends AnyFunSuite {
     // rows on top of v1
     assert(TxLog.read(spark, t, Some(2)).count() == 3)
   }
+
+  test("restore re-references an old version; history stays append-only") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq(1L, 2L).toDF("x"), targetFiles = 1)
+    TxLog.append(spark, t, Seq(3L, 4L).toDF("x"), targetFiles = 1)
+    TxLog.deleteWhere(spark, t, "x >= 3", Seq("x"))
+    assert(TxLog.readResolved(spark, t).count() == 2)
+    val v = TxLog.restore(t, 2)
+    assert(v == 4)
+    assert(TxLog.versions(t) == Seq(1, 2, 3, 4))
+    // head is exactly v2's content, delete vectors gone
+    assert(TxLog.readResolved(spark, t)
+      .agg(sum("x")).head().getLong(0) == 10L)
+    assert(TxLog.deleteVectorCount(t) == 0)
+    // the rolled-back version still time-travels
+    assert(TxLog.readResolved(spark, t, Some(3)).count() == 2)
+    // zero data bytes moved: no new data directory was written
+    assert(TxLog.read(spark, t)
+      .select(input_file_name().as("f")).distinct().count() == 2)
+  }
+
+  test("restore refuses a nonexistent or vacuumed target") {
+    val t = freshTable()
+    TxLog.commit(spark, t, Seq(1L).toDF("x"), targetFiles = 1)
+    intercept[IllegalArgumentException](TxLog.restore(t, 7))
+    // compaction supersedes v1's directory; vacuum reclaims it AND
+    // drops v1's log entry, so the restore is refused at version lookup
+    TxLog.compact(spark, t, targetFiles = 1)
+    TxLog.vacuum(t, keepVersions = 1)
+    intercept[IllegalArgumentException](TxLog.restore(t, 1))
+  }
 }
