@@ -309,10 +309,15 @@ object Bench {
           val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
             "/root/repo/benchdata/sf10")
           BenchData.ensureScaledTables(spark, sf1Dir, sf10Dir, factor = 10,
-            tables = Some(Set("lineitem", "documents")))
+            tables = Some(Set("lineitem", "documents", "embeddings")))
           val e2e10 = runE2eIn(sf10Dir, graft.model.ReadOpts())
+          // round-9 widening: every pillar of the scale story probes at
+          // 100× the gate — near-dup (classic + OPH), components,
+          // packing, curation, DSIR scoring, Bloom decon, and ANN
           val probes = Seq("q13_minhash_neardup", "q53_dup_components",
-            "q87_shard_pack", "q44_curation")
+            "q87_shard_pack", "q44_curation", "q445_oph_neardup",
+            "q440_dsir_importance", "q449_bloom_decon", "q176_cc_star",
+            "q17_cosine_lsh")
           val t10 = probes.flatMap { name =>
             timeOnce({ (s, _) => SparkEntry.queries(name)(s, sf10Dir) }) match {
               case Right(sec) => Some(name -> sec)

@@ -90,6 +90,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Matryoshka truncation audit: exact top-k overlap between search
+    * on the first `d'` dimensions and search on the full vector, per
+    * query and per candidate width — the table that decides how many
+    * dimensions an embedding store actually has to keep (MRL-trained
+    * embeddings front-load information; this measures how much YOUR
+    * corpus's ranking survives each truncation).
+    *
+    * Scale shape: one [[bruteForceTopK]] per width over the same
+    * broadcast query set — the corpus side is scanned |dims| times but
+    * each pass is the standard crossJoin-free broadcast pattern, and
+    * the overlap join is k-row-per-query tiny. Swap [[ivfTopK]] in
+    * per width at corpus scale; the audit logic is width-agnostic.
+    * Queries missing from a truncated top-k entirely (overlap 0) stay
+    * in the output — recall audits must surface total misses, not
+    * drop them.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String,
+                       dims: Seq[Int], k: Int): DataFrame = {
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), 1, d).as("__tv"))
+    val dMax = dims.max
+    val full = bruteForceTopK(trunc(corpus, dMax), trunc(queries, dMax),
+      "__tv", idCol, k).select(col("query_id"), col("corpus_id"))
+    dims.map { d =>
+      val top = bruteForceTopK(trunc(corpus, d), trunc(queries, d),
+        "__tv", idCol, k).select(col("query_id"), col("corpus_id"))
+      val ov = top.join(full, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("overlap_at_k"))
+      full.select("query_id").distinct()
+        .join(ov, Seq("query_id"), "left")
+        .select(lit(d.toLong).as("d_prime"), col("query_id"),
+          coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = every
     * `centroidEvery`-th corpus vector by id — no RNG, no iterative
     * k-means whose float reductions would be run-dependent), corpus
