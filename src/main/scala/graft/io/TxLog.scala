@@ -105,14 +105,19 @@ object TxLog {
     * Entries written before delete support carry no `"dels"` field and
     * parse as having none — old tables stay readable unchanged.
     */
-  private def readEntryFull(table: String, v: Int): (Seq[String], Seq[String]) = {
-    val txt = readString(fs(table), entryPath(table, v))
-    // minimal parse of {"version":N,"dirs":[...],"dels":[...]} — the
-    // only writer is `writeEntry` below, so the shape is fixed
+  private def readEntryFull(table: String, v: Int): (Seq[String], Seq[String]) =
+    parseEntry(readString(fs(table), entryPath(table, v)), s"v$v for $table")
+
+  /** Entry parse shared by the main log and branch logs; the only
+    * writers are [[writeEntry]]/[[writeEntryTo]], so the shape
+    * `{"version":N,"dirs":[...],"dels":[...]}` is fixed.
+    */
+  private def parseEntry(txt: String,
+      what: String): (Seq[String], Seq[String]) = {
     def list(key: String, required: Boolean): Seq[String] = {
       val m = raw""""$key"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       if (m.isEmpty) {
-        if (required) sys.error(s"malformed log entry v$v for $table")
+        if (required) sys.error(s"malformed log entry $what")
         Seq.empty
       } else m.get.group(1).split(",")
         .map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -129,9 +134,17 @@ object TxLog {
     * race a pre-check alone cannot close).
     */
   private[io] def writeEntry(table: String, v: Int, dirs: Seq[String],
-      dels: Seq[String] = Seq.empty): Unit = {
+      dels: Seq[String] = Seq.empty): Unit =
+    writeEntryTo(table, logDir(table), entryPath(table, v), v, dirs, dels)
+
+  /** [[writeEntry]] generalized over the log directory, so branch logs
+    * (`_log/branches/<name>/`) get the same three-guard atomic-rename
+    * commit protocol as the main log.
+    */
+  private def writeEntryTo(table: String, logD: HPath, target: HPath,
+      v: Int, dirs: Seq[String], dels: Seq[String]): Unit = {
     val f = fs(table)
-    f.mkdirs(logDir(table))
+    f.mkdirs(logD)
     // `dels` omitted when empty: entries for delete-free tables keep
     // the exact pre-delete-support shape (byte-stable history)
     val delsJson =
@@ -144,9 +157,8 @@ object TxLog {
       .getName.hashCode.toHexString + "-" +
       Thread.currentThread().getId.toHexString + "-" +
       System.nanoTime().toHexString
-    val tmp = new HPath(logDir(table), f".v$v%05d.$nonce.tmp")
+    val tmp = new HPath(logD, f".v$v%05d.$nonce.tmp")
     writeString(f, tmp, json)
-    val target = entryPath(table, v)
     def lose(stage: String): Nothing = {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(
@@ -354,11 +366,21 @@ object TxLog {
     val f = fs(table)
     val vs = versions(table)
     if (vs.isEmpty) return 0
-    val kept = vs.takeRight(keepVersions)
-    val referenced = kept.flatMap { v =>
+    // tagged versions are pinned: a tag is a retention promise, so its
+    // entry and directories survive any keepVersions horizon; active
+    // branches likewise pin every directory their log references
+    val tagged = tags(table).values.toSet
+    val kept = (vs.takeRight(keepVersions) ++ vs.filter(tagged)).distinct
+    val branchRefs = branches(table).flatMap { b =>
+      branchVersions(table, b).flatMap { bv =>
+        val (dirs, dels) = readBranchEntry(table, b, bv)
+        dirs ++ dels
+      }
+    }
+    val referenced = (kept.flatMap { v =>
       val (dirs, dels) = readEntryFull(table, v)
       dirs ++ dels
-    }.toSet
+    } ++ branchRefs).toSet
     def unreferenced(root: String): Seq[HPath] = {
       val r = new HPath(table, root)
       if (!f.exists(r)) Seq.empty[HPath]
@@ -373,7 +395,7 @@ object TxLog {
       f.delete(zonePath(table, s"data/${dir.getName}"), false)
       f.delete(bloomPath(table, s"data/${dir.getName}"), false)
     }
-    vs.dropRight(keepVersions).foreach(v => f.delete(entryPath(table, v), false))
+    vs.filterNot(kept.toSet).foreach(v => f.delete(entryPath(table, v), false))
     doomed.size
   }
 
@@ -887,5 +909,253 @@ object TxLog {
       .write.mode("errorifexists").parquet(s"$table/$sub")
     writeEntry(table, v, Seq(sub))
     v
+  }
+
+  // ------------------------------------------------------------ branches
+
+  private def branchLogDir(table: String, branch: String): HPath =
+    new HPath(table, s"_log/branches/$branch")
+
+  private def branchEntryPath(table: String, branch: String,
+      v: Int): HPath =
+    new HPath(branchLogDir(table, branch), f"v$v%05d.json")
+
+  private def readBranchEntry(table: String, branch: String,
+      v: Int): (Seq[String], Seq[String]) =
+    parseEntry(readString(fs(table), branchEntryPath(table, branch, v)),
+      s"branch $branch v$v for $table")
+
+  /** Branch names present under `_log/branches/`, sorted. */
+  def branches(table: String): Seq[String] = {
+    val f = fs(table)
+    val d = new HPath(table, "_log/branches")
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Versions in a branch's log, ascending (empty if absent). */
+  def branchVersions(table: String, branch: String): Seq[Int] = {
+    val f = fs(table)
+    val d = branchLogDir(table, branch)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
+  }
+
+  /** Create `branch` at the table's current head (or empty for a fresh
+    * table): branch v1 is a COPY of the head entry, so the branch sees
+    * the base snapshot plus its own writes while main stays untouched —
+    * the write half of the write-audit-publish (WAP) pattern. Zero data
+    * moves; the branch log lives beside the main log and pins every
+    * directory it references against [[vacuum]].
+    */
+  def branchCreate(table: String, branch: String): Int = {
+    require(branchVersions(table, branch).isEmpty,
+      s"branch $branch already exists in $table")
+    val (dirs, dels) = currentVersion(table)
+      .map(readEntryFull(table, _))
+      .getOrElse((Seq.empty[String], Seq.empty[String]))
+    writeEntryTo(table, branchLogDir(table, branch),
+      branchEntryPath(table, branch, 1), 1, dirs, dels)
+    1
+  }
+
+  /** Append `df` to `branch` (not to main). The data directory is
+    * written once under a writer-unique `data/b<nonce>` name; the
+    * branch-log entry is retry-rebased exactly like [[append]]. Main
+    * readers never see these rows until [[publish]].
+    */
+  def branchAppend(spark: SparkSession, table: String, branch: String,
+      df: DataFrame, targetFiles: Int = 4, maxRetries: Int = 10): Int = {
+    require(branchVersions(table, branch).nonEmpty,
+      s"branch $branch does not exist in $table")
+    val nonce = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.hashCode.toHexString + "-" +
+      Thread.currentThread().getId.toHexString + "-" +
+      System.nanoTime().toHexString
+    val sub = s"data/b$nonce"
+    df.repartition(targetFiles).write.mode("errorifexists")
+      .parquet(s"$table/$sub")
+    var attempt = 0
+    while (true) {
+      val cur = branchVersions(table, branch).last
+      val (prevDirs, prevDels) = readBranchEntry(table, branch, cur)
+      try {
+        writeEntryTo(table, branchLogDir(table, branch),
+          branchEntryPath(table, branch, cur + 1), cur + 1,
+          prevDirs :+ sub, prevDels)
+        return cur + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Branch snapshot read with delete vectors applied — what an AUDIT
+    * job runs its checks against before [[publish]].
+    */
+  def branchRead(spark: SparkSession, table: String,
+      branch: String): DataFrame = {
+    val vs = branchVersions(table, branch)
+    require(vs.nonEmpty, s"branch $branch does not exist in $table")
+    val (dirs, dels) = readBranchEntry(table, branch, vs.last)
+    applyDels(spark, table, dels,
+      spark.read.parquet(dirs.map(resolveDir(table, _)): _*))
+  }
+
+  /** Publish the branch onto main: the directories the branch ADDED
+    * since its base (head minus v1 — robust even if main moved, was
+    * restored, or compacted meanwhile) are appended to the CURRENT main
+    * head by reference, retry-rebased on a lost race. Append-only
+    * branches only: a branch whose delete-vector list diverged from its
+    * base cannot be fast-forwarded commutatively and is refused — run
+    * deletes through main, or compact the branch's logic into new
+    * directories. Zero bytes move at publish time.
+    */
+  def publish(table: String, branch: String, maxRetries: Int = 10): Int = {
+    val bvs = branchVersions(table, branch)
+    require(bvs.nonEmpty, s"branch $branch does not exist in $table")
+    val (baseDirs, baseDels) = readBranchEntry(table, branch, bvs.head)
+    val (headDirs, headDels) = readBranchEntry(table, branch, bvs.last)
+    if (headDels != baseDels)
+      throw new IllegalStateException(
+        s"branch $branch of $table edited delete vectors; WAP publish " +
+          "supports append-only branches")
+    val base = baseDirs.toSet
+    val newDirs = headDirs.filterNot(base)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val v = cur.getOrElse(0) + 1
+      val (mDirs, mDels) = cur.map(readEntryFull(table, _))
+        .getOrElse((Seq.empty[String], Seq.empty[String]))
+      try {
+        writeEntry(table, v, mDirs ++ newDirs, mDels)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Drop a branch's log (its unpublished data directories become
+    * orphans for [[vacuumOrphans]]). Returns the number of branch
+    * versions removed.
+    */
+  def branchDelete(table: String, branch: String): Int = {
+    val n = branchVersions(table, branch).size
+    fs(table).delete(branchLogDir(table, branch), true)
+    n
+  }
+
+  // ------------------------------------------------------------- orphans
+
+  /** Directories under `data/`/`del/` referenced by NO log entry — main
+    * or branch, any version. These are invisible to every reader (died
+    * writers' leftovers, deleted branches' unpublished appends) and are
+    * exactly what [[vacuum]] — which reasons from the log — can never
+    * reclaim. `graceMs` skips directories modified in the last N ms so
+    * an IN-FLIGHT writer (data landed, entry not yet committed) is
+    * never swept; production callers pass hours, tests pass 0.
+    */
+  def findOrphans(table: String, graceMs: Long = 0L): Seq[String] = {
+    val f = fs(table)
+    val mainRefs = versions(table).flatMap { v =>
+      val (dirs, dels) = readEntryFull(table, v)
+      dirs ++ dels
+    }
+    val branchRefs = branches(table).flatMap { b =>
+      branchVersions(table, b).flatMap { bv =>
+        val (dirs, dels) = readBranchEntry(table, b, bv)
+        dirs ++ dels
+      }
+    }
+    val referenced = (mainRefs ++ branchRefs).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def scan(root: String): Seq[String] = {
+      val r = new HPath(table, root)
+      if (!f.exists(r)) Seq.empty
+      else f.listStatus(r).toSeq
+        .filter(_.getModificationTime <= cutoff)
+        .map(st => s"$root/${st.getPath.getName}")
+        .filterNot(referenced.contains)
+        .sorted
+    }
+    scan("data") ++ scan("del")
+  }
+
+  /** Delete the orphans [[findOrphans]] lists (plus their sidecars).
+    * Safe to run concurrently with readers and writers given a
+    * real-world `graceMs`: every directory removed was reachable from
+    * no snapshot. Returns the number of directories removed.
+    */
+  def vacuumOrphans(table: String, graceMs: Long = 0L): Int = {
+    val f = fs(table)
+    val doomed = findOrphans(table, graceMs)
+    doomed.foreach { sub =>
+      f.delete(new HPath(table, sub), true)
+      f.delete(zonePath(table, sub), false)
+      f.delete(bloomPath(table, sub), false)
+    }
+    doomed.size
+  }
+
+  // ---------------------------------------------------------------- tags
+
+  private def tagPath(table: String, tag: String): HPath =
+    new HPath(table, s"_log/tags/$tag.json")
+
+  /** Pin `version` (default: current head) under a name. A tagged
+    * version is exempt from [[vacuum]]'s retention horizon — its entry
+    * and directories survive until [[tagDelete]] — so releases stay
+    * reproducible while routine vacuums keep the rest of the table
+    * tight. O(1) metadata; no data copied.
+    */
+  def tagCreate(table: String, tag: String,
+      version: Option[Int] = None): Int = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    require(versions(table).contains(v),
+      s"version $v does not exist in $table")
+    val f = fs(table)
+    f.mkdirs(new HPath(table, "_log/tags"))
+    writeString(f, tagPath(table, tag),
+      s"""{"tag":"$tag","version":$v}""")
+    v
+  }
+
+  /** All tags as name → version (empty for an untagged table). */
+  def tags(table: String): Map[String, Int] = {
+    val f = fs(table)
+    val d = new HPath(table, "_log/tags")
+    if (!f.exists(d)) Map.empty
+    else f.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .map { p =>
+        val txt = readString(f, p)
+        val v = raw""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .getOrElse(sys.error(s"malformed tag file $p")).group(1).toInt
+        (p.getName.stripSuffix(".json"), v)
+      }.toMap
+  }
+
+  def tagDelete(table: String, tag: String): Boolean =
+    fs(table).delete(tagPath(table, tag), false)
+
+  /** Resolved snapshot read of the tagged version. */
+  def readTag(spark: SparkSession, table: String, tag: String): DataFrame = {
+    val v = tags(table).getOrElse(tag,
+      sys.error(s"no tag $tag in $table"))
+    readResolved(spark, table, Some(v))
   }
 }

@@ -82,13 +82,42 @@ object Graph {
     * division over exact operands, engine-portable.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges
+    val e = canonEdges(edges)
+    val deg = symDegrees(e)
+    val tris = enumTriangles(e, deg)
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
+  /** Canonical undirected edge list: (a, b) with a < b, self-loops and
+    * duplicates dropped.
+    */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+
+  private def symDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
-    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Each triangle exactly once as (u, v1, v2) via the degree-ordered
+    * orientation: every edge points low→high (degree, id), wedges form
+    * only at the minimal corner, and the closing edge is probed in the
+    * oriented list — the standard O(m^1.5)-work enumeration that never
+    * fans out on hubs.
+    */
+  private def enumTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
     val wd = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -103,19 +132,74 @@ object Graph {
         Seq("u"))
       .where(col("dv1") < col("dv2") ||
         (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val tris = wedges
+    wedges
       .join(dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
       .select(col("u"), col("v1"), col("v2"))
-    val perNode = tris
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"),
-        round(when(col("deg") >= 2,
-          lit(2.0) * coalesce(col("tri"), lit(0L)) /
-            (col("deg") * (col("deg") - 1)))
-          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
+  /** Per-edge triangle SUPPORT — the k-truss building block: each
+    * triangle (enumerated once, degree-ordered) explodes into its three
+    * canonical edges; support(e) = triangles containing e; edges in no
+    * triangle report 0. `in_truss` flags the k-truss edge condition
+    * (support ≥ k−2) — one peel round's decision table. Cost: the
+    * [[triangleStats]] enumeration plus one explode + one count shuffle
+    * keyed by edge — no new quadratic surface at any scale.
+    */
+  def edgeSupport(edges: DataFrame, k: Long = 3L): DataFrame = {
+    require(k >= 2)
+    val e = canonEdges(edges)
+    val deg = symDegrees(e)
+    val tris = enumTriangles(e, deg)
+    val triEdges = tris.select(explode(array(
+        struct(least(col("u"), col("v1")).as("a"),
+          greatest(col("u"), col("v1")).as("b")),
+        struct(least(col("u"), col("v2")).as("a"),
+          greatest(col("u"), col("v2")).as("b")),
+        struct(least(col("v1"), col("v2")).as("a"),
+          greatest(col("v1"), col("v2")).as("b")))).as("te"))
+      .select(col("te.a").as("a"), col("te.b").as("b"))
+    val sup = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("a", "b"), "left")
+      .select(col("a").as("src"), col("b").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (coalesce(col("support"), lit(0L)) >= lit(k - 2)).as("in_truss"))
+  }
+
+  /** Bounded-round k-TRUSS peel: `rounds` iterations of (count per-edge
+    * triangle support, keep edges with support ≥ k−2), then the final
+    * edge list with its residual support. With enough rounds this is
+    * the exact k-truss; the FIXED round count keeps the result
+    * deterministic and the job finite (same contract as [[kCorePeel]]).
+    * Each round is one triangle enumeration over the SHRINKING survivor
+    * set — the degree-ordered O(m^1.5) kernel, never an all-pairs
+    * surface — and the survivor set is `localCheckpoint`ed per round so
+    * the plan tree stays round-deep, not round-exponential (triangle
+    * enumeration references its input three times; without the cut the
+    * lineage would triple each round).
+    */
+  def trussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 8)
+    def support(e: DataFrame): DataFrame = {
+      val tris = enumTriangles(e, symDegrees(e))
+      val triEdges = tris.select(explode(array(
+          struct(least(col("u"), col("v1")).as("a"),
+            greatest(col("u"), col("v1")).as("b")),
+          struct(least(col("u"), col("v2")).as("a"),
+            greatest(col("u"), col("v2")).as("b")),
+          struct(least(col("v1"), col("v2")).as("a"),
+            greatest(col("v1"), col("v2")).as("b")))).as("te"))
+        .select(col("te.a").as("a"), col("te.b").as("b"))
+      e.join(triEdges.groupBy("a", "b").agg(count(lit(1)).as("c")),
+          Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("c"), lit(0L)).as("support"))
+    }
+    var e = canonEdges(edges).localCheckpoint()
+    for (_ <- 1 to rounds)
+      e = support(e).where(col("support") >= lit(k - 2))
+        .select("a", "b").localCheckpoint()
+    support(e).select(col("a").as("src"), col("b").as("dst"),
+      col("support"), (col("support") >= lit(k - 2)).as("in_truss"))
   }
 
   /** Bounded-round k-core peel: `rounds` iterations of (count degrees,

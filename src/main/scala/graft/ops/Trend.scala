@@ -774,5 +774,38 @@ object Trend {
   }
 
   private val DecTotals = org.apache.spark.sql.types.DecimalType(28, 6)
+  /** Theil–Sen robust trend: per group, the MEDIAN of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — the classic
+    * outlier-resistant alternative to OLS (public method, Sen 1968).
+    * Scale contract: the pair join is WITHIN a group on a bounded
+    * domain (calendar months here — |pairs| ≤ |months|²/2 per group,
+    * fixed by the calendar, not the data volume), and the exact median
+    * runs in a window PARTITIONED by the group — no global sort, no
+    * unbounded partition. Even-count medians average the two middle
+    * values (matching DuckDB's `median` interpolation for the oracle).
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(xCol).as("x1"),
+      col(yCol).as("y1"))
+    val b = df.select(col(groupCol).as("g"), col(xCol).as("x2"),
+      col(yCol).as("y2"))
+    val slopes = a.join(b, Seq("g")).where(col("x2") > col("x1"))
+      .select(col("g"),
+        ((col("y2") - col("y1")).cast("double")
+          / (col("x2") - col("x1")).cast("double")).as("slope"))
+    val w = Window.partitionBy("g").orderBy("slope")
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+    // `/` is double division in Spark SQL — floor() both middle picks
+    // (odd n: both land on the same row; even n: the two middles)
+    val mid = ranked.where(
+      col("rn") === floor((col("cnt") + 1) / 2) ||
+      col("rn") === floor(col("cnt") / 2) + 1)
+    mid.groupBy(col("g").as(groupCol))
+      .agg(max("cnt").as("n_pairs"), avg("slope").as("sen_slope"))
+      .select(col(groupCol), col("n_pairs").cast("long").as("n_pairs"),
+        col("sen_slope"))
+  }
 }
-

@@ -202,4 +202,32 @@ object Eval {
               / (col("n") * col("n") - col("snc2")).cast("double"), 6))
           .as("alpha"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator):
+    * given per-task totals `n` (samples drawn) and `c` (samples
+    * correct), pass@k = 1 − C(n−c, k)/C(n, k), computed as the
+    * sequential product ∏_{i=0}^{k−1} (n−c−i)/(n−i) — numerically
+    * stable (every factor ≤ 1, no factorials) and BIT-DETERMINISTIC
+    * across engines: a left fold of IEEE double multiplies in a fixed
+    * order, so DuckDB's `list_reduce` reproduces it exactly. When
+    * n − c < k a factor hits exactly 0 and pass@k = 1 (some k-subset
+    * must contain a correct sample). One narrow expression per row —
+    * no shuffle, no UDF; callers filter to tasks with n ≥ max(k).
+    *
+    * Input: one row per task with BIGINT columns `nCol` (samples) and
+    * `cCol` (correct). Adds one `pass_at_<k>` double column (6 dp)
+    * per requested k.
+    */
+  def passAtK(tasks: DataFrame, nCol: String, cCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    ks.foldLeft(tasks) { (df, k) =>
+      df.withColumn(s"pass_at_$k",
+        round(lit(1.0) - expr(
+          s"""aggregate(sequence(0, ${k - 1}), CAST(1.0 AS DOUBLE),
+             |  (acc, i) -> acc * CAST($nCol - $cCol - i AS DOUBLE)
+             |                  / CAST($nCol - i AS DOUBLE))""".stripMargin),
+          6))
+    }
+  }
 }

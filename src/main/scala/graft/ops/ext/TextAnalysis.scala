@@ -694,4 +694,99 @@ object TextAnalysis {
           / col("ng").cast("double"), 6).as("kl"))
       .orderBy(groupCol)
   }
+  /** Gopher-style quality-rule bundle (Rae et al. 2021, appendix A —
+    * the public heuristic filter set), restricted to rules with signal
+    * on plain text: word-count window, mean-word-length window, core-
+    * stopword presence, alphabetic-token fraction, top-token dominance
+    * cap, and a type-token-ratio floor. Per-document booleans roll up
+    * to a per-`byCol` census (docs, per-rule pass counts, pass_all).
+    *
+    * Shape at scale: the length/stopword/alpha rules are narrow
+    * expressions; the two frequency rules (dominance, TTR) cost ONE
+    * explode + per-(doc, token) count + per-doc max — shuffles keyed by
+    * doc id, linear in corpus tokens, no cross-document state. The
+    * rollup is one small aggregation by `byCol`.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      byCol: String,
+      minWords: Int = 30, maxWords: Int = 500,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      coreStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2, minAlphaFrac: Double = 0.8,
+      maxTopFrac: Double = 0.1, minTtr: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(byCol).as("grp"),
+      tokens(col(textCol)).as("toks"))
+    val doc = base.select(col("id"), col("grp"),
+      size(col("toks")).cast("double").as("n"),
+      length(concat_ws("", col("toks"))).cast("double").as("chars"),
+      size(array_intersect(array_distinct(col("toks")),
+        array(coreStops.map(lit): _*))).as("stop_hits"),
+      size(filter(col("toks"), t => t.rlike("[a-z]")))
+        .cast("double").as("alpha"))
+    val tf = base.select(col("id"), explode(col("toks")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val freq = tf.groupBy("id")
+      .agg(max("c").cast("double").as("topc"),
+        count(lit(1)).cast("double").as("ndist"))
+    val rules = doc.join(freq, Seq("id"), "left").select(col("grp"),
+      (col("n") >= minWords && col("n") <= maxWords).as("r_words"),
+      (col("n") > 0 &&
+        col("chars") / col("n") >= minMeanLen &&
+        col("chars") / col("n") <= maxMeanLen).as("r_mean_len"),
+      (col("stop_hits") >= minStopHits).as("r_stopwords"),
+      (col("n") > 0 && col("alpha") / col("n") >= minAlphaFrac)
+        .as("r_alpha"),
+      (col("n") > 0 && coalesce(col("topc"), lit(0.0)) / col("n")
+        <= maxTopFrac).as("r_top_frac"),
+      (col("n") > 0 && coalesce(col("ndist"), lit(0.0)) / col("n")
+        >= minTtr).as("r_ttr"))
+    val ruleCols = Seq("r_words", "r_mean_len", "r_stopwords", "r_alpha",
+      "r_top_frac", "r_ttr")
+    val aggs = ruleCols.map(r =>
+      sum(when(col(r), 1L).otherwise(0L)).as(s"pass_${r.stripPrefix("r_")}")) :+
+      sum(when(ruleCols.map(col).reduce(_ && _), 1L).otherwise(0L))
+        .as("pass_all")
+    rules.groupBy(col("grp").as(byCol))
+      .agg(count(lit(1)).as("docs"), aggs: _*)
+      .orderBy(byCol)
+  }
+
+  /** Vocabulary-richness estimators per `byCol` — the "how much MORE
+    * vocabulary would a bigger crawl of this source surface" table
+    * that sizes tokenizer vocabularies and flags near-exhausted
+    * sources. From the token-frequency spectrum alone: observed
+    * distinct D, singletons f1, doubletons f2 →
+    *
+    *  - Chao1 richness (bias-corrected): D + f1(f1−1)/(2(f2+1)) — a
+    *    lower bound on the true vocabulary size (Chao 1984),
+    *  - Good–Turing unseen mass f1/N — the probability the NEXT token
+    *    drawn is a previously unseen type,
+    *  - sample coverage 1 − f1/N (Turing's estimator).
+    *
+    * One explode + per-(group, token) count + one small per-group
+    * rollup; shuffles keyed by (group, token) then group — linear in
+    * corpus tokens at any scale. All-integer until the final ratios.
+    */
+  def vocabRichness(df: DataFrame, textCol: String,
+      byCol: String): DataFrame = {
+    val tf = df.select(col(byCol).as("grp"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy("grp", "t").agg(count(lit(1)).as("c"))
+    tf.groupBy("grp").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp").as(byCol), col("n_tokens"), col("n_distinct"),
+        col("f1"), col("f2"),
+        round(col("n_distinct")
+          + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")), 4).as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass"),
+        round(lit(1.0) - col("f1").cast("double")
+          / col("n_tokens").cast("double"), 6).as("coverage"))
+      .orderBy(byCol)
+  }
 }

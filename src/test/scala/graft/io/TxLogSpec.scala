@@ -122,8 +122,10 @@ class TxLogSpec extends AnyFunSuite {
     // snapshot; exactly one must win, the other must get the
     // ConcurrentCommitException (never silent last-wins)
     val start = new java.util.concurrent.CountDownLatch(1)
+    // record EVERY outcome (win / expected loss / anything else) so a
+    // lost writer is diagnosable, never a silent missing list entry
     val results =
-      new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val threads = (0 until 2).map { i =>
       // distinct payloads so a silent overwrite would be observable
       val sub = s"data/c2_w$i"
@@ -133,19 +135,21 @@ class TxLogSpec extends AnyFunSuite {
         start.await()
         try {
           TxLog.writeEntry(t, 2, Seq("data/c00001", sub))
-          results.add(Right(i))
+          results.add(i -> "win")
         } catch {
-          case _: TxLog.ConcurrentCommitException => results.add(Left(i))
+          case _: TxLog.ConcurrentCommitException => results.add(i -> "lost")
+          case e: Throwable => results.add(i -> s"UNEXPECTED: $e")
         }
       })
     }
     threads.foreach(_.start()); start.countDown()
-    threads.foreach(_.join(30000))
+    threads.foreach(_.join(120000))
     import scala.jdk.CollectionConverters._
     val rs = results.asScala.toList
-    assert(rs.count(_.isRight) == 1,
+    assert(rs.size == 2, s"a writer never finished: $rs")
+    assert(rs.count(_._2 == "win") == 1,
       s"exactly one writer must win: $rs")
-    assert(rs.count(_.isLeft) == 1,
+    assert(rs.count(_._2 == "lost") == 1,
       s"the loser must see ConcurrentCommitException: $rs")
     // the table stays consistent: v2 resolves to the winner's list
     assert(TxLog.read(spark, t, Some(2)).count() == 2)
