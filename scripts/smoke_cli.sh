@@ -61,4 +61,23 @@ run diff --old "$SF/documents.parquet" --new "$WORK/curated" \
 run trainorder --input "$WORK/curated" --out "$WORK/ordered" --shards 4
 test -n "$(find "$WORK/ordered" -name 'shard=*' | head -1)"
 
+# 6. table-log lifecycle: append -> WAP branch -> publish -> tag ->
+#    orphan reclamation (branch-delete leaves unpublished dirs orphaned)
+T="$WORK/table"
+run table append --table "$T" --input "$SF/region.parquet" \
+  --not-null r_regionkey
+run table branch --table "$T" --name stage
+run table branch-append --table "$T" --name stage \
+  --input "$SF/nation.parquet"
+run table branch-read --table "$T" --name stage --out "$WORK/branch_read"
+run table publish --table "$T" --name stage
+run table branch-delete --table "$T" --name stage
+run table tag --table "$T" --name release-1
+run table tags --table "$T"
+run table orphans --table "$T" --grace-ms 0
+run table vacuum-orphans --table "$T" --grace-ms 0
+run table history --table "$T"
+run table read --table "$T" --out "$WORK/table_read" --resolved true
+test -n "$(find "$WORK/table_read" -name '*.parquet' | head -1)"
+
 echo "CLI smoke OK ($WORK)"

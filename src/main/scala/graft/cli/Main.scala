@@ -155,6 +155,69 @@ object Main {
             println(s"""{"col":"${r.getString(0)}","ndv":${cell(1)},""" +
               s""""nulls":${cell(2)},"min":${cell(3)},"max":${cell(4)}}""")
           }
+      case "branch" =>
+        val b = req(opts, "name")
+        val v = TxLog.branchCreate(t, b)
+        println(s"""{"branch":"$b","version":$v}""")
+      case "branch-append" =>
+        val v = TxLog.branchAppend(spark, t, req(opts, "name"),
+          spark.read.parquet(req(opts, "input")),
+          opts.getOrElse("target-files", "4").toInt)
+        println(s"""{"branch":"${opts("name")}","version":$v}""")
+      case "branch-read" =>
+        TxLog.branchRead(spark, t, req(opts, "name"))
+          .write.mode("overwrite").parquet(req(opts, "out"))
+      case "publish" =>
+        // write-audit-publish: the audit flags gate here the same way
+        // they gate `append` — a violating branch is refused, not merged
+        val b = req(opts, "name")
+        val notNull = opts.get("not-null").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+        val uniq = opts.get("unique-key")
+          .map(_.split(",").toSeq.filter(_.nonEmpty))
+        val checks = opts.get("check").toSeq.map(c => ("cli", c))
+        if (notNull.nonEmpty || uniq.nonEmpty || checks.nonEmpty) {
+          val bad = TableChecks.audit(TxLog.branchRead(spark, t, b),
+              notNull, checks, uniq)
+            .filter(org.apache.spark.sql.functions.col("violations") > 0)
+            .collect()
+          if (bad.nonEmpty) {
+            System.err.println(bad.map(r =>
+              s"${r.getString(0)}=${r.getLong(1)}").mkString(
+              s"audit rejected publish of branch $b to $t: ", ", ", ""))
+            sys.exit(3)
+          }
+        }
+        val v = TxLog.publish(t, b)
+        println(s"""{"branch":"$b","published_version":$v}""")
+      case "branch-delete" =>
+        val n = TxLog.branchDelete(t, req(opts, "name"))
+        println(s"""{"branch":"${opts("name")}","versions_removed":$n}""")
+      case "branches" =>
+        TxLog.branches(t).foreach { b =>
+          println(s"""{"branch":"$b","head":${
+            TxLog.branchVersions(t, b).last}}""")
+        }
+      case "tag" =>
+        val v = TxLog.tagCreate(t, req(opts, "name"),
+          opts.get("version").map(_.toInt))
+        println(s"""{"tag":"${opts("name")}","version":$v}""")
+      case "tags" =>
+        TxLog.tags(t).toSeq.sortBy(_._1).foreach { case (tag, v) =>
+          println(s"""{"tag":"$tag","version":$v}""")
+        }
+      case "tag-delete" =>
+        TxLog.tagDelete(t, req(opts, "name"))
+        println(s"""{"tag":"${opts("name")}","deleted":true}""")
+      case "orphans" =>
+        val grace = opts.getOrElse("grace-ms", "3600000").toLong
+        TxLog.findOrphans(t, grace).foreach { d =>
+          println(s"""{"orphan":"$d"}""")
+        }
+      case "vacuum-orphans" =>
+        val n = TxLog.vacuumOrphans(t,
+          opts.getOrElse("grace-ms", "3600000").toLong)
+        println(s"""{"orphans_deleted":$n}""")
       case other =>
         System.err.println(s"unknown table verb: $other"); usage(); sys.exit(2)
     }
@@ -517,5 +580,19 @@ object Main {
       |  graft.cli.Main table vacuum --table DIR [--keep 1]
       |  graft.cli.Main table clone --table SRC --dst DST
       |  graft.cli.Main table restore --table DIR --version N
-      |  graft.cli.Main table analyze --table DIR --cols a,b,c""".stripMargin)
+      |  graft.cli.Main table analyze --table DIR --cols a,b,c
+      |  graft.cli.Main table branch --table DIR --name b
+      |  graft.cli.Main table branch-append --table DIR --name b
+      |    --input PARQUET [--target-files 4]
+      |  graft.cli.Main table branch-read --table DIR --name b --out DIR
+      |  graft.cli.Main table publish --table DIR --name b
+      |    [--not-null a,b] [--check SQL] [--unique-key a,b]
+      |  graft.cli.Main table branch-delete --table DIR --name b
+      |  graft.cli.Main table branches --table DIR
+      |  graft.cli.Main table tag --table DIR --name t [--version N]
+      |  graft.cli.Main table tags --table DIR
+      |  graft.cli.Main table tag-delete --table DIR --name t
+      |  graft.cli.Main table orphans --table DIR [--grace-ms 3600000]
+      |  graft.cli.Main table vacuum-orphans --table DIR
+      |    [--grace-ms 3600000]""".stripMargin)
 }

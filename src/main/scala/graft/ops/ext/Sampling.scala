@@ -228,6 +228,57 @@ object Sampling {
     * engine-portable and RNG-free. Output per node: keys_before,
     * keys_after, plus the scalar moved_share (6 dp).
     */
+  /** Sensitivity-sampling coreset over an embedding column — the
+    * importance-weighted subsample that preserves clustering cost
+    * (Feldman–Langberg style): a point's sampling mass is its residual
+    * distance to the nearest prototype, so redundant cluster cores are
+    * sampled lightly and the diverse shell heavily, with inverse-
+    * probability weights keeping every estimate unbiased.
+    *
+    * Deterministic, engine-portable construction: prototypes are the
+    * every-`centroidEvery`-th-id rows (the [[ProtoPrune]]/IVF
+    * contract — swap trained centroids in at deployment, same plan);
+    * sensitivity = 1 − best cosine, quantized to integer micro-units
+    * (+1 so prototypes stay sampleable); selection is EXACT integer
+    * systematic resampling over the quantized masses
+    * ([[systematicResample]] — two-level prefix sums, no global
+    * window, no RNG). Only the prototype set broadcasts; the corpus
+    * never self-joins.
+    *
+    * Output: one row per SELECTED vector — id, assigned prototype,
+    * integer sensitivity, copies drawn, and the inverse-probability
+    * weight S/(nDraws·sens) (6 dp).
+    */
+  def sensitivityCoreset(emb: DataFrame, vecCol: String, idCol: String,
+      centroidEvery: Int = 50, nDraws: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val cents = c.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("__cos").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("cent_id"),
+        (floor((lit(1.0) - col("__cos")) * 1e6 + 0.5) + 1)
+          .cast("long").as("sens"))
+    val tot = assigned.agg(sum("sens").as("stot"))
+    val picked = systematicResample(assigned, "id", "sens", nDraws)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_copies"))
+    picked.join(assigned, Seq("id")).crossJoin(broadcast(tot))
+      .select(col("id").as(idCol), col("cent_id"), col("sens"),
+        col("n_copies"),
+        round(col("stot").cast("double")
+          / (col("sens") * nDraws).cast("double"), 6).as("weight"))
+      .orderBy(idCol)
+  }
+
   def rendezvousAudit(df: DataFrame, keyCol: String, nNodes: Int)
       : DataFrame = {
     require(nNodes >= 3)
