@@ -42,33 +42,18 @@ object Layout {
     * consecutive pair of keys is spatially adjacent — so equal-size
     * key runs cover tighter rectangles and parquet min/max stats prune
     * harder on both columns (the reason Delta/Iceberg offer it beside
-    * z-order). Built as `bits` unrolled rounds of pure codegen'd
-    * conditional bit arithmetic over (x, y, d) columns — no UDF; an
-    * oracle reproduces it with the same unrolled integer ops.
+    * z-order). One codegen'd primitive loop
+    * ([[graft.expr.HilbertKey]] — a per-round Column unroll would
+    * reference both prior coordinates per new coordinate and double
+    * the expression tree each round); an oracle reproduces it with the
+    * same unrolled integer ops.
     */
   def hilbertKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")
-    val n = 1L << bits
-    var x = a.cast("long")
-    var y = b.cast("long")
-    var d = lit(0L)
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      d = d + lit(s) * lit(s) * ((lit(3L) * rx).bitwiseXOR(ry))
-      // rotate the quadrant so the sub-curve enters/exits correctly:
-      // ry=0 → mirror when rx=1 (FULL-width n−1−v — already-consumed
-      // high bits flip too, harmlessly; s−1−v would go negative), then
-      // swap x/y
-      val nx = when(ry === 0,
-        when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
-      val ny = when(ry === 0,
-        when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
-      x = nx
-      y = ny
-    }
-    d
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.expr.HilbertKey(
+      GraftExpressionBridge.expression(a.cast("long")),
+      GraftExpressionBridge.expression(b.cast("long")), bits))
   }
 
   /** Range-partition into `numFiles` and sort within each — per-file

@@ -32,6 +32,21 @@ class Wave92OpsSpec extends AnyFunSuite {
     assert(d(0L) == (0L, 0L))
   }
 
+  test("HilbertKey kernel: full 8-bit bijection with unit steps") {
+    val n = 256
+    val pos = new Array[(Int, Int)](n * n)
+    for (x <- 0 until n; y <- 0 until n) {
+      val d = graft.expr.HilbertKey.compute(x.toLong, y.toLong, 8).toInt
+      assert(pos(d) == null, s"key $d hit twice")
+      pos(d) = (x, y)
+    }
+    for (i <- 0 until n * n - 1) {
+      val (x1, y1) = pos(i); val (x2, y2) = pos(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$i and d=${i + 1}")
+    }
+  }
+
   // --------------------------------------------------------- fellegiSunter
 
   test("fellegiSunter weights separate strong and weak evidence") {
