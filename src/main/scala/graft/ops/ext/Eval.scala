@@ -203,6 +203,45 @@ object Eval {
           .as("alpha"))
   }
 
+  /** Exact average precision (the area under the precision–recall
+    * curve at relevant ranks — MAP's per-query term) per query group:
+    * AP = (1/P) Σ_{k : rel_k} precision@k with ranks from
+    * `row_number` over (score desc, id) — deterministic under ties.
+    * Each precision term (an IEEE division of two small ints) is cast
+    * to DECIMAL(38,18) BEFORE the sum (the [[Retrieval
+    * .rankingMetrics]] DCG rule), so the per-group rollup is
+    * order-independent and cross-engine exact. The rank window is
+    * PARTITIONED by the query group — bounded by the largest labeled
+    * result list, never global; labeled eval sets are small by nature
+    * (same contract as [[rocAuc]]).
+    *
+    * Output per group: n_docs, n_rel, ap (6 dp; groups with zero
+    * relevant docs report ap = 0).
+    */
+  def averagePrecision(scored: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, relCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val cum = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rel = when(col(relCol), 1L).otherwise(0L)
+    scored
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cumrel", sum(rel).over(cum))
+      .withColumn("__term",
+        when(rel === 1L, (col("__cumrel").cast("double")
+            / col("__rank").cast("double")).cast(DecimalType(38, 18)))
+          .otherwise(lit(0.0).cast(DecimalType(38, 18))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(rel).as("n_rel"),
+        sum(col("__term")).as("__ap_sum"))
+      .select(col(groupCol), col("n_docs"), col("n_rel"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("__ap_sum").cast("double")
+            / col("n_rel").cast("double"), 6)).as("ap"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator):
     * given per-task totals `n` (samples drawn) and `c` (samples
     * correct), pass@k = 1 − C(n−c, k)/C(n, k), computed as the

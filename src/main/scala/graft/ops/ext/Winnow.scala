@@ -74,4 +74,33 @@ object Winnow {
       .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
       .limit(limit)
   }
+
+  /** SOFT deduplication weights — down-weight common content instead
+    * of dropping documents (the SoftDeDup idea re-expressed on
+    * winnowing fingerprints): a document's duplication mass is the
+    * fraction of its fingerprints that occur in ≥ `commonDf` documents
+    * corpus-wide; its sampling weight is 1 − that fraction. A unique
+    * document keeps weight 1, a fully-boilerplate one approaches 0,
+    * and — unlike hard near-dup removal — partial overlaps lose only
+    * their overlapping mass.
+    *
+    * Scale shape: fingerprint extraction is the [[fingerprints]]
+    * linear pass; document frequency is one count shuffle keyed by
+    * fingerprint; the weight is a per-doc ratio of two exact counts.
+    * Nothing pairs up — cost is linear where pairwise near-dup is
+    * candidate-bounded. Output per doc: n_fp, n_common, weight (6 dp).
+    */
+  def commonalityWeights(df: DataFrame, textCol: String, idCol: String,
+      gramSize: Int = 3, window: Int = 4, commonDf: Int = 2)
+      : DataFrame = {
+    val fp = fingerprints(df, textCol, idCol, gramSize, window)
+    val freq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    fp.join(freq, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col(idCol), col("n_fp"), col("n_common"),
+        round(lit(1.0) - col("n_common").cast("double")
+          / col("n_fp").cast("double"), 6).as("weight"))
+  }
 }
