@@ -36,6 +36,25 @@ object Layout {
     }
   }
 
+  /** N-column Morton key: bit `i` of column `j` lands at position
+    * `i * n + j` (round-robin interleave) — the general form of
+    * [[zorderKey]] for composite filter sets (the 2-column overload
+    * keeps its historical even/odd layout). Total bits must fit a
+    * long. Pure codegen'd bit arithmetic, same bucket-normalization
+    * contract.
+    */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need >= 2 columns: $n")
+    require(bits > 0 && n * bits <= 63, s"$n x $bits bits must fit a long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c.cast("long"), i).bitwiseAND(1), i * n + j))
+      }
+    }
+  }
+
   /** Hilbert-curve key for two non-negative ints in [0, 2^bits): the
     * standard xy→d walk (one rotation step per bit, high bit first).
     * Unlike Morton order, the Hilbert curve has NO long jumps — every

@@ -752,6 +752,38 @@ object TextAnalysis {
       .orderBy(byCol)
   }
 
+  /** Code-switching (language-mix) detection per document: the token
+    * stream splits into four contiguous quarters, each quarter gets
+    * the stopword-argmax [[langId]] verdict, and a document is MIXED
+    * when two or more quarters disagree on a determined language.
+    * Catches concatenation artifacts (two documents glued at crawl
+    * time), boilerplate in a second language, and genuine
+    * code-switching — all of which poison monolingual training sets
+    * that per-document language ID alone admits.
+    *
+    * Narrow per-row expressions only (slice + the stopword
+    * membership counts, four times) — no shuffle, no UDF; linear at
+    * any corpus scale.
+    */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    // (n+3) div 4 — the `/` is double division on Columns, so cast back
+    val base = df.select(col(idCol), toks.as("__toks"),
+      ((size(toks) + 3) / 4).cast("int").as("__qlen"))
+    val quartered = (0 until 4).foldLeft(base) { (d, i) =>
+      d.withColumn(s"lang_q${i + 1}",
+        langId(concat_ws(" ",
+          slice(col("__toks"), col("__qlen") * i + 1, col("__qlen")))))
+    }
+    val langs = array((1 to 4).map(i => col(s"lang_q$i")): _*)
+    quartered.select(
+      (Seq(col(idCol)) ++ (1 to 4).map(i => col(s"lang_q$i")) ++ Seq(
+        size(array_distinct(filter(langs, l => l =!= "und")))
+          .cast("long").as("n_langs"))): _*)
+      .withColumn("is_mixed", col("n_langs") >= 2)
+  }
+
   /** Vocabulary-richness estimators per `byCol` — the "how much MORE
     * vocabulary would a bigger crawl of this source surface" table
     * that sizes tokenizer vocabularies and flags near-exhausted
