@@ -113,8 +113,17 @@ object Oph {
       .withColumn("bin", lit(-1L))
       .select(col("id"), col("bin"), col("key"))
     val keys = binKeys.unionByName(shortKeys)
-    // hub cap via a bucket-partitioned window — one shuffle, no join
-    val capped = keys.withColumn("__n", count(lit(1)).over(
+    // hub cap via a bucket-partitioned window — one PINNED shuffle, no
+    // join. The explicit numbered repartition on the join key is the
+    // Dedup.pinBucketParallelism discipline: the keys frame is a slim
+    // per-doc aggregate, so AQE's size-based coalescing would fold it
+    // to ~1 partition and put the bucket join's ~fan-out² inside a
+    // one-task stage; REPARTITION_BY_NUM is exempt from coalescing and
+    // the cap window AND the self-join both reuse this one exchange.
+    val pinned = keys.repartition(
+      keys.sparkSession.sessionState.conf.numShufflePartitions,
+      col("bin"), col("key"))
+    val capped = pinned.withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bin", "key")))
       .filter(col("__n") <= maxBucket).drop("__n")
     val l = capped.select(col("bin"), col("key"), col("id").as("id_a"))
@@ -125,9 +134,12 @@ object Oph {
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_a"), col("id_b"),
-        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      // jaccard computed ONCE into a column (filter + output both read
+      // it); the filter-then-reproject form re-ran the array
+      // intersect/union per pair a second time
+      .withColumn("__j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 
   /** Estimated jaccard from two OPH signatures: matched bins over
