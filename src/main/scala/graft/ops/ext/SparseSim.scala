@@ -58,9 +58,16 @@ object SparseSim {
         transform(sequence(lit(1), size(toks) - (ngram - 1)),
           i => xxhash64((0 until ngram).map(o => element_at(toks, i + o)): _*)))
         .otherwise(array().cast("array<long>"))
+    // persisted: dfreq AND the weights join both consume tf — without
+    // the persist the whole tokenize+trigram-hash+explode+aggregate
+    // pipeline runs twice inside the weights job (measured: the
+    // weights stage was ~3.2 s of q109's 5 s at sf0.1, ~half of it
+    // the second tf pass). The frame is the post-aggregate (id, term
+    // hash, tf) triple — digest-narrow at any corpus scale.
     val tf = withToks
       .select(col("id"), explode(terms).as("th"))
       .groupBy("id", "th").agg(count(lit(1)).as("tf"))
+      .persist()
 
     val nDocs = docs.count()
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("dfreq"))
