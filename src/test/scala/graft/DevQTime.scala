@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time the QS env-var query list at sf0.1 (or QS_DIR). */
+/** Dev-only: time the QS env-var query list at sf0.1 (or QS_DIR).
+  * REPS sets runs per query (default 2); QCONF takes extra session
+  * confs as "k=v;k=v" for config A/B tests (runtime SQLConfs only).
+  */
 object DevQTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("QS_DIR", "/root/testdata/sf0.1")
@@ -12,11 +15,18 @@ object DevQTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("QCONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        println(s"[devqtime] conf $k=$v")
+      })
     // allow timing at the synthesized 10x step without running Bench
     if (sfDir.endsWith("benchdata/sf1"))
       BenchData.ensureScaled(spark, "/root/testdata/sf0.1", sfDir, factor = 10)
     val qs = sys.env.getOrElse("QS", "q89_bigram_lm").split(",").toSeq
-    for (name <- qs; rep <- 1 to 2) {
+    val reps = sys.env.getOrElse("REPS", "2").toInt
+    for (name <- qs; rep <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
