@@ -47,10 +47,16 @@ object KMeans {
         .withColumn("d2", col("xx")
           - lit(2.0) * Similarity.dot(col("vec"), col("centv"))
           + col("cc"))
-      val w = Window.partitionBy("id").orderBy(col("d2").asc, col("cid").asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("id"), col("cid"), col("vec"))
+      // argmin as a MIN(struct) aggregate, not a row_number window:
+      // same (d2 asc, cid asc) winner (struct ordering is
+      // lexicographic; cid is unique per id so (d2, cid) ties cannot
+      // reach the vec field), but the aggregate partial-combines
+      // map-side — the shuffle carries one row per vector instead of
+      // one per (vector × centroid) scored pair (k× fewer bytes; the
+      // window form also had to sort every partition).
+      scored.groupBy("id")
+        .agg(min(struct(col("d2"), col("cid"), col("vec"))).as("__m"))
+        .select(col("id"), col("__m.cid").as("cid"), col("__m.vec").as("vec"))
     }
 
     def components(a: DataFrame): DataFrame = a

@@ -43,21 +43,32 @@ object PqSearch {
     * subspace, code).
     */
   def encode(corpus: DataFrame, vecCol: String, idCol: String,
-             cents: DataFrame, subDim: Int): DataFrame = {
+             cents: DataFrame, subDim: Int, subspaces: Int): DataFrame = {
     val v = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val scored = v.crossJoin(broadcast(cents))
-      .withColumn("subv", slice(col("vec"),
-        (col("subspace") * subDim + 1).cast("int"), lit(subDim)))
-      .withColumn("d2",
-        Similarity.dot(col("subv"), col("subv"))
-          - lit(2.0) * Similarity.dot(col("subv"), col("centv"))
-          + col("cc"))
-    val w = Window.partitionBy("corpus_id", "subspace")
-      .orderBy(col("d2"), col("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("corpus_id"), col("subspace"), col("cid").as("code"))
+    // one (subspace, slice, self-dot) row per vector × SUBSPACE before
+    // the centroid join: the previous crossJoin-then-slice form
+    // re-sliced the full vector and re-computed subv·subv once per
+    // (vector × CENTROID) scored row — with 4×|codebook| centroids
+    // that was ~|codebook|× redundant allocation + dot work per row.
+    val subs = v
+      .select(col("corpus_id"),
+        explode(sequence(lit(0L), lit(subspaces - 1L))).as("subspace"),
+        col("vec"))
+      .select(col("corpus_id"), col("subspace"),
+        slice(col("vec"), (col("subspace") * subDim + 1).cast("int"),
+          lit(subDim)).as("subv"))
+      .withColumn("xx", Similarity.dot(col("subv"), col("subv")))
+    val scored = subs.join(broadcast(cents), Seq("subspace"))
+      .withColumn("d2", col("xx")
+        - lit(2.0) * Similarity.dot(col("subv"), col("centv"))
+        + col("cc"))
+    // argmin via MIN(struct) — map-side-combined aggregate instead of
+    // a window sort over every (vector × centroid) scored row; same
+    // (d2, cid) winner (see KMeans.assign)
+    scored.groupBy("corpus_id", "subspace")
+      .agg(min(struct(col("d2"), col("cid"))).as("__m"))
+      .select(col("corpus_id"), col("subspace"), col("__m.cid").as("code"))
   }
 
   /** End-to-end ADC top-k: train codebooks on the corpus, encode it,
@@ -73,7 +84,7 @@ object PqSearch {
     val cb = KMeans.pqTrain(corpus, vecCol, idCol, subspaces, subDim,
       centroidEvery, iters)
     val cents = codebookArrays(cb)
-    val codes = encode(corpus, vecCol, idCol, cents, subDim)
+    val codes = encode(corpus, vecCol, idCol, cents, subDim, subspaces)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
     val lut = q.crossJoin(broadcast(cents))

@@ -30,7 +30,7 @@ class PqSearchSpec extends AnyFunSuite {
       subspaces = 2, subDim = 2, centroidEvery = 25, iters = 2)
     val cents = PqSearch.codebookArrays(cb)
     assert(cents.count() == 4, "2 subspaces x 2 cells")
-    val codes = PqSearch.encode(corpus, "embedding", "vec_id", cents, 2)
+    val codes = PqSearch.encode(corpus, "embedding", "vec_id", cents, 2, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(codes.size == 16, "8 vectors x 2 subspaces")
     // the mixed vector 29 splits: x-like on subspace 0, y-like on 1
