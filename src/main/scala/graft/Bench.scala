@@ -53,25 +53,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.expr.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // allow shuffled hash join where it fits (guide §3.1/§9): SHJ
-      // skips the per-partition sort of sort-merge; the planner's own
-      // size conditions still gate the choice, and the AQE rewrite
-      // only fires for post-shuffle partitions under the 64m local-map
-      // threshold, so build-side memory stays bounded at any scale.
-      // Measured at sf0.1: join-heavy stats/graph queries ~5-10%
-      // faster, none slower. Both knobs env-overridable.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // session config SHARED with Verify and the DevPlan dumper (one
+    // builder — graft.Sessions — so committed plan evidence can never
+    // drift from the config the bench actually runs; round-9 advice)
+    val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // profile selector: driver-budget defaults unless the builder asks

@@ -42,8 +42,14 @@ object TxLog {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  // one shared Configuration: every log operation resolves a FileSystem
+  // (FileSystem.get caches instances per scheme+authority, but each
+  // `new Configuration()` re-parses the default XML resources — pure
+  // overhead multiplied by the many small log reads a txlog query does)
+  private lazy val hadoopConf = new Configuration()
+
   private def fs(table: String): FileSystem =
-    new HPath(table).getFileSystem(new Configuration())
+    new HPath(table).getFileSystem(hadoopConf)
 
   /** A log entry normally lists table-relative directories
     * (`data/cNNNNN`). A SHALLOW CLONE's entry lists ABSOLUTE
@@ -756,12 +762,29 @@ object TxLog {
       .repartition(buckets, col("__b")).sortWithinPartitions(zoneCol)
       .write.mode("errorifexists").partitionBy("__b").parquet(tmp.toString)
     val f = fs(table)
+    // per-bucket zone envelopes in ONE pass over the written bytes
+    // (spark reads __b back as a partition column) instead of one
+    // read-back aggregation job per bucket — same sidecar values: the
+    // min/max of each bucket's rows
+    val zones = spark.read.parquet(tmp.toString)
+      .groupBy(col("__b"))
+      .agg(org.apache.spark.sql.functions.min(col(zoneCol)).as("mn"),
+        org.apache.spark.sql.functions.max(col(zoneCol)).as("mx"))
+      .collect()
+      // all-null envelope -> no sidecar (the writeZone contract)
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.get(0).toString.toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val subs = f.listStatus(tmp).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sortBy(_.stripPrefix("__b=").toInt)
       .map { n =>
-        val sub = f"data/c$v%05d_b${n.stripPrefix("__b=").toInt}%02d"
+        val b = n.stripPrefix("__b=").toInt
+        val sub = f"data/c$v%05d_b$b%02d"
         f.rename(new HPath(tmp, n), new HPath(table, sub))
-        writeZone(spark, table, sub, zoneCol)
+        zones.get(b).foreach { case (mn, mx) =>
+          writeString(f, zonePath(table, sub),
+            s"""{"col":"$zoneCol","min":$mn,"max":$mx}""")
+        }
         sub
       }
     f.delete(tmp, true)

@@ -194,10 +194,15 @@ object Graph {
         .select(col("a"), col("b"),
           coalesce(col("c"), lit(0L)).as("support"))
     }
-    var e = canonEdges(edges).localCheckpoint()
-    for (_ <- 1 to rounds)
+    // LAZY checkpoints for the intermediate rounds (plan stays
+    // round-deep, zero driver jobs spent materializing), ONE eager on
+    // the last survivor set — the final support() pass reads its input
+    // three times, so the last frame is worth materialized blocks. All
+    // earlier rounds execute inside that single eager job.
+    var e = canonEdges(edges).localCheckpoint(false)
+    for (r <- 1 to rounds)
       e = support(e).where(col("support") >= lit(k - 2))
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").localCheckpoint(r == rounds)
     support(e).select(col("a").as("src"), col("b").as("dst"),
       col("support"), (col("support") >= lit(k - 2)).as("in_truss"))
   }
@@ -219,14 +224,24 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // LAZY localCheckpoint per round: sym_r is referenced THREE times by
+    // round r+1 (the degree aggregate plus both membership joins), so an
+    // untruncated lineage triples per round — O(3^r) logical plan nodes
+    // (exchange reuse kept execution alive at toy scale, but analysis
+    // cost and the 10× step's ratio both grew with it; q159's sf1 ratio
+    // was the round-9 record's worst graph scaler at 9.1). The
+    // checkpoint pins each round to one LogicalRDD; all rounds still
+    // execute inside the caller's single action.
     var sym = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val alive = sym.groupBy("node").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("node")
       sym = sym.join(alive, Seq("node"))
         .join(alive.withColumnRenamed("node", "nbr"), Seq("nbr"))
         .select("node", "nbr")
+        .localCheckpoint(false)
     }
     sym.groupBy("node").agg(count(lit(1)).as("deg"))
       .select(col("node"), col("deg"), (col("deg") >= k).as("in_core"))
@@ -452,7 +467,14 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     def maxNorm(raw: DataFrame, c: String): DataFrame = {
-      val r = raw.localCheckpoint()
+      // LAZY checkpoint: truncates the plan (r is referenced twice —
+      // the max() scalar and the normalization probe) without spending
+      // a driver job per half-round; the whole round chain materializes
+      // inside the ONE eager checkpoint at the end, where the shared
+      // shuffle under both consumers runs once. The eager form cost 2
+      // jobs per half-round (materialize + max), ~4r scheduler
+      // round-trips per call at toy scale for the same data work.
+      val r = raw.localCheckpoint(false)
       val mx = r.agg(max(col(c)).as("mx"))
       // mx is a 1-row scalar; no hint needed — AQE broadcasts it
       r.crossJoin(mx)
@@ -519,8 +541,14 @@ object Graph {
     // localCheckpoint per round (the [[hits]] idiom): plan depth stays
     // O(1) however high `iterations` goes — without it each round's
     // plan embeds every prior round's joins and Catalyst cost grows
-    // O(r²) in analysis alone.
-    for (_ <- 1 to iterations) {
+    // O(r²) in analysis alone. LAZY for the intermediate rounds (each
+    // rank frame has exactly one downstream consumer, so nothing is
+    // recomputed) and EAGER only for the last: the whole loop then
+    // executes as ONE job instead of one per round — the per-round
+    // driver round-trips were the dominant cost at gate scale — and the
+    // eager final materialization must land BEFORE the persisted
+    // e/nodes/outdeg frames are released below.
+    for (i <- 1 to iterations) {
       val contribs = eDeg
         // rank-0 nodes contribute exactly 0 to every neighbor (and the
         // downstream coalesce already maps "no contribution" to 0), so
@@ -535,7 +563,7 @@ object Graph {
         .select(col("node"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L))
             + expr("85 * coalesce(sum_c, 0L) div 100")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(i == iterations)
     }
     e.unpersist(); nodes.unpersist(); outdeg.unpersist(); seed.unpersist()
     eDeg.unpersist()
@@ -627,8 +655,11 @@ object Graph {
     val base = 15L * scale / 100 / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
     // localCheckpoint per round (the [[hits]] idiom) — bounded plan
-    // depth at any iteration count; see [[personalizedPageRank]].
-    for (_ <- 1 to iterations) {
+    // depth at any iteration count; LAZY except the last round, so the
+    // whole loop runs as ONE job and the final eager materialization
+    // lands before e/nodes/outdeg are unpersisted (see
+    // [[personalizedPageRank]]).
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -637,7 +668,7 @@ object Graph {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(sum_c, 0L) div 100")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(i == iterations)
     }
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks

@@ -31,7 +31,7 @@ object CoverageSelect {
         explode(array_distinct(col(tokCol))).as("w"))
       .persist()
     var covered = spark.emptyDataset[String].toDF("w")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var total = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     for (r <- 1 to k) {
@@ -51,7 +51,9 @@ object CoverageSelect {
         covered = covered
           .unionByName(toks.filter(col("id") === id).select(col("w")))
           .distinct()
-          .localCheckpoint()
+          // LAZY cut: next round's winner collect materializes it —
+          // an eager cut spent one extra job per greedy round
+          .localCheckpoint(false)
       }
     }
     picks.toSeq.toDF("round", "id", "new_elements", "total_covered")

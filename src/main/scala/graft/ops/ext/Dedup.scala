@@ -145,11 +145,11 @@ object Dedup {
       .join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-      .withColumn("containment",
-        size(array_intersect(col("sha"), col("shb"))) / size(col("sha")))
+    evalOnce(cand
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b")),
+        "__ci", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment", col("__ci") / size(col("sha")))
       .filter(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), round(col("containment"), 6)
         .as("containment"))
@@ -160,6 +160,47 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Evaluate `e` exactly ONCE per row into column `name`, immune to
+    * Catalyst re-inlining. A threshold filter above a plain Project is
+    * pushed below it — and, when the expression references both join
+    * sides, into the join condition — with the FULL expression body
+    * re-inlined (the round-9 advice finding on [[Oph.nearDups]]), and
+    * whole-stage codegen's subexpression elimination does not span the
+    * Filter/Project operator pair, so the array set ops of a verify
+    * join ran 2–3× per candidate pair. A one-element explode is a
+    * Generate node: a predicate on generator output cannot be pushed
+    * below the Generate, so the expression runs once there and the
+    * filter plus the output projection read the materialized column.
+    * Interleaved same-session A/B on the q445 verify (DevOphProf,
+    * 381k candidate pairs): barrier 0.9–1.1 s vs pushed/re-inlined
+    * 1.7–1.9 s.
+    */
+  private[ext] def evalOnce(df: DataFrame, name: String,
+      e: Column): DataFrame =
+    df.withColumn(name, explode(array(e)))
+
+  /** Exact-jaccard column over two DISTINCT-element shingle-hash
+    * arrays (the [[graft.expr.ShingleHashes]] kernel dedups by
+    * construction): |a ∩ b| is computed ONCE behind the [[evalOnce]]
+    * Generate barrier and the union size derived by set arithmetic
+    * (|a ∪ b| = |a| + |b| − |a ∩ b|), so a verify pays ONE set
+    * operation per candidate pair where the re-inlined
+    * intersect + union shape paid two set ops 2–3 times each
+    * (measured on the q445 verify stage at sf0.1: 5.7 → ~1 s, the two
+    * effects combined). The doubles are bit-identical to the
+    * intersect/union form — the integer union size is equal by set
+    * identity, so both divisions see the same operands (and the
+    * union-0 ⇔ both-empty guard is preserved).
+    */
+  private[ext] def withJaccard(pairs: DataFrame, a: Column, b: Column,
+      name: String): DataFrame = {
+    val uni = size(a) + size(b) - col("__ji")
+    evalOnce(pairs, "__ji", size(array_intersect(a, b)))
+      .withColumn(name, when(uni === 0, lit(0.0))
+        .otherwise(col("__ji").cast("double") / uni.cast("double")))
+      .drop("__ji")
   }
 
   /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard) for pairs
@@ -294,10 +335,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val repPairs = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val repPairs = withJaccard(cand.join(a, Seq("id_a")).join(b, Seq("id_b")),
+        col("sh_a"), col("sh_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
     if (!includeExactDuplicates) repPairs
     else {
       val cross = repPairs
@@ -356,14 +397,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // candidates are tiny post-prefilter: broadcast them through the
     // history probe so the wide shingle frame streams in place
-    broadcast(cand)
-      .join(shH.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(broadcast(shB.select(col("id").as("id_b"),
-        col("sh").as("sh_b"))), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    withJaccard(broadcast(cand)
+        .join(shH.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(broadcast(shB.select(col("id").as("id_b"),
+          col("sh").as("sh_b"))), Seq("id_b")),
+        col("sh_a"), col("sh_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs: pairs of rows whose embedding
@@ -424,8 +465,7 @@ object Dedup {
           .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),
             col("nrm").as("nrm_b")), Seq("id_b"))
       }
-    scored
-      .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b"))
+    evalOnce(scored, "cosine", Similarity.dot(col("vec_a"), col("vec_b"))
         / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -666,12 +706,12 @@ object Dedup {
     // persist the shingling runs twice
     val sh = long.select(col("id"),
       shinglesOfTokens(col("__toks"), shingleSize).as("sh")).persist()
-    broadcast(cand
+    withJaccard(broadcast(cand
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a")))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
+        col("sh_a"), col("sh_b"), "jaccard")
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Full-corpus near-duplicate pairs by LENGTH-ROUTED candidate

@@ -39,7 +39,11 @@ object GeoMedian {
       .agg(sum(col("x").cast(dec)).as("s"))
       .select(col("i"),
         (col("s").cast("double") / lit(n.toDouble)).as("y"))
-      .localCheckpoint()
+      // LAZY cut (round 10): y feeds two consumers per round (dist and
+      // parts) so the lineage needs truncating, but a d-row frame never
+      // needs its own driver job — the caller's single action
+      // materializes the whole Weiszfeld chain
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val dist = e.join(broadcast(y), Seq("i"))
         .groupBy("id")
@@ -56,7 +60,7 @@ object GeoMedian {
         .select(col("i"),
           (col("numq").cast("double") / col("denq").cast("double"))
             .as("y"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     y.select(col("i").as("dim"), round(col("y"), 6).as("coord"))
       .orderBy("dim")

@@ -44,6 +44,14 @@ object PqSearch {
     */
   def encode(corpus: DataFrame, vecCol: String, idCol: String,
              cents: DataFrame, subDim: Int, subspaces: Int): DataFrame = {
+    // subspaces <= 0 would make the sequence() below DESCEND (e.g.
+    // [0,-1]) instead of failing, and `cents` must cover exactly
+    // subspaces 0..subspaces-1 (the codebookArrays contract): a
+    // subspace absent from cents drops every vector's row for it in
+    // the inner centroid join, silently producing partial codes —
+    // round-9 advice finding, now refused up front.
+    require(subspaces >= 1, s"subspaces must be >= 1 (got $subspaces)")
+    require(subDim >= 1, s"subDim must be >= 1 (got $subDim)")
     val v = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("vec"))
     // one (subspace, slice, self-dot) row per vector × SUBSPACE before
@@ -81,6 +89,7 @@ object PqSearch {
   def adcTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, subspaces: Int, subDim: Int,
               centroidEvery: Int, iters: Int, k: Int): DataFrame = {
+    require(subspaces >= 1, s"subspaces must be >= 1 (got $subspaces)")
     val cb = KMeans.pqTrain(corpus, vecCol, idCol, subspaces, subDim,
       centroidEvery, iters)
     val cents = codebookArrays(cb)
@@ -94,6 +103,14 @@ object PqSearch {
         floor(Similarity.dot(col("subq"), col("centv")) * 1e6 + 0.5)
           .cast("long"))
       .select(col("query_id"), col("subspace"), col("cid"), col("pq"))
+    // Kept deliberately in the LONG form (round-10 A/B, DevPqAb,
+    // interleaved in one session at sf0.1 AND the 10× step): a "wide
+    // codes + one broadcast LUT join per subspace + inline sum" rewrite
+    // that avoids this aggregation exchange measured ~35% SLOWER at
+    // both scales — the scored stream is map-side partial-aggregated
+    // here (the shuffle carries (query, corpus) partials, not the
+    // subspaces× join output), while the wide form paid `subspaces`
+    // chained joins over the full pair stream plus a codes pivot.
     val scored = codes
       .join(broadcast(lut),
         codes("subspace") === lut("subspace") && codes("code") === lut("cid"))

@@ -61,8 +61,11 @@ object Preference {
         // truncate lineage between rounds: the round frame feeds TWO
         // broadcasts next round, and without a hard cut the replay
         // grows 2^r (persist alone does NOT dedupe the broadcast
-        // subqueries under AQE — measured on the q232 pipeline)
-        .localCheckpoint(true)
+        // subqueries under AQE — measured on the q232 pipeline). LAZY
+        // cut (round 10): same LogicalRDD sharing — the first broadcast
+        // build materializes the blocks, the second reuses them — minus
+        // the per-round eager materialization job.
+        .localCheckpoint(false)
       piq = next
     }
     totals.join(broadcast(piq), "i")

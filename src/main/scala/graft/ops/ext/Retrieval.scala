@@ -76,6 +76,68 @@ object Retrieval {
       .select("rank", "doc_id", "score", "n_terms")
   }
 
+  /** [[bm25TopK]] for SEVERAL queries in ONE corpus pass: the corpus is
+    * tokenized once, postings are filtered to the union of all query
+    * terms, and each query picks up its own terms through a broadcast
+    * (query, term) join — where N sequential bm25TopK calls re-tokenize
+    * and re-aggregate the corpus N times (q471 ran three needle passes
+    * over the same persisted chunk table). Per-query scores, ranks and
+    * tie-breaks are identical to the sequential calls: dfreq is a
+    * per-term property independent of the query set, every per-term
+    * score rounds before the DECIMAL (order-free) per-doc sum, and the
+    * per-query top-k window orders exactly like the single-query
+    * orderBy + limit. Output: (query_key, rank, doc_id, score,
+    * n_terms), one block of ≤ k rows per query.
+    */
+  def bm25TopKMulti(docs: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(Long, Seq[String])], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query's terms must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val s = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_key", "term")
+
+    val toks = TextAnalysis.tokens(col(textCol))
+    val withLen = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withLen.agg(
+      sum(col("dl").cast("long")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(allTerms)))
+          .as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))), 6))
+
+    val perDoc = scored.groupBy("query_key", "doc_id")
+      .agg(round(sum(col("term_score").cast(DecimalType(28, 6)))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_key")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_key", "rank", "doc_id", "score", "n_terms")
+  }
+
   /** Ranking-quality metrics for a retrieved list: DCG@k, ideal DCG,
     * NDCG@k and MRR against a `(doc_id, rel)` graded-relevance table.
     * DCG terms ((2^rel − 1)/log2(rank+1)) sum through DECIMAL(38,18)

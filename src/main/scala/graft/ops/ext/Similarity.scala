@@ -224,7 +224,10 @@ object Similarity {
         (dot(col("avec"), col("bvec")) / (col("anorm") * col("bnorm")))
           .as("cosine"))
       .distinct()
-      .localCheckpoint(true)
+      // LAZY cut: scored feeds both direction windows; the blocks
+      // persist at first compute inside the caller's single action —
+      // the eager form spent a separate materialization job
+      .localCheckpoint(false)
     val wa = Window.partitionBy("a_id")
       .orderBy(col("cosine").desc, col("b_id"))
     val bestA = scored.withColumn("r", row_number().over(wa))

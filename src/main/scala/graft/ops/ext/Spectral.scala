@@ -64,7 +64,14 @@ object Spectral {
   private val dec = DecimalType(38, 18)
 
   /** One power round: w = M·v (DECIMAL matvec sums), ‖w‖, v' = w/‖w‖.
-    * Returns (w-frame with column `w`, norm scalar frame `nrm`). */
+    * Returns (w-frame with column `w`, norm scalar frame `nrm`).
+    * `w` is LAZILY localCheckpointed: it feeds BOTH the norm scalar and
+    * the next vector, so an uncut lineage doubles per round (2^iters
+    * logical plan nodes), while an EAGER cut would spend a driver job
+    * per round on a d-row frame — the lazy cut keeps the plan
+    * round-deep and lets the caller's single action materialize every
+    * round in one job.
+    */
   private def powerRound(m: DataFrame, v: DataFrame)
       : (DataFrame, DataFrame) = {
     val w = m.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))),
@@ -72,6 +79,7 @@ object Spectral {
       .groupBy(col("i"))
       .agg(sum((col("m") * col("vj")).cast(dec)).as("sw"))
       .select(col("i"), col("sw").cast("double").as("w"))
+      .localCheckpoint(false)
     val nrm = w.agg(
       sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
     (w, nrm)
@@ -134,18 +142,21 @@ object Spectral {
       v1 = w.crossJoin(broadcast(nrm1))
         .select(col("i"), (col("w") / col("nrm")).as("v"))
     }
-    val v1c = v1.localCheckpoint()
-    val lam1 = nrm1.select(col("nrm").as("lam")).localCheckpoint()
+    val v1c = v1.localCheckpoint(false)
+    val lam1 = nrm1.select(col("nrm").as("lam")).localCheckpoint(false)
     // pass 2: deflated iteration. Each round's vector localCheckpoints
-    // (64 rows): the round body embeds THREE scalar broadcast subplans
-    // (dot, λ₁, norm), and without cutting the lineage every broadcast
-    // exchange of round r re-executes the full round-(r−1) tree — a
-    // job-count blowup that dwarfs the actual arithmetic.
+    // LAZILY (64 rows): the round body embeds THREE scalar broadcast
+    // subplans (dot, λ₁, norm), and without cutting the lineage every
+    // broadcast exchange of round r re-executes the full round-(r−1)
+    // tree — a blowup that dwarfs the actual arithmetic. The lazy cut
+    // (vs the round-9 eager one) removes the per-round materialization
+    // job too: the whole two-pass chain now runs inside the caller's
+    // single action, with the checkpointed blocks persisting on first
+    // compute for the multi-consumer frames.
     var u = unitStart(df, dims)
     var nrm2: DataFrame = null
     for (_ <- 1 to iters) {
-      val (w0, _) = powerRound(m, u)
-      val w = w0.localCheckpoint()
+      val (w, _) = powerRound(m, u)
       val d = u.join(v1c.select(col("i"), col("v").as("v1")), Seq("i"))
         .agg(sum((col("v") * col("v1")).cast(dec)).cast("double").as("d"))
       val wd = w.join(broadcast(v1c.select(col("i"), col("v").as("v1"))),
@@ -153,7 +164,7 @@ object Spectral {
         .crossJoin(broadcast(d)).crossJoin(broadcast(lam1))
         .select(col("i"),
           (col("w") - col("lam") * col("d") * col("v1")).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       nrm2 = wd.agg(
         sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
       u = wd.crossJoin(broadcast(nrm2))

@@ -39,8 +39,14 @@ object TextAnalysis {
     * when no list scores > 0. Ties break by language code order for
     * determinism.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOfTokens(tokens(text))
+
+  /** [[langId]] over an ALREADY-tokenized array — the shared-scan form:
+    * identical verdicts (the token array of a rebuilt text equals the
+    * array itself), without re-materializing and re-splitting a string
+    * per language list.
+    */
+  def langIdOfTokens(toks: Column): Column = {
     val scored = StopwordSets.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
     }
@@ -771,10 +777,20 @@ object TextAnalysis {
     // (n+3) div 4 — the `/` is double division on Columns, so cast back
     val base = df.select(col(idCol), toks.as("__toks"),
       ((size(toks) + 3) / 4).cast("int").as("__qlen"))
+    // language-score the token SLICES directly: the previous form
+    // rebuilt each quarter as a string (concat_ws) and re-tokenized it
+    // inside langId — and because the stopword-hit filters are
+    // higher-order functions (CodegenFallback, no subexpression
+    // elimination), the rebuild+re-split ran once per language per
+    // quarter: ~16 extra splits of the document per row. A quarter's
+    // token array IS tokens(its rebuilt text) — the slices hold
+    // non-empty lowercase alnum tokens, so joining on spaces and
+    // re-splitting on non-alnum is the identity — hence identical
+    // verdicts by construction.
     val quartered = (0 until 4).foldLeft(base) { (d, i) =>
       d.withColumn(s"lang_q${i + 1}",
-        langId(concat_ws(" ",
-          slice(col("__toks"), col("__qlen") * i + 1, col("__qlen")))))
+        langIdOfTokens(
+          slice(col("__toks"), col("__qlen") * i + 1, col("__qlen"))))
     }
     val langs = array((1 to 4).map(i => col(s"lang_q$i")): _*)
     quartered.select(

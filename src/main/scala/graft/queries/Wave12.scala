@@ -291,8 +291,14 @@ object Wave12Queries {
   def q209(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = Wave6Queries.coOrderEdges(s, dir)
+    // LAZY cut: sym feeds FOUR consumers (the sample, the exact arm's
+    // probe side, the 1-hop sketch and the merge) and its lineage is
+    // the whole co-order pair pipeline — uncut, that pipeline re-ran
+    // once per consumer (exchange reuse shares the shuffles but not the
+    // per-consumer pair explode)
     val sym = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint(false)
     val symS = sym.filter(
       substring(md5(col("node").cast("string")), 1, 1) <= "3")
     val exact = symS.as("a")

@@ -50,7 +50,7 @@ object Wave60Queries {
       .select(col("node"),
         substring(md5(concat(col("lab"), lit("|"), col("ns"))), 1, 8)
           .as("lab"))
-    val l1 = refine(l0).localCheckpoint(true)
+    val l1 = refine(l0).localCheckpoint(false)
     val l2 = refine(l1)
     def census(labels: DataFrame, round: Int): DataFrame = labels
       .groupBy("lab").agg(count(lit(1)).as("sz"))
